@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for the engine.
+
+Local testing runs on ``local[N]``; the same config block is what we'd
+ship on a 1000-executor cluster — AQE (runtime coalescing + skew-join
+handling), Arrow for every Python boundary, and a shuffle-partition
+count that AQE right-sizes downward at small SF and that scales up via
+``spark.sql.shuffle.partitions`` on a real cluster.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+from pyspark.sql import SparkSession
+
+# Executor Python workers import this package too (the DNS pandas UDF
+# lives in it). Driver-side sys.path is NOT propagated to workers, so
+# make the package root importable via PYTHONPATH before the JVM
+# spawns them. On a real cluster the same need is met by shipping a
+# wheel via --py-files; this keeps local[:N] runs location-independent.
+_PKG_ROOT = str(Path(__file__).resolve().parent.parent)
+
+
+def _ensure_pythonpath() -> None:
+    current = os.environ.get("PYTHONPATH", "")
+    if _PKG_ROOT not in current.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{_PKG_ROOT}{os.pathsep}{current}" if current else _PKG_ROOT
+        )
+
+
+def get_spark(
+    app_name: str = "adguard2clickhouse-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    ``master``/``shuffle_partitions`` default from env so the same code
+    path serves unit tests (local[*], 32 partitions) and a cluster
+    submit (where --master and --conf win and this is a no-op).
+    """
+    _ensure_pythonpath()
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
+    )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic join-strategy switching — essential at 100 TB where
+        # static partition counts are always wrong for some stage.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow on every JVM<->Python hop (pandas UDFs, toPandas).
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Keep parquet scans tight: vectorized reader + pushdown are on
+        # by default; make session-timezone explicit so timestamp
+        # semantics match the DuckDB oracle (both UTC).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        # Broadcast threshold: small dims (region/nation/customer at
+        # test SF) broadcast; at 100 TB the explicit broadcast() hints
+        # in operators make intent survive regardless of stats.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

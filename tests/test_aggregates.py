@@ -1,0 +1,97 @@
+"""Exact-output tests for the eight aggregates (SURVEY.md §2.5) on a
+hand-built fact table (conftest.log2_df)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from adguard2clickhouse_spark.operators import aggregates as agg
+
+
+def _as_dict(df, key_cols, val_cols):
+    out = {}
+    for r in df.collect():
+        k = tuple(r[c] for c in key_cols)
+        out[k if len(k) > 1 else k[0]] = tuple(r[c] for c in val_cols)
+    return out
+
+
+def test_blocked_domains(log2_df):
+    got = _as_dict(agg.blocked_domains(log2_df), ["QH"], ["count"])
+    assert got == {"ads.example.com": (2,), "2001:db8::2": (1,)}
+
+
+def test_visited_domains(log2_df):
+    got = _as_dict(agg.visited_domains(log2_df), ["QH"], ["count"])
+    assert got == {
+        "good.example.com": (2,),
+        "nx.example.org": (1,),
+        "localhost": (1,),
+        "1.2.3.4": (1,),
+    }
+
+
+def test_clients_stats(log2_df):
+    got = _as_dict(agg.clients_stats(log2_df), ["IP"], ["visited", "blocked"])
+    assert got == {
+        "10.0.0.1": (2, 1),
+        "10.0.0.2": (1, 1),
+        "10.0.0.3": (2, 1),
+    }
+
+
+def test_qt_stats(log2_df):
+    got = _as_dict(agg.qt_stats(log2_df), ["QT"], ["count"])
+    assert got == {"A": (5,), "AAAA": (2,), "PTR": (1,)}
+
+
+def test_rcode_stats(log2_df):
+    got = _as_dict(agg.rcode_stats(log2_df), ["rcode"], ["count"])
+    assert got == {0: (6,), 3: (1,), 2: (1,)}
+
+
+def test_stats2_tumbling_window(log2_df):
+    got = _as_dict(
+        agg.stats2(log2_df), ["IP", "date_time"], ["blocked", "visited"]
+    )
+    b0 = dt.datetime(2024, 1, 1, 0, 0)
+    b1 = dt.datetime(2024, 1, 1, 0, 10)
+    assert got == {
+        ("10.0.0.1", b0): (1, 2),
+        ("10.0.0.2", b0): (1, 0),
+        ("10.0.0.2", b1): (0, 1),
+        ("10.0.0.3", b1): (1, 2),
+    }
+
+
+def test_tld_stats_excludes_single_label_and_ip_literals(log2_df):
+    got = _as_dict(agg.tld_stats(log2_df), ["tld"], ["count"])
+    # localhost (1 label), 1.2.3.4 (IPv4), 2001:db8::2 (IPv6) excluded;
+    # note '2001:db8::2' has no dot so doubly excluded.
+    assert got == {"com": (4,), "org": (1,)}
+
+
+def test_upstream_stats_intended_semantics(log2_df):
+    got = _as_dict(agg.upstream_stats(log2_df), ["Upstream"], ["count"])
+    assert got == {"8.8.8.8:53": (3,), "1.1.1.1:53": (2,), "": (3,)}
+
+
+def test_additivity_invariant(log2_df):
+    """SummingMergeTree contract (§2.8 C2): agg(whole) == fold(agg(parts)).
+
+    This is the invariant that makes the foreachBatch + additive-upsert
+    streaming design exact.
+    """
+    from pyspark.sql import functions as F
+
+    whole = _as_dict(agg.clients_stats(log2_df), ["IP"], ["visited", "blocked"])
+    part1 = agg.clients_stats(log2_df.limit(4))
+    part2 = agg.clients_stats(log2_df.subtract(log2_df.limit(4)))
+    folded = _as_dict(
+        part1.unionByName(part2)
+        .groupBy("IP")
+        .agg(F.sum("visited").alias("visited"), F.sum("blocked").alias("blocked")),
+        ["IP"],
+        ["visited", "blocked"],
+    )
+    assert folded == whole
