@@ -1,38 +1,701 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Every operator from SURVEY.md §2 (the eight reference aggregates, the
+parse-layer scalars) plus the large-scale extension operators (dedup,
+similarity search, text analysis, multimodal plumbing, relational
+extensions) is exposed as a named query with a DuckDB oracle.
+
+The reference-parity aggregates run through the events→log2 bridge
+(adguard2clickhouse_spark/sources/events_bridge.py): one SQL mapping
+string shared verbatim between the Spark plan and the oracle CTE, so
+the correctness gate genuinely exercises operators/aggregates.py.
+
+Cross-engine exactness rules used throughout (so value hashes match):
+- money/ratio measures in integer cents/permille via floor() (DuckDB
+  CAST rounds, Spark truncates; floor agrees),
+- counts cast to BIGINT on both sides (DuckDB sum() yields HUGEINT),
+- ties broken on unique keys in every ORDER BY / window,
+- session timezone UTC (naive timestamps compare equal to DuckDB's).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
+from adguard2clickhouse_spark.functions import IPV4_RE, IPV6_RE
+from adguard2clickhouse_spark.operators import aggregates as agg
+from adguard2clickhouse_spark.operators import dedup, multimodal, similarity, text
+from adguard2clickhouse_spark.sources.events_bridge import (
+    log2_from_events,
+    oracle_cte,
+)
+from adguard2clickhouse_spark.sources.tables import load_table
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+def _cents(col) -> F.Column:
+    """Exact integer cents from a 2-dp double (floor agrees across engines)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's clients_stats MV (SURVEY §2.5 A3) over
+    the bridged sf0.001 events stream."""
+    return agg.clients_stats(log2_from_events(spark, SF0001))
 
+
+# ---------------------------------------------------------------------------
+# Reference-parity queries (SURVEY.md §2.4-2.6) over the events bridge
+# ---------------------------------------------------------------------------
+
+def q_a1(spark, sf_dir):
+    return agg.blocked_domains(log2_from_events(spark, sf_dir))
+
+
+def q_a2(spark, sf_dir):
+    return agg.visited_domains(log2_from_events(spark, sf_dir))
+
+
+def q_a3(spark, sf_dir):
+    return agg.clients_stats(log2_from_events(spark, sf_dir))
+
+
+def q_a4(spark, sf_dir):
+    return agg.qt_stats(log2_from_events(spark, sf_dir))
+
+
+def q_a5(spark, sf_dir):
+    return agg.rcode_stats(log2_from_events(spark, sf_dir))
+
+
+def q_a6(spark, sf_dir):
+    return agg.stats2(log2_from_events(spark, sf_dir))
+
+
+def q_a7(spark, sf_dir):
+    return agg.tld_stats(log2_from_events(spark, sf_dir))
+
+
+def q_a8(spark, sf_dir):
+    return agg.upstream_stats(log2_from_events(spark, sf_dir))
+
+
+def q_f3(spark, sf_dir):
+    """F3 predicate (README.md:148) as a standalone count."""
+    log2 = log2_from_events(spark, sf_dir)
+    return log2.filter(agg._real_domain("QH")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_p1_json(spark, sf_dir):
+    """P1/P3: schema-declared JSON parse of the props column."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(F.from_json("props", "k INT").alias("_j"))
+        .groupBy(F.col("_j.k").alias("k"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational extensions (§2.11 categories: joins, windows, set ops,
+# rollup/cube, distinct agg, top-k, subqueries)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+        F.sum(_cents("l_extendedprice")).cast("long").alias("sum_base_cents"),
+        F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))).cast("long").alias("sum_disc_cents"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+def q_join_revenue(spark, sf_dir):
+    """3-way join with explicit broadcast of the dims (nation, region
+    are tiny at any SF — intent survives missing stats on a cluster)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.sum(_cents("o_totalprice")).cast("long").alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def q_topk_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", _cents("o_totalprice").alias("total_cents"))
+        .orderBy(F.desc("total_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_window_rank(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_custkey", "o_orderkey")
+    )
+
+
+def q_window_running(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.sum(_cents("o_totalprice")).over(w).cast("long").alias("run_cents"),
+    )
+
+
+def q_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+
+
+def q_cube(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+def q_distinct_agg(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts")
+    )
+
+
+def q_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+def q_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # set EXCEPT semantics (not exceptAll)
+
+
+def q_anti_join(spark, sf_dir):
+    """Customers with no order above $300k (left anti join)."""
+    c = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 300000)
+    return c.join(big, c.c_custkey == big.o_custkey, "left_anti").select("c_custkey")
+
+
+def q_semi_join(spark, sf_dir):
+    """Customers with at least one open ('O') order (left semi join)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey")
+
+
+def q_exists_subquery(spark, sf_dir):
+    """Orders having any lineitem with qty ≥ 49 (EXISTS ≡ semi join)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Events analytics (streaming-shaped batch queries)
+# ---------------------------------------------------------------------------
+
+def q_sessions(spark, sf_dir):
+    """Sessionization: 30-min-gap sessions per user (lag + cumulative
+    new-session markers — the batch twin of stateful streaming)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    marked = ev.select(
+        "user_id",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("is_new").cast("long").alias("n_sessions")
+    )
+
+
+def q_pivot(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    pivoted = ev.groupBy("user_id").pivot("event_type", kinds).agg(
+        F.count(F.lit(1))
+    )
+    return pivoted.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(f"n_{k}") for k in kinds],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Extension operators: dedup / text / similarity / multimodal
+# ---------------------------------------------------------------------------
+
+def q_dedup_groups(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        text.fingerprint("text").alias("fingerprint"), F.col("doc_id")
+    ).groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("min_id")
+    )
+
+
+def q_dedup_count(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.fingerprint_dedup(docs).agg(F.count(F.lit(1)).alias("n"))
+
+
+def q_token_stats(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.bpe_ish_token_count("text").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+def q_quality(spark, sf_dir):
+    return text.quality_features(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", text.lang_id("text").alias("lang_guess"))
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+    )
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """Rows-only check (xxhash64 has no DuckDB twin)."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_simhash(spark, sf_dir):
+    """Rows-only check (xxhash64 has no DuckDB twin)."""
+    return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
+    emb = _t(spark, sf_dir, "embeddings")
+    return list(emb.filter(F.col("vec_id") == vec_id).head().embedding)
+
+
+def q_topk_cosine(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    scored = emb.select(
+        "vec_id",
+        similarity.cosine(
+            F.col("embedding"), F.array(*[F.lit(float(x)) for x in q])
+        ).alias("_sim"),
+    )
+    w = Window.orderBy(F.desc("_sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 10)
+        .select("vec_id", "rnk")
+    )
+
+
+def q_knn_join(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = similarity.knn_join(queries, emb, k=3)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
+def q_lsh_topk(spark, sf_dir):
+    """Rows-only (approximate recall by construction)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    return similarity.lsh_bucketed_topk(emb, q, k=10)
+
+
+def q_media_features(spark, sf_dir):
+    """X5: binary-column plumbing through mapInPandas (payload bytes
+    hashed executor-side; oracle recomputes sha256 in DuckDB)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("fake").alias("format"),
+            F.lit(64).alias("width"),
+            F.lit(64).alias("height"),
+            F.lit(0).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )
+    feats = multimodal.extract_features(media, stub=True)
+    return feats.select("media_id", "n_bytes", "sha256")
+
+
+def q_approx_stats(spark, sf_dir):
+    """Rows-only: HLL distinct + approximate quantiles (ops hygiene at
+    100 TB; approximate by definition, no exact oracle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+    )
+
+
+def q_exact_stats(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Contract tables
+# ---------------------------------------------------------------------------
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # reference parity (SURVEY §2.5 A1-A8, §2.4 F3, §2.2 P1)
+        "a1_blocked_domains": q_a1,
+        "a2_visited_domains": q_a2,
+        "a3_clients_stats": q_a3,
+        "a4_qt_stats": q_a4,
+        "a5_rcode_stats": q_a5,
+        "a6_stats2": q_a6,
+        "a7_tld_stats": q_a7,
+        "a8_upstream_stats": q_a8,
+        "f3_real_domain_count": q_f3,
+        "p1_json_key_stats": q_p1_json,
+        # relational extensions (§2.11)
+        "q1_pricing_summary": q_q1_pricing,
+        "x_join_revenue_by_nation": q_join_revenue,
+        "x_topk_orders": q_topk_orders,
+        "x_window_rank": q_window_rank,
+        "x_window_running": q_window_running,
+        "x_rollup": q_rollup,
+        "x_cube": q_cube,
+        "x_distinct_agg": q_distinct_agg,
+        "x_intersect": q_intersect,
+        "x_except": q_except,
+        "x_anti_join": q_anti_join,
+        "x_semi_join": q_semi_join,
+        "x_exists_subquery": q_exists_subquery,
+        # events analytics
+        "e_sessions": q_sessions,
+        "e_pivot": q_pivot,
+        # training-data extensions (X1-X6)
+        "x1_dedup_groups": q_dedup_groups,
+        "x1_dedup_count": q_dedup_count,
+        "x4_token_stats": q_token_stats,
+        "x4_quality": q_quality,
+        "x4_lang_id": q_lang_id,
+        "x2_ngram_jaccard": q_ngram_jaccard,
+        "x2_minhash_lsh": q_minhash_lsh,
+        "x2_simhash_pairs": q_simhash,
+        "x3_topk_cosine": q_topk_cosine,
+        "x3_knn_join": q_knn_join,
+        "x3_lsh_topk": q_lsh_topk,
+        "x5_media_features": q_media_features,
+        "x6_approx_stats": q_approx_stats,
+        "x6_exact_stats": q_exact_stats,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+_STOP_SQL = {
+    lang: "(" + ", ".join(f"'{w}'" for w in ws) + ")"
+    for lang, ws in text.STOPWORDS.items()
+}
+
+_LANG_HITS = {
+    lang: f"len(list_filter(str_split(text, ' '), x -> x IN {_STOP_SQL[lang]}))"
+    for lang in text.STOPWORDS
+}
+
+_FP_SQL = "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))"
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS s
+  FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 2)) AS i) g
+  WHERE len(t) >= 3
+),
+sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+""".strip()
+
+_COSINE_SCORED = """
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+           / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))
+              * sqrt(list_dot_product(q.qv, q.qv))) AS sim
+  FROM embeddings e, q
+)
+""".strip()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    ipv4 = IPV4_RE
+    ipv6 = IPV6_RE
+    f3 = (
+        f"len(str_split(QH, '.')) > 1 "
+        f"AND NOT regexp_matches(QH, '{ipv4}') "
+        f"AND NOT regexp_matches(QH, '{ipv6}')"
+    )
+    return {
+        "a1_blocked_domains": oracle_cte(
+            'SELECT QH, count(*) AS "count" FROM log2 WHERE IsFiltered GROUP BY QH'
+        ),
+        "a2_visited_domains": oracle_cte(
+            'SELECT QH, count(*) AS "count" FROM log2 WHERE NOT IsFiltered GROUP BY QH'
+        ),
+        "a3_clients_stats": oracle_cte(
+            "SELECT IP, CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS visited, "
+            "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS blocked "
+            "FROM log2 GROUP BY IP"
+        ),
+        "a4_qt_stats": oracle_cte(
+            'SELECT QT, count(*) AS "count" FROM log2 GROUP BY QT'
+        ),
+        "a5_rcode_stats": oracle_cte(
+            'SELECT rcode, count(*) AS "count" FROM log2 GROUP BY rcode'
+        ),
+        "a6_stats2": oracle_cte(
+            "SELECT IP, time_bucket(INTERVAL '10 minutes', date_time) AS date_time, "
+            "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS blocked, "
+            "CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS visited "
+            "FROM log2 GROUP BY IP, time_bucket(INTERVAL '10 minutes', date_time)"
+        ),
+        "a7_tld_stats": oracle_cte(
+            f"SELECT str_split(QH, '.')[-1] AS tld, count(*) AS \"count\" "
+            f"FROM log2 WHERE {f3} GROUP BY str_split(QH, '.')[-1]"
+        ),
+        "a8_upstream_stats": oracle_cte(
+            'SELECT Upstream, count(*) AS "count" FROM log2 GROUP BY Upstream'
+        ),
+        "f3_real_domain_count": oracle_cte(
+            f"SELECT count(*) AS n FROM log2 WHERE {f3}"
+        ),
+        "p1_json_key_stats": (
+            "SELECT TRY_CAST(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS INT) AS k, "
+            'count(*) AS "count" FROM events GROUP BY 1'
+        ),
+        "q1_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty, "
+            "CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents, "
+            "CAST(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS sum_disc_cents, "
+            "count(*) AS count_order "
+            "FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "x_join_revenue_by_nation": (
+            "SELECT r_name, n_name, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents, "
+            "count(*) AS n_orders "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "GROUP BY r_name, n_name"
+        ),
+        "x_topk_orders": (
+            "SELECT o_orderkey, CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents "
+            "FROM orders ORDER BY total_cents DESC, o_orderkey LIMIT 10"
+        ),
+        "x_window_rank": (
+            "SELECT o_custkey, o_orderkey FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn "
+            "FROM orders) WHERE rn = 1"
+        ),
+        "x_window_running": (
+            "SELECT o_orderkey, CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS run_cents "
+            "FROM orders"
+        ),
+        "x_rollup": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)"
+        ),
+        "x_cube": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n "
+            "FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)"
+        ),
+        "x_distinct_agg": (
+            "SELECT l_returnflag, count(DISTINCT l_partkey) AS distinct_parts "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
+        "x_intersect": (
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "INTERSECT SELECT s_nationkey FROM supplier"
+        ),
+        "x_except": (
+            "SELECT c_nationkey AS nationkey FROM customer "
+            "EXCEPT SELECT s_nationkey FROM supplier"
+        ),
+        "x_anti_join": (
+            "SELECT c_custkey FROM customer WHERE NOT EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)"
+        ),
+        "x_semi_join": (
+            "SELECT c_custkey FROM customer WHERE EXISTS ("
+            "SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'O')"
+        ),
+        "x_exists_subquery": (
+            "SELECT count(*) AS n FROM orders WHERE EXISTS ("
+            "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)"
+        ),
+        "e_sessions": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "m AS (SELECT user_id, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 "
+            "THEN 1 ELSE 0 END AS is_new FROM o) "
+            "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM m GROUP BY user_id"
+        ),
+        "e_pivot": (
+            "SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
+            "count(*) FILTER (WHERE event_type = 'view') AS n_view, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS n_signup, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase, "
+            "count(*) FILTER (WHERE event_type = 'error') AS n_error "
+            "FROM events GROUP BY user_id"
+        ),
+        "x1_dedup_groups": (
+            f"SELECT {_FP_SQL} AS fingerprint, count(*) AS n_docs, min(doc_id) AS min_id "
+            f"FROM documents GROUP BY 1"
+        ),
+        "x1_dedup_count": (
+            f"SELECT count(DISTINCT {_FP_SQL}) AS n FROM documents"
+        ),
+        "x4_token_stats": (
+            "SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
+            "FROM documents"
+        ),
+        "x4_quality": (
+            "WITH f AS (SELECT doc_id, length(text) AS n_chars, "
+            "len(str_split(text, ' ')) AS n_tokens, "
+            "length(text) - length(replace(text, ' ', '')) AS n_spaces, "
+            "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct, "
+            f"{_LANG_HITS['en']} AS n_stop "
+            "FROM documents) "
+            "SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens, "
+            "CAST(n_spaces AS BIGINT) AS n_spaces, CAST(n_punct AS BIGINT) AS n_punct, "
+            "CAST(floor(n_punct * 1000 / n_chars) AS BIGINT) AS punct_permille, "
+            "CAST(floor(n_stop * 1000 / n_tokens) AS BIGINT) AS stopword_permille, "
+            "(n_tokens >= 10 AND n_chars >= 50 AND floor(n_punct * 1000 / n_chars) < 200) AS quality_keep "
+            "FROM f"
+        ),
+        "x4_lang_id": (
+            f"WITH h AS (SELECT doc_id, {_LANG_HITS['en']} AS en, "
+            f"{_LANG_HITS['de']} AS de, {_LANG_HITS['fr']} AS fr FROM documents) "
+            "SELECT doc_id, CASE "
+            "WHEN fr > en AND fr > de AND fr > 0 THEN 'fr' "
+            "WHEN de > en AND de > 0 THEN 'de' "
+            "WHEN en > 0 THEN 'en' ELSE 'und' END AS lang_guess FROM h"
+        ),
+        "x2_ngram_jaccard": (
+            f"WITH {_SHINGLE_CTE}, "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
+            "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
+            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
+        ),
+        "x3_topk_cosine": (
+            f"WITH {_COSINE_SCORED} "
+            "SELECT vec_id, rnk FROM (SELECT vec_id, "
+            "CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "
+            "FROM scored) WHERE rnk <= 10"
+        ),
+        "x3_knn_join": (
+            "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "
+            "FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) "
+            "/ (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) "
+            "* sqrt(list_dot_product(q.qv, q.qv))) AS sim "
+            "FROM embeddings e, qs q) "
+            "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk "
+            "FROM scored) WHERE rnk <= 3"
+        ),
+        "x5_media_features": (
+            "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
+            "sha256(text) AS sha256 FROM documents"
+        ),
+        "x6_exact_stats": (
+            "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts, "
+            "count(DISTINCT l_suppkey) AS n_supps, "
+            "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem"
+        ),
+        # x2_minhash_lsh, x2_simhash_pairs, x3_lsh_topk, x6_approx_stats:
+        # intentionally omitted — xxhash64 / HLL / approximate quantiles
+        # have no exact DuckDB twin (driver records rows-only checks).
+    }

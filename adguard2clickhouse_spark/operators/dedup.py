@@ -1,0 +1,299 @@
+"""Deduplication operators for training-data pipelines (brief §extensions, X1/X2).
+
+Four strategies, each picked for a different scale/recall point:
+
+- exact          — hash-groupBy on a fingerprint digest. One shuffle of
+                   (digest, id); texts never move. The 100 TB default.
+- n-gram Jaccard — exact similarity on word-shingle sets via an
+                   inverted-index self-join (explode shingles → join on
+                   shingle → count common). Quadratic only within
+                   shingle buckets, exact; good at corpus-shard scale.
+- MinHash + LSH  — signatures + banding so candidate pairs come from
+                   band-bucket equality joins, never an all-pairs join.
+                   Pure DataFrame ops, deterministic seeds.
+- SimHash        — 64-bit sketch per doc from token hashes; near-dups
+                   via Hamming-band self-join (4×16-bit bands). All
+                   built-ins (xxhash64 + bit ops), zero Python.
+
+Everything shuffles on small keys (hashes, not documents) — the
+property that survives a 1000-executor corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from adguard2clickhouse_spark.operators.text import fingerprint
+
+# ---------------------------------------------------------------------------
+# X1 — exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Keep one row per distinct value of ``cols`` (shuffle hash dedup)."""
+    return df.dropDuplicates(cols)
+
+
+def fingerprint_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact text dedup at scale: group by md5 fingerprint, keep the
+    smallest id per group (deterministic winner). Only (digest, id)
+    pairs shuffle — document bodies stay put until the final semi-join.
+    """
+    winners = (
+        df.select(F.col(id_col), fingerprint(text_col).alias("_fp"))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(winners.select(id_col), on=id_col, how="left_semi")
+
+
+def duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fingerprint groups with more than one member (audit view)."""
+    return (
+        df.select(fingerprint(text_col).alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.min(id_col).alias("min_id"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2a — word-shingle helpers + exact n-gram Jaccard similarity join
+# ---------------------------------------------------------------------------
+
+def word_shingles(col, n: int = 3):
+    """Distinct n-word shingles of a text column, as an array —
+    higher-order functions only (sequence/transform/element_at)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    shingle_at = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+    )
+    return F.array_distinct(
+        F.transform(F.sequence(F.lit(1), count), lambda i: shingle_at(i))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact Jaccard-similar pairs over n-word shingles.
+
+    Inverted-index plan: explode distinct shingles, self-join on the
+    shingle string (Catalyst shuffles on the shingle hash — only
+    shingles and ids move), count common shingles per pair, then
+    Jaccard = common / (|A| + |B| - common). The threshold compare is
+    done in integers (common·10^6 ≥ t·10^6·union) so results hash
+    identically across engines.
+
+    Returns (doc_a, doc_b, common, size_a, size_b) with doc_a < doc_b.
+    """
+    sh = df.select(
+        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    )
+    sizes = sh.select("_id", F.size("_sh").alias("_sz"))
+    inv = sh.select("_id", F.explode("_sh").alias("_s"))
+
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (
+        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    thr = int(threshold * 1_000_000)
+    return (
+        common.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sz", "size_a"), "doc_a")
+        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sz", "size_b"), "doc_b")
+        .filter(
+            F.col("common") * 1_000_000
+            >= F.lit(thr) * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        )
+        .select("doc_a", "doc_b", "common", "size_a", "size_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2b — MinHash + banded LSH (pure DataFrame, deterministic)
+# ---------------------------------------------------------------------------
+
+def _minhash_cols(num_hashes: int):
+    """num_hashes independent min-hashes of the shingle array.
+
+    h_i(s) = min over shingles of xxhash64(shingle, seed=i) — xxhash64
+    is a Spark builtin, so the whole signature stays in codegen.
+    """
+    return [
+        F.array_min(
+            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+) -> DataFrame:
+    sh = df.select(F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh"))
+    return sh.filter(F.size("_sh") > 0).select("_id", *_minhash_cols(num_hashes))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash LSH.
+
+    Signature is split into ``bands`` bands of ``num_hashes/bands``
+    rows; docs agreeing on any full band become a candidate pair. The
+    join key is (band_index, band_hash) — tiny, uniform, shuffle-friendly.
+    Returns (doc_a, doc_b, n_bands_agree, est_jaccard_permille) where
+    est_jaccard is the fraction of agreeing minhashes ×1000 (integer).
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+
+    band_exprs = [
+        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
+            f"band_{b}"
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select("_id", *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_exprs)
+
+    buckets = banded.select(
+        "_id",
+        F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("h"))
+                for b in range(bands)
+            ])
+        ).alias("_bh"),
+    ).select("_id", "_sig", F.col("_bh.band").alias("_band"), F.col("_bh.h").alias("_h"))
+
+    a, b = buckets.alias("a"), buckets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._h") == F.col("b._h"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bands_agree"),
+            F.first("a._sig").alias("_sa"),
+            F.first("b._sig").alias("_sb"),
+        )
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+            lambda v: v == 1,
+        )
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        "n_bands_agree",
+        ((agree * 1000) / F.lit(num_hashes)).cast("long").alias("est_jaccard_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# X2c — SimHash (64-bit) + Hamming-band near-dup join
+# ---------------------------------------------------------------------------
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document, entirely in built-ins.
+
+    Each token hashes once (xxhash64); bit i of the sketch is the sign
+    of Σ(±1) over that bit across tokens. Implemented as 64 aggregate
+    expressions over the exploded token column — one shuffle on doc id,
+    JVM codegen throughout.
+    """
+    tok = df.select(
+        F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).withColumn("_h", F.xxhash64("_t"))
+
+    # bit test via unsigned shift — (1 << 63) won't fit a long literal
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftrightunsigned("_h", i).bitwiseAND(F.lit(1)) == 1, 1
+            ).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tok.groupBy("_id").agg(*bit_sums)
+
+    sketch = F.lit(0).cast("long")
+    for i in range(64):
+        sketch = sketch + F.when(F.col(f"b{i}") > 0, F.lit(1 << i if i < 63 else -(1 << 63))).otherwise(0)
+    return agg.select(F.col("_id").alias(id_col), sketch.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+
+    Band trick: split 64 bits into 4×16-bit bands; any pair within
+    Hamming ≤3 agrees exactly on ≥1 band (pigeonhole), so the join key
+    is (band, 16-bit chunk) — never an all-pairs comparison.
+    """
+    sk = simhash(df, text_col, id_col)
+    chunks = sk.select(
+        F.col(id_col).alias("_id"),
+        F.col("simhash"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                )
+                for b in range(4)
+            ])
+        ).alias("_c"),
+    ).select("_id", "simhash", F.col("_c.band").alias("_band"), F.col("_c.chunk").alias("_chunk"))
+
+    a, b = chunks.alias("a"), chunks.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .filter(ham <= max_hamming)
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -1,0 +1,140 @@
+"""Multimodal column plumbing (brief §extensions, X5).
+
+Images/audio/video are opaque ``binary`` columns + a typed metadata
+struct. The Spark-side contract — schema, Arrow batch shape,
+``mapInPandas`` signatures, partitioning — is real and tested; the
+actual media decoding is STUBBED (no image/audio libs in this
+container): ``decode_stub_features`` produces deterministic fake
+features derived from the payload bytes, and the library-backed decode
+raises ``NotImplementedError`` with the integration point documented.
+
+Scale notes: media payloads dominate row size, so every operator here
+(a) selects the binary column as late as possible, (b) processes via
+``mapInPandas`` with a bounded Arrow batch size so executor memory is
+payload-count × batch, and (c) emits only small fixed-size feature
+vectors onward — payloads never pass through a shuffle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("kind", T.StringType()),      # image|audio|video
+                    T.StructField("format", T.StringType()),    # png|wav|mp4|...
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("sha256", T.StringType()),
+        T.StructField("features", T.ArrayType(T.FloatType())),
+    ]
+)
+
+
+def decode_media(payload: bytes, kind: str, fmt: str):
+    """Real decode integration point.
+
+    STUB: plug in Pillow (image), soundfile (audio), or pyav (video)
+    here when the executor image ships them. Kept as a hard error so
+    fake features are never mistaken for real ones.
+    """
+    raise NotImplementedError(
+        "media decoding requires Pillow/soundfile/pyav on executors; "
+        "use extract_features(..., stub=True) for pipeline testing"
+    )
+
+
+def _stub_features(payload: bytes) -> list[float]:
+    """Deterministic fake features: bytes of sha256 → FEATURE_DIM floats
+    in [0,1). Stable across runs/machines — good enough to test
+    downstream similarity/partitioning plumbing end-to-end."""
+    digest = hashlib.sha256(payload).digest()
+    arr = np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float32)
+    return (arr / 65536.0).tolist()
+
+
+def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
+    """media frame (MEDIA_SCHEMA) → per-item feature rows (FEATURES_SCHEMA).
+
+    mapInPandas: payload column is consumed inside the Arrow batch and
+    never re-emitted — output rows are ~100 bytes regardless of media
+    size, so the downstream shuffle is cheap.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, shas, sizes = [], [], []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                data = bytes(payload) if payload is not None else b""
+                if not stub:
+                    decode_media(data, meta["kind"], meta["format"])  # raises
+                feats.append(_stub_features(data))
+                shas.append(hashlib.sha256(data).hexdigest())
+                sizes.append(len(data))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": [m["kind"] for m in pdf["meta"]],
+                    "n_bytes": sizes,
+                    "sha256": shas,
+                    "features": feats,
+                }
+            )
+
+    return media.mapInPandas(run, FEATURES_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video → (media_id, frame_ts_ms) sampling plan, computed purely
+    from metadata (no payload touch, no Python): the cheap pre-pass
+    that sizes the expensive decode stage and lets it repartition by
+    expected output count before the UDF runs."""
+    return (
+        media.filter(F.col("meta.kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                    F.lit(every_ms),
+                )
+            ).alias("frame_ts_ms"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only profile (never touches payload bytes — column
+    pruning keeps the binary column out of the scan)."""
+    return media.groupBy(F.col("meta.kind").alias("kind")).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.coalesce(F.col("meta.duration_ms"), F.lit(0))).alias("total_duration_ms"),
+    )

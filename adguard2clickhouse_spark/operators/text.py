@@ -1,0 +1,115 @@
+"""Text-analysis operators for training-data pipelines (brief §extensions, X4).
+
+All pure built-ins (whole-stage codegen, no Python): token counting,
+quality scoring, n-gram-heuristic language ID, and document
+fingerprinting. Each has a DuckDB-expressible twin so the driver's
+oracle can hash-check it exactly.
+
+Scale notes: every operator here is a narrow projection — no shuffle,
+no UDF — so it runs at scan speed and composes with partition pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language ID. Deliberately small and deterministic — the point is the
+# Spark expression shape (higher-order filter over the token array),
+# not linguistic accuracy.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "des", "que"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization (split on single spaces, like the corpus)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Regex 'BPE-ish' token count: words, numbers, and single
+    punctuation marks each count as one token — a cheap proxy for
+    subword tokenizer counts when budgeting training data."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_hits(col: Column | str, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of ``lang`` (higher-order
+    filter — stays JVM-side, no UDF)."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def lang_id(col: Column | str) -> Column:
+    """Pick the language whose stopword hit-count is highest; 'und'
+    (undetermined) when no stopwords hit at all.
+
+    Deterministic tie-break: language order en > de > fr (strictly
+    greater comparison walking the list).
+    """
+    hit_cols = {lang: stopword_hits(col, lang) for lang in STOPWORDS}
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in STOPWORDS:  # insertion order = priority order
+        h = hit_cols[lang]
+        take = h > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, h).otherwise(best_hits)
+    return best_lang
+
+
+def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features: lengths, token stats, punctuation
+    and stopword ratios (×1000, integer — exact cross-engine compare),
+    and a boolean keep/drop verdict like a pretraining quality filter."""
+    t = F.col(text_col)
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    n_stop = stopword_hits(t, "en")
+    # floor(), not cast: DuckDB CAST(double AS BIGINT) rounds while Spark
+    # truncates — floor() is identical in both, keeping oracles exact.
+    punct_permille = F.floor((n_punct * 1000) / n_chars)
+    stop_permille = F.floor((n_stop * 1000) / n_tok)
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("long").alias("n_chars"),
+        n_tok.cast("long").alias("n_tokens"),
+        (n_chars - F.length(F.replace(t, F.lit(" "), F.lit("")))).cast("long").alias("n_spaces"),
+        n_punct.cast("long").alias("n_punct"),
+        punct_permille.alias("punct_permille"),
+        stop_permille.alias("stopword_permille"),
+        (
+            (n_tok >= 10) & (n_chars >= 50) & (punct_permille < 200)
+        ).alias("quality_keep"),
+    )
+
+
+def fingerprint(col: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the
+    whitespace-normalized, lower-cased text. Used for exact-dup
+    detection across shards without shipping full texts through the
+    shuffle (hash first, group on the 32-char digest)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.md5(F.trim(F.regexp_replace(F.lower(c), r"\s+", " ")))
+
+
+def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass profile: id, token counts, language guess, fingerprint."""
+    return df.select(
+        F.col(id_col),
+        token_count(text_col).alias("n_tokens"),
+        bpe_ish_token_count(text_col).alias("n_bpe_tokens"),
+        lang_id(text_col).alias("lang_guess"),
+        fingerprint(text_col).alias("fingerprint"),
+    )

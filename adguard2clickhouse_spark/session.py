@@ -66,6 +66,9 @@ def get_spark(
         # by default; make session-timezone explicit so timestamp
         # semantics match the DuckDB oracle (both UTC).
         .config("spark.sql.session.timeZone", "UTC")
+        # The driver's events.parquet carries TIMESTAMP(NANOS) which the
+        # Spark reader rejects; read as long and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Broadcast threshold: small dims (region/nation/customer at
         # test SF) broadcast; at 100 TB the explicit broadcast() hints
