@@ -26,6 +26,20 @@ from pyspark.sql import functions as F
 
 from adguard2clickhouse_spark.operators.text import fingerprint
 
+
+def _balanced(df: DataFrame) -> DataFrame:
+    """Ensure CPU-dense per-row work (shingling, hashing) gets all cores.
+
+    A small single-file parquet scan yields 1 partition, serializing
+    the expensive expression work above it. Repartition UP to the
+    default parallelism only — never shuffle a large many-partition
+    input downward.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
 # ---------------------------------------------------------------------------
 # X1 — exact dedup
 # ---------------------------------------------------------------------------
@@ -66,18 +80,28 @@ def duplicate_groups(
 # X2a — word-shingle helpers + exact n-gram Jaccard similarity join
 # ---------------------------------------------------------------------------
 
-def word_shingles(col, n: int = 3):
-    """Distinct n-word shingles of a text column, as an array —
-    higher-order functions only (sequence/transform/element_at)."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(c, " ")
+def shingles_from_tokens(toks, n: int = 3):
+    """Distinct n-grams over a token-array COLUMN.
+
+    Callers must pass a materialized column (withColumn), not an inline
+    split() expression: higher-order-function lambdas run interpreted,
+    so an embedded split would re-tokenize once per shingle.
+    slice+concat_ws touches exactly n elements per shingle.
+    """
     count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    shingle_at = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-    )
     return F.array_distinct(
-        F.transform(F.sequence(F.lit(1), count), lambda i: shingle_at(i))
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        )
     )
+
+
+def word_shingles(col, n: int = 3):
+    """Distinct n-word shingles of a text column (convenience wrapper;
+    prefer tokenizing into a column first — see shingles_from_tokens)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return shingles_from_tokens(F.split(c, " "), n)
 
 
 def ngram_jaccard_pairs(
@@ -98,28 +122,51 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, common, size_a, size_b) with doc_a < doc_b.
     """
-    sh = df.select(
-        F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh")
+    # Build the exploded inverted index ONCE and cache it: it feeds
+    # three consumers (both join sides + the size table). Without the
+    # persist, Catalyst re-executes the shingle build 4× — measured 44×
+    # slower than necessary on a dense corpus. Join key is xxhash64 of
+    # the shingle (8 bytes) instead of the shingle string: the shuffle
+    # moves a quarter of the bytes (collision odds at 2^-64·n² are nil).
+    inv = (
+        _balanced(df)
+        .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h"))
+        .persist()
     )
-    sizes = sh.select("_id", F.size("_sh").alias("_sz"))
-    inv = sh.select("_id", F.explode("_sh").alias("_s"))
+    try:
+        sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
 
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(b, (F.col("a._s") == F.col("b._s")) & (F.col("a._id") < F.col("b._id")))
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    thr = int(threshold * 1_000_000)
-    return (
-        common.join(sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sz", "size_a"), "doc_a")
-        .join(sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sz", "size_b"), "doc_b")
-        .filter(
-            F.col("common") * 1_000_000
-            >= F.lit(thr) * (F.col("size_a") + F.col("size_b") - F.col("common"))
+        a, b = inv.alias("a"), inv.alias("b")
+        common = (
+            a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
+            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("common"))
         )
-        .select("doc_a", "doc_b", "common", "size_a", "size_b")
-    )
+        thr = int(threshold * 1_000_000)
+        # sizes is one row per doc — NOT broadcastable at corpus scale;
+        # AQE picks broadcast when it actually fits.
+        out = (
+            common.join(
+                sizes.withColumnRenamed("_id", "doc_a").withColumnRenamed("_sz", "size_a"),
+                "doc_a",
+            )
+            .join(
+                sizes.withColumnRenamed("_id", "doc_b").withColumnRenamed("_sz", "size_b"),
+                "doc_b",
+            )
+            .filter(
+                F.col("common") * 1_000_000
+                >= F.lit(thr) * (F.col("size_a") + F.col("size_b") - F.col("common"))
+            )
+            .select("doc_a", "doc_b", "common", "size_a", "size_b")
+        )
+        # materialize before unpersisting the index the plan depends on
+        out = out.localCheckpoint(eager=True)
+    finally:
+        inv.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -147,7 +194,11 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    sh = df.select(F.col(id_col).alias("_id"), word_shingles(text_col, n).alias("_sh"))
+    sh = (
+        _balanced(df)
+        .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+    )
     return sh.filter(F.size("_sh") > 0).select("_id", *_minhash_cols(num_hashes))
 
 
@@ -178,6 +229,8 @@ def minhash_lsh_pairs(
     ]
     banded = sig.select("_id", *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_exprs)
 
+    # Cache the bucket relation: the signature build (num_hashes array
+    # scans per doc) would otherwise run once per join side.
     buckets = banded.select(
         "_id",
         F.array(*[F.col(f"mh_{i}") for i in range(num_hashes)]).alias("_sig"),
@@ -187,35 +240,41 @@ def minhash_lsh_pairs(
                 for b in range(bands)
             ])
         ).alias("_bh"),
-    ).select("_id", "_sig", F.col("_bh.band").alias("_band"), F.col("_bh.h").alias("_h"))
+    ).select(
+        "_id", "_sig", F.col("_bh.band").alias("_band"), F.col("_bh.h").alias("_h")
+    ).persist()
 
-    a, b = buckets.alias("a"), buckets.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._h") == F.col("b._h"))
-            & (F.col("a._id") < F.col("b._id")),
+    try:
+        a, b = buckets.alias("a"), buckets.alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._h") == F.col("b._h"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
+            .agg(
+                F.count(F.lit(1)).alias("n_bands_agree"),
+                F.first("a._sig").alias("_sa"),
+                F.first("b._sig").alias("_sb"),
+            )
         )
-        .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_bands_agree"),
-            F.first("a._sig").alias("_sa"),
-            F.first("b._sig").alias("_sb"),
+        agree = F.size(
+            F.filter(
+                F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+                lambda v: v == 1,
+            )
         )
-    )
-    agree = F.size(
-        F.filter(
-            F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
-            lambda v: v == 1,
-        )
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        "n_bands_agree",
-        ((agree * 1000) / F.lit(num_hashes)).cast("long").alias("est_jaccard_permille"),
-    )
+        out = pairs.select(
+            "doc_a",
+            "doc_b",
+            "n_bands_agree",
+            F.floor((agree * 1000) / F.lit(num_hashes)).alias("est_jaccard_permille"),
+        ).localCheckpoint(eager=True)
+    finally:
+        buckets.unpersist()
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -232,7 +291,7 @@ def simhash(
     expressions over the exploded token column — one shuffle on doc id,
     JVM codegen throughout.
     """
-    tok = df.select(
+    tok = _balanced(df).select(
         F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
 

@@ -1,0 +1,137 @@
+"""The end-to-end streaming topology (SURVEY.md §3.1-3.2, §7 step 5).
+
+Reference architecture being re-expressed:
+
+    tailer.follow(querylog) ──► parse ──► INSERT log2          (collector.py:54-75)
+                                            │ (per insert block)
+                                            ├─► MV → blocked_domains   (README.md:31-40)
+                                            ├─► MV → clients_stats     (README.md:52-62)
+                                            └─► ... (7 MVs total)
+
+Spark-first shape: ONE streaming query. Each micro-batch is the
+"insert block"; inside foreachBatch the batch is persisted once and
+fanned out to the fact append plus the eight aggregate deltas, each
+additively folded into its summing sink — exactly the MV + Summing-
+MergeTree contract, with no unbounded executor state (no state store),
+which is what survives 100 TB: aggregation state lives in the sink,
+keyed and compact, while Spark only ever holds one micro-batch.
+
+Delivery: checkpointed source offsets + epoch-id-idempotent aggregate
+upserts = exactly-once for aggregates, at-least-once for fact appends
+(the reference is at-most-once: truncate-at-boot, fire-and-forget —
+collector.py:45,52).
+
+Late data: none of the aggregates needs a watermark — they are keyed
+sums folded in the sink, unbounded in event time like ClickHouse
+merges (SURVEY.md §2.9). stats2's 10-minute buckets are part of the
+key, not window state.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from adguard2clickhouse_spark.operators.aggregates import (
+    AGGREGATE_KEYS,
+    ALL_AGGREGATES,
+)
+from adguard2clickhouse_spark.operators.parse import (
+    parse_querylog_lines,
+    split_dead_letter,
+)
+from adguard2clickhouse_spark.sinks.summing import SummingParquetSink
+from adguard2clickhouse_spark.sources.querylog import read_querylog_stream
+
+
+def aggregate_sinks(out_dir: str) -> dict[str, SummingParquetSink]:
+    sinks = {}
+    for name, keys in AGGREGATE_KEYS.items():
+        measures = {
+            "clients_stats": ["visited", "blocked"],
+            "stats2": ["blocked", "visited"],
+        }.get(name, ["count"])
+        sinks[name] = SummingParquetSink(
+            os.path.join(out_dir, name), keys=keys, measures=measures
+        )
+    return sinks
+
+
+class QuerylogPipeline:
+    """source dir → parse → fact append + 8 additive aggregates."""
+
+    def __init__(self, spark: SparkSession, source_dir: str, out_dir: str,
+                 checkpoint_dir: str | None = None):
+        self.spark = spark
+        self.source_dir = source_dir
+        self.out_dir = out_dir
+        self.checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
+        self.log2_path = os.path.join(out_dir, "log2")
+        self.dead_letter_path = os.path.join(out_dir, "dead_letter")
+        self.sinks = aggregate_sinks(out_dir)
+
+    # -- the per-micro-batch body (the reference's "insert block") ----------
+    def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        batch_df.persist()
+        try:
+            good, dead = split_dead_letter(batch_df)
+            good.persist()
+
+            # fact append, partitioned by event date and sorted by time
+            # within files — the MergeTree ORDER BY date_time analog
+            # (README.md:21): date partitions prune time-range scans,
+            # in-file ordering gives parquet min/max row-group skipping.
+            (
+                good.withColumn("date", F.to_date("date_time"))
+                .sortWithinPartitions("date_time")
+                .write.mode("append")
+                .partitionBy("date")
+                .parquet(self.log2_path)
+            )
+            # dead-letter channel (K3, collector.py:76-78)
+            dead.write.mode("append").parquet(self.dead_letter_path)
+
+            # MV cascade: aggregate THIS block, fold additively (C1+C2)
+            for name, fn in ALL_AGGREGATES.items():
+                self.sinks[name].apply_delta(fn(good), epoch_id=epoch_id)
+            good.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    # -- run -----------------------------------------------------------------
+    def start(
+        self,
+        available_now: bool = False,
+        processing_time: str = "5 seconds",
+        max_files_per_trigger: int | None = None,
+    ) -> StreamingQuery:
+        raw = read_querylog_stream(
+            self.spark, self.source_dir, max_files_per_trigger=max_files_per_trigger
+        )
+        parsed = parse_querylog_lines(raw)
+        writer = (
+            parsed.writeStream.foreachBatch(self.process_batch)
+            .option("checkpointLocation", self.checkpoint_dir)
+        )
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        else:
+            # the micro-batch interval is the analog of the reference's
+            # server-side async-insert buffering (collector.py:52)
+            writer = writer.trigger(processingTime=processing_time)
+        return writer.start()
+
+    def run_available(self) -> None:
+        """Process everything currently in the source dir, then stop."""
+        q = self.start(available_now=True)
+        q.awaitTermination()
+
+    # -- read API (SURVEY.md §3.3) -------------------------------------------
+    def read_aggregate(self, name: str) -> DataFrame | None:
+        return self.sinks[name].read(self.spark)
+
+    def read_log2(self) -> DataFrame:
+        return self.spark.read.parquet(self.log2_path)

@@ -1,0 +1,82 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The query set spans every execution shape the engine has: the
+reference-parity aggregate fan (scan+filter+groupBy), the streaming
+parse path (JSON + the Arrow DNS UDF), joins/windows, and the
+extension operators (dedup joins, similarity search). Each query is
+executed to completion (count() forces the full plan; results are not
+collected to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+import __spark_entry__ as entrymod
+from adguard2clickhouse_spark.session import get_spark
+
+BENCH_QUERIES = [
+    # reference parity — the 8-aggregate fan over the bridged stream
+    "a1_blocked_domains",
+    "a3_clients_stats",
+    "a6_stats2",
+    "a7_tld_stats",
+    # relational shapes
+    "q1_pricing_summary",
+    "x_join_revenue_by_nation",
+    "x_window_rank",
+    "e_sessions",
+    # training-data extensions
+    "x1_dedup_count",
+    "x2_ngram_jaccard",
+    "x2_minhash_lsh",
+    "x3_topk_cosine",
+    "x4_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't billed for it
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.count()  # executes the full plan without driver collect
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
