@@ -371,6 +371,46 @@ def q_lsh_topk(spark, sf_dir):
     return similarity.lsh_bucketed_topk(emb, q, k=10)
 
 
+def q_embedding_dup(spark, sf_dir):
+    """X2d exact embedding-cosine near-dup pairs. Threshold 0.35 sits
+    ≥1e-6 from every pairwise sim at all SFs (verified), so the
+    cross-engine comparison cannot flip at the boundary."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs(emb, threshold=0.35)
+
+
+def q_embedding_dup_lsh(spark, sf_dir):
+    """Rows-only: LSH candidate generation + exact verify (recall < 1).
+
+    bits/tables tuned for the demo threshold 0.35 (per-bit collision
+    p≈0.61 → 6-bit sigs, 8 tables ≈ 35% recall); production near-dup
+    thresholds (≥0.9, p≈0.86) reach >90% recall with the same cost."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs_lsh(
+        emb, threshold=0.35, bits=6, n_tables=8
+    )
+
+
+def q_ivf_topk(spark, sf_dir):
+    """Rows-only: IVF coarse-quantizer probe (nprobe cells scanned)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    return similarity.ivf_topk(emb, q, k=10, n_cells=16, nprobe=4)
+
+
+def q_doc_profile(spark, sf_dir):
+    """X4 one-pass document profile: token counts, lang guess, and the
+    normalized-md5 fingerprint (the rolling exact-dup key)."""
+    prof = text.document_profile(_t(spark, sf_dir, "documents"))
+    return prof.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "lang_guess",
+        "fingerprint",
+    )
+
+
 def q_media_features(spark, sf_dir):
     """X5: binary-column plumbing through mapInPandas (payload bytes
     hashed executor-side; oracle recomputes sha256 in DuckDB)."""
@@ -454,9 +494,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x2_minhash_lsh": q_minhash_lsh,
         "x2_simhash_pairs": q_simhash,
+        "x2_embedding_dup": q_embedding_dup,
+        "x2_embedding_dup_lsh": q_embedding_dup_lsh,
         "x3_topk_cosine": q_topk_cosine,
         "x3_knn_join": q_knn_join,
         "x3_lsh_topk": q_lsh_topk,
+        "x3_ivf_topk": q_ivf_topk,
+        "x4_doc_profile": q_doc_profile,
         "x5_media_features": q_media_features,
         "x6_approx_stats": q_approx_stats,
         "x6_exact_stats": q_exact_stats,
@@ -673,6 +717,24 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, rnk FROM (SELECT vec_id, "
             "CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "
             "FROM scored) WHERE rnk <= 10"
+        ),
+        "x2_embedding_dup": (
+            "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
+            "SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.v, b.v) "
+            "/ (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.35"
+        ),
+        "x4_doc_profile": (
+            f"WITH h AS (SELECT doc_id, {_LANG_HITS['en']} AS en, "
+            f"{_LANG_HITS['de']} AS de, {_LANG_HITS['fr']} AS fr FROM documents) "
+            "SELECT d.doc_id, CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens, "
+            "CAST(len(regexp_extract_all(d.text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens, "
+            "CASE WHEN h.fr > h.en AND h.fr > h.de AND h.fr > 0 THEN 'fr' "
+            "WHEN h.de > h.en AND h.de > 0 THEN 'de' "
+            "WHEN h.en > 0 THEN 'en' ELSE 'und' END AS lang_guess, "
+            f"{_FP_SQL.replace('text', 'd.text')} AS fingerprint "
+            "FROM documents d JOIN h ON d.doc_id = h.doc_id"
         ),
         "x3_knn_join": (
             "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv "

@@ -117,6 +117,178 @@ def lsh_signature(vec_col: Column, dim: int, bits: int = 16, seed: int = 42) -> 
     return sig
 
 
+def embedding_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine ≥ threshold).
+
+    This is the oracle baseline: an all-pairs self-join. The cosine is
+    computed exactly like the DuckDB oracle (dot / (norm·norm), strict
+    left-to-right double fold) so the threshold comparison agrees
+    bit-for-bit. At corpus scale use :func:`embedding_dup_pairs_lsh`,
+    which candidate-generates through signature buckets and applies
+    this same exact verify only within candidates.
+    """
+    # Precompute each row's norm once (n sqrt-folds instead of n² —
+    # the per-pair value is bit-identical, so the oracle still agrees).
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            (dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))).alias("_sim"),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+def embedding_dup_pairs_lsh(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: candidates from signature
+    equality in any of n_tables independent LSH tables (equi-join on
+    (table, signature) — a hash shuffle, never O(n²)), then the exact
+    cosine verify. Output is a subset of the exact result (recall < 1
+    by construction) → driver records a rows-only check.
+    """
+    dim = len(df.select(vec_col).head()[0])
+    sigs = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_signature(F.col(vec_col), dim, bits, seed + t).alias("s"),
+                )
+                for t in range(n_tables)
+            ])
+        ).alias("_b"),
+    ).select("_id", "_v", F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s"))
+
+    a, b = sigs.alias("a"), sigs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a._v").alias("_va"),
+            F.col("b._v").alias("_vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_sim"))
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN index — coarse quantizer + cell-pruned probe
+# ---------------------------------------------------------------------------
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid (highest cosine).
+
+    Centroids are plan literals (they are few — the coarse quantizer),
+    so assignment is a single codegen'd scan: build an array of
+    (−sim, cell) structs and take array_min (struct ordering is
+    field-by-field, so min by −sim ≡ argmax sim; cell breaks ties
+    deterministically). No join, no shuffle.
+
+    At 100 TB the assigned table is written
+    ``partitionBy("ivf_cell")`` so a probe with nprobe cells is a
+    partition-pruned read of nprobe/n_cells of the data.
+    """
+    choices = F.array(*[
+        F.struct(
+            (-cosine(F.col(vec_col), F.array(*[F.lit(float(x)) for x in c])))
+            .alias("negsim"),
+            F.lit(i).alias("cell"),
+        )
+        for i, c in enumerate(centroids)
+    ])
+    return df.withColumn("ivf_cell", F.array_min(choices)["cell"])
+
+
+def ivf_centroids(
+    df: DataFrame,
+    n_cells: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic coarse quantizer: the n_cells vectors with the
+    lowest ids. (A k-means refinement would improve balance; the probe
+    path is identical either way, and determinism keeps the driver's
+    re-runs reproducible.)"""
+    rows = df.orderBy(F.asc(id_col)).select(vec_col).limit(n_cells).collect()
+    return [list(r[0]) for r in rows]
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF probe: rank the nprobe cells whose centroids are closest to
+    the query (driver-side — centroids are tiny), scan only those
+    cells, brute-force cosine within. Approximate (recall < 1) →
+    rows-only check."""
+    if centroids is None:
+        centroids = ivf_centroids(df, n_cells, vec_col, id_col)
+    qn = np.asarray(query_vec, dtype=np.float64)
+    qn = qn / np.linalg.norm(qn)
+    sims = [
+        float(np.dot(qn, np.asarray(c) / np.linalg.norm(c))) for c in centroids
+    ]
+    probe = sorted(range(len(centroids)), key=lambda i: (-sims[i], i))[:nprobe]
+
+    assigned = ivf_assign(df, centroids, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        assigned.filter(F.col("ivf_cell").isin(probe))
+        .select(F.col(id_col), cosine(F.col(vec_col), q).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],

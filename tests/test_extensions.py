@@ -1,0 +1,87 @@
+"""Unit tests for the extension operators added beyond the reference
+surface (SURVEY.md §2.12): embedding near-dup (exact + LSH) and the
+IVF ANN probe. Hand-built vectors with known cosines."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from adguard2clickhouse_spark.operators import similarity
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    # v0 ∥ v1 (cos=1), v2 ⊥ v0 (cos=0), v3 ≈ v0 (cos≈0.995),
+    # v4 = -v0 (cos=-1)
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [1.0, 0.1, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+
+
+def test_embedding_dup_pairs_exact(emb_df):
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_dup_pairs(emb_df, threshold=0.9).collect()
+    }
+    assert got == {(0, 1), (0, 3), (1, 3)}
+
+
+def test_embedding_dup_pairs_threshold_is_inclusive(emb_df):
+    # cos(v0, v3) = 1/sqrt(1.01) exactly; use it as the threshold
+    thr = 1.0 / math.sqrt(1.01)
+    got = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_dup_pairs(emb_df, threshold=thr).collect()
+    }
+    assert (0, 3) in got
+
+
+def test_lsh_dup_pairs_subset_of_exact(emb_df):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_dup_pairs(emb_df, threshold=0.9).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_dup_pairs_lsh(
+            emb_df, threshold=0.9, bits=4, n_tables=8
+        ).collect()
+    }
+    assert approx <= exact
+    # parallel vectors share every signature → always recalled
+    assert (0, 1) in approx
+
+
+def test_ivf_full_probe_equals_brute_force(emb_df):
+    q = [1.0, 0.05, 0.0, 0.0]
+    exact = [
+        r.vec_id for r in similarity.topk_cosine(emb_df, q, k=3).collect()
+    ]
+    ivf = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb_df, q, k=3, n_cells=5, nprobe=5
+        ).collect()
+    ]
+    assert ivf == exact
+
+
+def test_ivf_assign_is_deterministic_partition_key(emb_df):
+    cents = similarity.ivf_centroids(emb_df, n_cells=2)
+    assigned = similarity.ivf_assign(emb_df, cents)
+    cells = {r.vec_id: r.ivf_cell for r in assigned.collect()}
+    # v0/v1/v3 align with centroid 0 (=v0); v2 with centroid 1 (=v1?\
+    # centroids are the two lowest ids: v0 and v1 — both along x, so
+    # ties break to the lower cell; orthogonal v2 picks cell 0 only if
+    # tied, but cos(v2,c0)=cos(v2,c1)=0 → tie → cell 0.
+    assert cells[0] == 0 and cells[1] == 0 and cells[3] == 0
+    assert cells[2] == 0  # tie on orthogonal → lowest cell wins
+    assert set(cells.values()) <= {0, 1}
