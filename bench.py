@@ -53,8 +53,23 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't billed for it
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # JVM/codegen/parquet-reader warmup so the first measured query
+    # isn't billed ~2 s of one-time JIT + reader init. Warm on the
+    # sf0.001 tables (NOT the benchmarked SF): same codepaths —
+    # vectorized parquet scan, regexp, hash aggregate, higher-order
+    # fold — different data.
+    warm_dir = "/root/testdata/sf0.001"
+    if os.path.isdir(warm_dir):
+        ev = spark.read.parquet(f"{warm_dir}/events.parquet")
+        ev.selectExpr(
+            "regexp_extract(props, '\"k\": *([0-9]+)', 1) AS k"
+        ).groupBy("k").count().count()
+        emb = spark.read.parquet(f"{warm_dir}/embeddings.parquet")
+        emb.selectExpr(
+            "aggregate(embedding, cast(0.0 as double), (a, x) -> a + x*x) AS s"
+        ).agg({"s": "sum"}).collect()
+    else:
+        spark.range(1000).selectExpr("sum(id)").collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -107,3 +107,107 @@ def test_log2_partitioned_by_date(run_dirs, spark):
     src, out, pipe, _ = run_dirs
     files = list((out / "log2").glob("date=*"))
     assert files, "expected date= partition directories"
+
+
+# ---------------------------------------------------------------------------
+# Stateful sessionization (applyInPandasWithState)
+# ---------------------------------------------------------------------------
+
+def test_stateful_sessionization(tmp_path, spark):
+    """Sessions close (a) inline when a later event of the same user
+    exceeds the 30-min gap, and (b) by event-time timeout when the
+    watermark passes last_event + gap. Open sessions stay in state."""
+    from adguard2clickhouse_spark.streaming.sessions import sessionize_stream
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    out = tmp_path / "ev_out"
+    ckpt = tmp_path / "ev_ckpt"
+
+    def ev(user, hh, mm):
+        return json.dumps({"user_id": user, "ts": f"2024-01-01 {hh:02d}:{mm:02d}:00"})
+
+    # file order == micro-batch order (maxFilesPerTrigger=1)
+    (src / "f0.json").write_text(
+        "\n".join([ev(1, 0, 0), ev(1, 0, 10), ev(2, 0, 5)]) + "\n"
+    )
+    # user1 reappears 2h later -> closes their first session inline
+    (src / "f1.json").write_text(ev(1, 2, 0) + "\n")
+    # far-future event advances the watermark past user2's gap ->
+    # user2's session times out
+    (src / "f2.json").write_text(ev(3, 6, 0) + "\n")
+
+    stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").option(
+        "maxFilesPerTrigger", 1
+    ).json(str(src))
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {
+        (r.user_id, r.session_start.isoformat(), r.session_end.isoformat(), r.n_events)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # inline close (user1 reappears past the gap)
+    assert (1, "2024-01-01T00:00:00", "2024-01-01T00:10:00", 2) in rows
+    # timeout close: final watermark 05:30 passes 00:05+gap and
+    # 02:00+gap, so both sessions evict
+    assert (2, "2024-01-01T00:05:00", "2024-01-01T00:05:00", 1) in rows
+    assert (1, "2024-01-01T02:00:00", "2024-01-01T02:00:00", 1) in rows
+    # user3's 06:00 session is beyond the watermark -> still open
+    assert all(uid != 3 for uid, *_ in rows)
+    assert len(rows) == 3
+
+
+def test_windowed_state_store_matches_batch_for_final_windows(tmp_path, spark):
+    """Design (a): watermarked windowed agg emits exactly the finalized
+    windows, with the same sums the batch aggregate computes."""
+    from adguard2clickhouse_spark.operators.parse import parse_querylog_lines, split_dead_letter
+    from adguard2clickhouse_spark.streaming.windowed import stats2_windowed_stream
+
+    src = tmp_path / "w_src"
+    src.mkdir()
+    out = tmp_path / "w_out"
+    ckpt = tmp_path / "w_ckpt"
+
+    lines1 = [
+        _line(i, minute=m, filtered=f, qh="a.example.com", ip=ip)
+        for i, (m, f, ip) in enumerate(
+            [(1, True, "10.0.0.1"), (2, False, "10.0.0.1"), (11, False, "10.0.0.1"),
+             (3, True, "10.0.0.2")]
+        )
+    ]
+    # second file 3h later: watermark (max-1h) passes every window above
+    lines2 = [_line(99, minute=0, filtered=False, qh="z.example.com", ip="10.0.0.9")
+              .replace("T00:", "T03:")]
+    (src / "w0.jsonl").write_text("\n".join(lines1) + "\n")
+    (src / "w1.jsonl").write_text("\n".join(lines2) + "\n")
+
+    raw = spark.readStream.format("text").option("maxFilesPerTrigger", 1).load(str(src))
+    good = split_dead_letter(parse_querylog_lines(raw))[0]
+    q = (
+        stats2_windowed_stream(good)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.IP, r.date_time.isoformat(), r.blocked, r.visited)
+        for r in spark.read.parquet(str(out)).collect()
+    }
+    # minutes 1,2,3 -> window 00:00; minute 11 -> window 00:10
+    assert ("10.0.0.1", "2024-01-01T00:00:00", 1, 1) in got
+    assert ("10.0.0.1", "2024-01-01T00:10:00", 0, 1) in got
+    assert ("10.0.0.2", "2024-01-01T00:00:00", 1, 0) in got
+    # the 03:00 row's window is not finalized (watermark 02:00) -> absent
+    assert all(ip != "10.0.0.9" for ip, *_ in got)
