@@ -173,20 +173,6 @@ def ngram_jaccard_pairs(
 # X2b — MinHash + banded LSH (pure DataFrame, deterministic)
 # ---------------------------------------------------------------------------
 
-def _minhash_cols(num_hashes: int):
-    """num_hashes independent min-hashes of the shingle array.
-
-    h_i(s) = min over shingles of xxhash64(shingle, seed=i) — xxhash64
-    is a Spark builtin, so the whole signature stays in codegen.
-    """
-    return [
-        F.array_min(
-            F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i)))
-        ).alias(f"mh_{i}")
-        for i in range(num_hashes)
-    ]
-
-
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -194,12 +180,27 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 16,
 ) -> DataFrame:
-    sh = (
+    """(id, mh_0..mh_{k-1}) — num_hashes independent min-hashes.
+
+    Shape chosen for codegen, not elegance: explode one row per
+    (doc, shingle), hash the shingle string ONCE (xxhash64 → long),
+    then num_hashes grouped ``min(xxhash64(h, i))`` aggregates.
+    Array higher-order functions (transform/array_min) evaluate
+    interpreted per element; the explode+groupBy form stays inside
+    WholeStageCodegen with map-side partial mins, so the shuffle
+    carries one partial signature row per (doc × partition), not the
+    shingles. min() over a multiset ≡ min() over the set, so no
+    distinct pass is needed either.
+    """
+    tok = (
         _balanced(df)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_sh"))
+        .select("_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_s"))
+        .select("_id", F.xxhash64("_s").alias("_h"))
     )
-    return sh.filter(F.size("_sh") > 0).select("_id", *_minhash_cols(num_hashes))
+    return tok.groupBy("_id").agg(
+        *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
+    )
 
 
 def minhash_lsh_pairs(
