@@ -104,6 +104,25 @@ def word_shingles(col, n: int = 3):
     return shingles_from_tokens(F.split(c, " "), n)
 
 
+def shingle_hashes_from_tokens(toks, n: int = 3):
+    """Distinct n-gram HASHES (array<long>) without materializing the
+    shingle strings: xxhash64 chains the n token columns directly.
+
+    Bijective with the space-joined string shingle because split()
+    tokens cannot contain the delimiter — so distinct counts (and thus
+    Jaccard) are identical to the string form, while the interpreted
+    per-shingle work drops from slice+concat_ws (array alloc + string
+    build + hash of ~n·wordlen chars) to one multi-arg hash of n
+    pointers."""
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.xxhash64(*[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -125,14 +144,13 @@ def ngram_jaccard_pairs(
     # Build the exploded inverted index ONCE and cache it: it feeds
     # three consumers (both join sides + the size table). Without the
     # persist, Catalyst re-executes the shingle build 4× — measured 44×
-    # slower than necessary on a dense corpus. Join key is xxhash64 of
-    # the shingle (8 bytes) instead of the shingle string: the shuffle
-    # moves a quarter of the bytes (collision odds at 2^-64·n² are nil).
+    # slower than necessary on a dense corpus. The index holds 8-byte
+    # shingle hashes, never shingle strings (collision odds at
+    # 2^-64·n² are nil), so the shuffle moves a quarter of the bytes.
     inv = (
         _balanced(df)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select("_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_s"))
-        .select("_id", F.xxhash64("_s").alias("_h"))
+        .select("_id", F.explode(shingle_hashes_from_tokens(F.col("_toks"), n)).alias("_h"))
         .persist()
     )
     try:
@@ -195,8 +213,7 @@ def minhash_signatures(
     tok = (
         _balanced(df)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select("_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_s"))
-        .select("_id", F.xxhash64("_s").alias("_h"))
+        .select("_id", F.explode(shingle_hashes_from_tokens(F.col("_toks"), n)).alias("_h"))
     )
     return tok.groupBy("_id").agg(
         *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
