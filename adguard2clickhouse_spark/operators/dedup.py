@@ -343,6 +343,8 @@ def simhash_near_pairs(
     is (band, 16-bit chunk) — never an all-pairs comparison.
     """
     sk = simhash(df, text_col, id_col)
+    # persist: the banded relation feeds both self-join sides — without
+    # it the 64-aggregate sketch shuffle runs twice.
     chunks = sk.select(
         F.col(id_col).alias("_id"),
         F.col("simhash"),
@@ -355,22 +357,29 @@ def simhash_near_pairs(
                 for b in range(4)
             ])
         ).alias("_c"),
-    ).select("_id", "simhash", F.col("_c.band").alias("_band"), F.col("_c.chunk").alias("_chunk"))
+    ).select(
+        "_id", "simhash", F.col("_c.band").alias("_band"), F.col("_c.chunk").alias("_chunk")
+    ).persist()
 
-    a, b = chunks.alias("a"), chunks.alias("b")
-    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
-        a.join(
-            b,
-            (F.col("a._band") == F.col("b._band"))
-            & (F.col("a._chunk") == F.col("b._chunk"))
-            & (F.col("a._id") < F.col("b._id")),
+    try:
+        a, b = chunks.alias("a"), chunks.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        out = (
+            a.join(
+                b,
+                (F.col("a._band") == F.col("b._band"))
+                & (F.col("a._chunk") == F.col("b._chunk"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .filter(ham <= max_hamming)
+            .select(
+                F.col("a._id").alias("doc_a"),
+                F.col("b._id").alias("doc_b"),
+                ham.alias("hamming"),
+            )
+            .dropDuplicates(["doc_a", "doc_b"])
+            .localCheckpoint(eager=True)
         )
-        .filter(ham <= max_hamming)
-        .select(
-            F.col("a._id").alias("doc_a"),
-            F.col("b._id").alias("doc_b"),
-            ham.alias("hamming"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    finally:
+        chunks.unpersist()
+    return out
