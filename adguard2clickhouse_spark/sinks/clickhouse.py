@@ -15,6 +15,8 @@ same interface for graders without a ClickHouse server.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
@@ -83,6 +85,17 @@ class ClickHouseWriter:
             )
         self.conn_kwargs = dict(
             host=host, database=database, username=username, password=password, port=port
+        )
+
+    @classmethod
+    def from_env(cls) -> "ClickHouseWriter":
+        """S3 parity (reference src/collector.py:81-87): the same
+        DB_USER / DB_PASSWORD / DB_HOST / DB_DATABASE variables."""
+        return cls(
+            host=os.environ["DB_HOST"],
+            database=os.environ["DB_DATABASE"],
+            username=os.environ["DB_USER"],
+            password=os.environ["DB_PASSWORD"],
         )
 
     def insert_batch(self, df: DataFrame, table: str) -> None:
