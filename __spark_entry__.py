@@ -103,6 +103,38 @@ def q_f3(spark, sf_dir):
     )
 
 
+def q_p7_dns_parse(spark, sf_dir):
+    """P6-P10: the Arrow DNS wire parser at volume, oracle-checked.
+
+    Five deterministic packet variants (built once, folded into the
+    plan as literals) are assigned by event_id % 5; the UDF parses one
+    packet per events row. The oracle doesn't parse DNS — it encodes
+    the KNOWN per-variant classification as constants, so any drift in
+    the parser (rcode extraction, A/AAAA/CNAME routing) hash-fails."""
+    from adguard2clickhouse_spark.operators.dnswire import (
+        build_answer_b64,
+        with_dns_answer,
+    )
+
+    variants = [
+        build_answer_b64(a=["1.2.3.4", "5.6.7.8"]),          # 2×A
+        build_answer_b64(aaaa=["2001:db8::1"]),               # 1×AAAA
+        build_answer_b64(cname=["cdn.example.net"], a=["9.9.9.9"]),  # A+CNAME
+        build_answer_b64(rcode=3),                            # NXDOMAIN
+        build_answer_b64(txt=["v=spf1 -all"]),                # TXT→cnames
+    ]
+    ev = _t(spark, sf_dir, "events")
+    k = (F.col("event_id") % len(variants)).cast("int")
+    answer = F.element_at(F.array(*[F.lit(v) for v in variants]), k + 1)
+    parsed = ev.select(with_dns_answer(answer).alias("_dns"))
+    return parsed.groupBy(F.col("_dns.rcode").alias("rcode")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.size("_dns.rdatas")).cast("long").alias("n_a"),
+        F.sum(F.size("_dns.rdatas6")).cast("long").alias("n_aaaa"),
+        F.sum(F.size("_dns.cnames")).cast("long").alias("n_cname"),
+    )
+
+
 def q_p1_json(spark, sf_dir):
     """P1/P3: schema-declared JSON parse of the props column."""
     ev = _t(spark, sf_dir, "events")
@@ -468,6 +500,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_upstream_stats": q_a8,
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
+        "p7_dns_parse": q_p7_dns_parse,
         # relational extensions (§2.11)
         "q1_pricing_summary": q_q1_pricing,
         "x_join_revenue_by_nation": q_join_revenue,
@@ -586,6 +619,18 @@ def oracle_sql() -> dict[str, str]:
         "p1_json_key_stats": (
             "SELECT TRY_CAST(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS INT) AS k, "
             'count(*) AS "count" FROM events GROUP BY 1'
+        ),
+        # The oracle encodes the KNOWN classification of the 5 packet
+        # variants (see q_p7_dns_parse) — DuckDB never parses DNS.
+        "p7_dns_parse": (
+            "WITH m AS (SELECT event_id % 5 AS k FROM events), "
+            "c AS (SELECT CAST(CASE WHEN k = 3 THEN 3 ELSE 0 END AS INT) AS rcode, "
+            "CASE k WHEN 0 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS a, "
+            "CASE k WHEN 1 THEN 1 ELSE 0 END AS aaaa, "
+            "CASE WHEN k IN (2, 4) THEN 1 ELSE 0 END AS cn FROM m) "
+            "SELECT rcode, count(*) AS n, CAST(sum(a) AS BIGINT) AS n_a, "
+            "CAST(sum(aaaa) AS BIGINT) AS n_aaaa, CAST(sum(cn) AS BIGINT) AS n_cname "
+            "FROM c GROUP BY rcode"
         ),
         "q1_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import base64
 import binascii
+import functools
 import ipaddress
 import struct
 
@@ -165,11 +166,27 @@ def _is_ipv6(s: str) -> bool:
 
 
 def parse_answer_b64(s: str | None):
-    """Decode one base64 answer; None on any failure (dead-letter path)."""
+    """Decode one base64 answer; None on any failure (dead-letter path).
+
+    Memoized per executor (bounded): DNS answer bytes are heavy-tailed
+    in real query logs — upstreams return byte-identical packets for a
+    TTL window — so the cache hit rate tracks the resolver's. Results
+    are immutable tuples, safe to share across rows.
+    """
     if s is None:
         return None
+    hit = _parse_cached(s)
+    if hit is None:
+        return None
+    rcode, r4, r6, cn = hit
+    return rcode, list(r4), list(r6), list(cn)
+
+
+@functools.lru_cache(maxsize=65536)
+def _parse_cached(s: str):
     try:
-        return parse_message(base64.b64decode(s, validate=True))
+        rcode, r4, r6, cn = parse_message(base64.b64decode(s, validate=True))
+        return rcode, tuple(r4), tuple(r6), tuple(cn)
     except (ValueError, binascii.Error, struct.error, IndexError):
         return None
 

@@ -31,6 +31,8 @@ BENCH_QUERIES = [
     "a3_clients_stats",
     "a6_stats2",
     "a7_tld_stats",
+    # the one custom-UDF hot path: Arrow DNS wire parsing at volume
+    "p7_dns_parse",
     # relational shapes
     "q1_pricing_summary",
     "x_join_revenue_by_nation",
