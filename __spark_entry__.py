@@ -365,12 +365,23 @@ def q_simhash(spark, sf_dir):
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
 
 
+def q_winnow(spark, sf_dir):
+    """Rows-only: winnowing fingerprint sets (rolling-hash selection;
+    xxhash64 has no DuckDB twin)."""
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
     emb = _t(spark, sf_dir, "embeddings")
     return list(emb.filter(F.col("vec_id") == vec_id).head().embedding)
 
 
 def q_topk_cosine(spark, sf_dir):
+    """Top-k never sorts globally: orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition heap of k), and the rank
+    window runs over the k surviving rows only — the global WindowExec
+    a naive rank-then-filter would run is a single-partition sort of
+    the whole corpus at scale."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir, 0)
     scored = emb.select(
@@ -379,11 +390,10 @@ def q_topk_cosine(spark, sf_dir):
             F.col("embedding"), F.array(*[F.lit(float(x)) for x in q])
         ).alias("_sim"),
     )
+    top = scored.orderBy(F.desc("_sim"), F.asc("vec_id")).limit(10)
     w = Window.orderBy(F.desc("_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 10)
-        .select("vec_id", "rnk")
+    return top.select(
+        "vec_id", F.row_number().over(w).cast("long").alias("rnk")
     )
 
 
@@ -527,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x2_minhash_lsh": q_minhash_lsh,
         "x2_simhash_pairs": q_simhash,
+        "x2_winnow_fingerprints": q_winnow,
         "x2_embedding_dup": q_embedding_dup,
         "x2_embedding_dup_lsh": q_embedding_dup_lsh,
         "x3_topk_cosine": q_topk_cosine,

@@ -187,6 +187,54 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _positional_shingle_hashes(toks, n: int):
+    """ORDERED (non-distinct) n-gram hash sequence — winnowing needs
+    positions, unlike the set-semantics helper above."""
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.xxhash64(*[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+    )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (rolling-hash selection, the
+    MOSS scheme: Schleimer/Wilkerson/Aiken, SIGMOD 2003).
+
+    Hash every token k-gram, slide a window of w consecutive hashes,
+    keep the minimum of each window; the distinct minima are the
+    document's fingerprint set. Guarantees: any shared run of w+k-1
+    tokens between two documents shares ≥1 fingerprint, and selection
+    density is ~2/(w+1) — position-robust, unlike the whole-document
+    md5 in text.fingerprint.
+
+    Returns (id, fingerprint) rows — join on fingerprint for overlap
+    candidates (same inverted-index shape as ngram_jaccard_pairs, with
+    a ~w× smaller index).
+    """
+    hs = F.col("_hs")
+    n_windows = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
+    mins = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), n_windows),
+            lambda i: F.array_min(F.slice(hs, i, w)),
+        )
+    )
+    return (
+        _balanced(df)
+        .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", _positional_shingle_hashes(F.col("_toks"), k).alias("_hs"))
+        .filter(F.size("_hs") >= w)
+        .select(F.col("_id").alias(id_col), F.explode(mins).alias("fingerprint"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # X2b — MinHash + banded LSH (pure DataFrame, deterministic)
 # ---------------------------------------------------------------------------

@@ -85,3 +85,41 @@ def test_ivf_assign_is_deterministic_partition_key(emb_df):
     assert cells[0] == 0 and cells[1] == 0 and cells[3] == 0
     assert cells[2] == 0  # tie on orthogonal → lowest cell wins
     assert set(cells.values()) <= {0, 1}
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    base = " ".join(f"w{i}" for i in range(40))
+    shifted = "intro words here " + base          # same 40 tokens, offset
+    disjoint = " ".join(f"z{i}" for i in range(40))
+    return spark.createDataFrame(
+        [(1, base), (2, shifted), (3, disjoint)], "doc_id INT, text STRING"
+    )
+
+
+def test_winnow_shared_run_guarantee(docs_df):
+    from adguard2clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs_df, k=5, w=4)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    # position-shifted duplicate shares fingerprints (winnowing's point;
+    # the whole-doc md5 fingerprint would see them as unrelated)
+    assert by_doc[1] & by_doc[2]
+    # disjoint text shares nothing
+    assert not (by_doc[1] & by_doc[3])
+    # density ~2/(w+1): far fewer fingerprints than k-grams
+    assert len(by_doc[1]) < 36
+
+
+def test_winnow_deterministic(docs_df):
+    from adguard2clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    a = sorted((r.doc_id, r.fingerprint) for r in winnow_fingerprints(docs_df).collect())
+    b = sorted((r.doc_id, r.fingerprint) for r in winnow_fingerprints(docs_df).collect())
+    assert a == b

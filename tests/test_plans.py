@@ -90,3 +90,11 @@ def test_dedup_count_aggregates_hashes_not_text(spark, qs):
     carries digests."""
     opt = _optimized(qs["x1_dedup_count"](spark, SF))
     assert "md5" in opt
+
+
+def test_topk_cosine_no_global_window_sort(spark, qs):
+    """The vector top-k must heap-select before ranking — the rank
+    window may only ever see k rows (GlobalLimit above it), never the
+    full corpus."""
+    plan = _physical(qs["x3_topk_cosine"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
