@@ -256,6 +256,41 @@ def ivf_centroids(
     return [list(r[0]) for r in rows]
 
 
+def ivf_centroids_kmeans(
+    df: DataFrame,
+    n_cells: int = 16,
+    iters: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Lloyd-refined coarse quantizer, distributed.
+
+    Init = the deterministic lowest-id pick; each iteration assigns
+    every vector to its nearest centroid (ivf_assign — scan + literal
+    argmin, no shuffle) and recomputes cell means via
+    posexplode → groupBy(cell, pos).avg — one shuffle of (cell, pos)
+    partial sums. Only n_cells × dim floats cross to the driver per
+    iteration; the data never does. Empty cells keep their previous
+    centroid. Balanced cells mean a probe reads ~nprobe/n_cells of the
+    corpus instead of whatever skew the arbitrary init produced.
+    """
+    cents = ivf_centroids(df, n_cells, vec_col, id_col)
+    for _ in range(iters):
+        assigned = ivf_assign(df, cents, vec_col)
+        means = (
+            assigned.select("ivf_cell", F.posexplode(F.col(vec_col)))
+            .groupBy("ivf_cell", "pos")
+            .agg(F.avg("col").alias("m"))
+            .groupBy("ivf_cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_sm"))
+        )
+        new = {
+            r["ivf_cell"]: [x["m"] for x in r["_sm"]] for r in means.collect()
+        }
+        cents = [new.get(i, cents[i]) for i in range(len(cents))]
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -123,3 +123,29 @@ def test_winnow_deterministic(docs_df):
     a = sorted((r.doc_id, r.fingerprint) for r in winnow_fingerprints(docs_df).collect())
     b = sorted((r.doc_id, r.fingerprint) for r in winnow_fingerprints(docs_df).collect())
     assert a == b
+
+
+def test_ivf_kmeans_centroids_refine_and_probe(spark):
+    from adguard2clickhouse_spark.operators import similarity
+    from adguard2clickhouse_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = similarity.ivf_centroids_kmeans(emb, n_cells=8, iters=2)
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    q = list(emb.head().embedding)
+    # full probe over refined centroids still equals brute force
+    bf = [r.vec_id for r in similarity.topk_cosine(emb, q, k=5).collect()]
+    ivf = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            emb, q, k=5, nprobe=8, centroids=cents
+        ).collect()
+    ]
+    assert ivf == bf
+    # refined assignment is reasonably balanced: no cell swallows
+    # the whole corpus
+    sizes = (
+        similarity.ivf_assign(emb, cents).groupBy("ivf_cell").count().collect()
+    )
+    assert max(r["count"] for r in sizes) < 500
