@@ -111,6 +111,34 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
     return media.mapInPandas(run, FEATURES_SCHEMA)
 
 
+def resize_media(media: DataFrame, width: int, height: int, stub: bool = True) -> DataFrame:
+    """Resize pass: same MEDIA_SCHEMA out, target dimensions in meta.
+
+    The Spark-side contract is the point (payload stays inside the
+    Arrow batch, schema preserved so passes compose); the pixel work is
+    the stub — real decode+resample plugs into decode_media. The stub
+    passes payload bytes through untouched and rewrites meta, which is
+    enough to test partitioning, batch shapes, and downstream feature
+    extraction end-to-end.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if not stub:
+                    decode_media(
+                        bytes(payload) if payload is not None else b"",
+                        meta["kind"], meta["format"],
+                    )  # raises: real resampling not available here
+                metas.append({**meta, "width": width, "height": height})
+            out = pdf.copy()
+            out["meta"] = metas
+            yield out
+
+    return media.mapInPandas(run, MEDIA_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video → (media_id, frame_ts_ms) sampling plan, computed purely
     from metadata (no payload touch, no Python): the cheap pre-pass

@@ -118,3 +118,15 @@ def test_writer_gated_without_library():
 
     with pytest.raises(ImportError):
         ClickHouseWriter("localhost", "db", "u", "p")
+
+
+def test_resize_preserves_schema_and_payload(media_df):
+    out = multimodal.resize_media(media_df, 32, 32, stub=True)
+    assert out.schema == multimodal.MEDIA_SCHEMA
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[1].meta.width == 32 and rows[1].meta.height == 32
+    assert bytes(rows[1].payload) == b"\x89PNG-fake-bytes"
+    assert rows[1].meta.kind == "image"  # untouched meta fields survive
+    # composes with downstream feature extraction
+    feats = multimodal.extract_features(out, stub=True)
+    assert feats.count() == 4
