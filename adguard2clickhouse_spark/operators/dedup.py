@@ -129,6 +129,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.8,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
 
@@ -156,7 +157,25 @@ def ngram_jaccard_pairs(
     try:
         sizes = inv.groupBy("_id").agg(F.count(F.lit(1)).alias("_sz"))
 
-        a, b = inv.alias("a"), inv.alias("b")
+        # Skew knob for corpus scale: a shingle appearing in m documents
+        # contributes m·(m-1)/2 join pairs — boilerplate shingles
+        # ("terms of service use") quadratically dominate the join while
+        # contributing least discrimination. max_df drops shingles above
+        # a document-frequency cap from the JOIN only; |A|,|B| keep the
+        # full counts, so reported Jaccard never inflates (common can
+        # only shrink → strictly precision-preserving, recall may drop).
+        # Exact mode (max_df=None) is what the oracle checks.
+        join_inv = inv
+        if max_df is not None:
+            rare = (
+                inv.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .filter(F.col("_df") <= max_df)
+                .select("_h")
+            )
+            join_inv = inv.join(rare, "_h", "left_semi")
+
+        a, b = join_inv.alias("a"), join_inv.alias("b")
         common = (
             a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
             .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))

@@ -149,3 +149,48 @@ def test_ivf_kmeans_centroids_refine_and_probe(spark):
         similarity.ivf_assign(emb, cents).groupBy("ivf_cell").count().collect()
     )
     assert max(r["count"] for r in sizes) < 500
+
+
+def test_salted_join_equals_plain_join(spark):
+    from adguard2clickhouse_spark.operators.skew import salted_join
+
+    # skewed fat side: one hot key owns 90% of rows
+    fat = spark.createDataFrame(
+        [(("hot" if i % 10 else f"k{i}"), i) for i in range(1000)],
+        "k STRING, v INT",
+    )
+    slim = spark.createDataFrame(
+        [("hot", 1), ("k10", 2), ("k20", 3), ("missing", 4)], "k STRING, w INT"
+    )
+    plain = {(r.k, r.v, r.w) for r in fat.join(slim, "k").collect()}
+    salted = {(r.k, r.v, r.w) for r in salted_join(fat, slim, "k", salt=4).collect()}
+    assert salted == plain
+
+
+def test_ngram_jaccard_max_df_is_precision_preserving(spark):
+    from adguard2clickhouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    boiler = "terms of service apply to all users of this site"
+    docs = spark.createDataFrame(
+        [
+            (1, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (2, boiler + " alpha beta gamma delta epsilon zeta eta theta"),
+            (3, boiler + " completely different tail content here now ok"),
+            (4, "unrelated words entirely " + " ".join(f"u{i}" for i in range(12))),
+        ],
+        "doc_id INT, text STRING",
+    )
+    # threshold 0.3: low enough that doc1-doc2's rare-shingle overlap
+    # (the boundary+tail shingles, df=2) clears it even after the cap
+    # drops the df=3 boilerplate shingles from `common`
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df=2).collect()
+    }
+    # capped result is a subset (precision 1): dropping high-DF shingles
+    # from the join can only shrink `common`
+    assert capped <= exact
+    # the true near-dup pair survives the cap (their overlap includes
+    # rare shingles too)
+    assert (1, 2) in capped
