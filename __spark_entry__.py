@@ -476,9 +476,14 @@ def q_approx_stats(spark, sf_dir):
     """Rows-only: HLL distinct + approximate quantiles (ops hygiene at
     100 TB; approximate by definition, no exact oracle)."""
     li = _t(spark, sf_dir, "lineitem")
+    # Scalar columns only: the driver canonicalizes results through a
+    # pandas sort, and an array column is unhashable there.
+    q = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99])
     return li.agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99]).alias("price_quantiles"),
+        F.element_at(q, 1).alias("price_p50"),
+        F.element_at(q, 2).alias("price_p95"),
+        F.element_at(q, 3).alias("price_p99"),
     )
 
 

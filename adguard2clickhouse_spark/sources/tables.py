@@ -28,14 +28,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
+    # Spark refuses (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable,
+    # so set it on whatever session was handed to us — callers (driver
+    # harness, notebooks) build their own sessions and must not need to
+    # know about this quirk.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Timestamp rendering must match the (UTC) DuckDB oracle regardless
+    # of the host timezone of the caller's session. Runtime-settable.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is TIMESTAMP(NANOS); with nanosAsLong it arrives as a
-    # long of nanoseconds — convert to a real timestamp (ns→µs is exact
-    # here; the generator emits µs precision).
+    # With nanosAsLong the column arrives as a long of nanoseconds —
+    # convert to a real timestamp. Integer `div` keeps the truncation
+    # exact; a double round-trip loses ULPs above 2^53 (ns epochs ~1.7e18)
+    # and flips ~13% of rows by ±1µs vs the oracle.
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -20,8 +20,28 @@ import pandas as pd
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
-from adguard2clickhouse_spark.session import get_spark  # noqa: E402
 from adguard2clickhouse_spark.sources.tables import TABLE_NAMES  # noqa: E402
+
+
+def vanilla_spark():
+    """A deliberately-unconfigured session, like the driver harness's.
+
+    Every conf our queries need must be set at runtime by library code
+    (see sources/tables.py) — building the session here with none of
+    get_spark()'s settings keeps this replica honest about that.
+    """
+    import os
+
+    from pyspark.sql import SparkSession
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    return (
+        SparkSession.builder.appName("selfcheck")
+        .master(f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
@@ -61,7 +81,7 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark(app_name="selfcheck")
+    spark = vanilla_spark()
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
