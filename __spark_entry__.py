@@ -498,6 +498,56 @@ def q_exact_stats(spark, sf_dir):
     )
 
 
+def q_stream_pipeline(spark, sf_dir):
+    """C1/C2/K2 end-to-end under the oracle gate: the reference's whole
+    topology (collector.py:54-78 tail→parse→insert→MV cascade) as one
+    Structured Streaming run.
+
+    events → querylog JSONL files (JSON round-trip built with to_json,
+    rcode carried by real DNS packets) → availableNow stream → parse →
+    dead-letter split → 8 additive aggregate sinks, folded across
+    multiple micro-batches — then the clients_stats sink read back.
+    Oracle: the same aggregate computed directly over events in DuckDB,
+    so a hash match proves the entire parse/stream/fold path.
+    """
+    import tempfile
+
+    from adguard2clickhouse_spark.operators.dnswire import build_answer_b64
+    from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+    log2 = log2_from_events(spark, sf_dir)
+    # rcode round-trips through genuine DNS wire packets: six pre-built
+    # packets (one per bridge rcode value), picked per-row JVM-side.
+    answers = F.array(*[F.lit(build_answer_b64(rcode=r)) for r in range(6)])
+    lines = log2.select(
+        F.to_json(
+            F.struct(
+                F.date_format("date_time", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX").alias("T"),
+                "QH",
+                "QT",
+                "QC",
+                "CP",
+                "Upstream",
+                "IP",
+                F.struct(F.col("IsFiltered").alias("IsFiltered")).alias("Result"),
+                "Elapsed",
+                "Cached",
+                F.element_at(answers, F.col("rcode") + 1).alias("Answer"),
+            )
+        ).alias("value")
+    )
+    tmp = tempfile.mkdtemp(prefix="stream_e2e_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    # One availableNow epoch keeps this gate query fast; the multi-epoch
+    # additive fold is covered by tests/test_streaming.py.
+    lines.repartition(4).write.mode("overwrite").text(src)
+    pipe = QuerylogPipeline(spark, src, out)
+    q = pipe.start(available_now=True)
+    q.awaitTermination()
+    return pipe.read_aggregate("clients_stats").select("IP", "visited", "blocked")
+
+
 # ---------------------------------------------------------------------------
 # Contract tables
 # ---------------------------------------------------------------------------
@@ -553,6 +603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_media_features": q_media_features,
         "x6_approx_stats": q_approx_stats,
         "x6_exact_stats": q_exact_stats,
+        # streaming topology end-to-end (SURVEY §2.8 C1/C2, §2.3 K2)
+        "c1_stream_pipeline": q_stream_pipeline,
     }
 
 
@@ -817,6 +869,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts, "
             "count(DISTINCT l_suppkey) AS n_supps, "
             "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem"
+        ),
+        # the streaming read-back must equal the batch aggregate over the
+        # same (bridged) rows — identical oracle to a3_clients_stats.
+        "c1_stream_pipeline": oracle_cte(
+            "SELECT IP, CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS visited, "
+            "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS blocked "
+            "FROM log2 GROUP BY IP"
         ),
         # x2_minhash_lsh, x2_simhash_pairs, x3_lsh_topk, x6_approx_stats:
         # intentionally omitted — xxhash64 / HLL / approximate quantiles

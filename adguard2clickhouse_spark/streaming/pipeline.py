@@ -30,6 +30,7 @@ key, not window state.
 from __future__ import annotations
 
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,6 +67,12 @@ class QuerylogPipeline:
     def __init__(self, spark: SparkSession, source_dir: str, out_dir: str,
                  checkpoint_dir: str | None = None):
         self.spark = spark
+        # Micro-batches are small relative to the static shuffle-partition
+        # count; AQE coalescing right-sizes every per-batch shuffle. These
+        # are runtime-settable, so set them here instead of assuming the
+        # caller's session builder did (foreign sessions: driver harness).
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
         self.source_dir = source_dir
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
@@ -78,7 +85,10 @@ class QuerylogPipeline:
         batch_df.persist()
         try:
             good, dead = split_dead_letter(batch_df)
-            good.persist()
+            # Materialize the cache eagerly: the aggregate fan-out below
+            # submits jobs from several threads at once, and each would
+            # otherwise race to compute the (UDF-bearing) parse lineage.
+            good.persist().count()
 
             # fact append, partitioned by event date and sorted by time
             # within files — the MergeTree ORDER BY date_time analog
@@ -94,9 +104,18 @@ class QuerylogPipeline:
             # dead-letter channel (K3, collector.py:76-78)
             dead.write.mode("append").parquet(self.dead_letter_path)
 
-            # MV cascade: aggregate THIS block, fold additively (C1+C2)
-            for name, fn in ALL_AGGREGATES.items():
-                self.sinks[name].apply_delta(fn(good), epoch_id=epoch_id)
+            # MV cascade: aggregate THIS block, fold additively (C1+C2).
+            # The eight sinks are independent (separate directories), so
+            # submit their jobs concurrently — on a cluster this keeps
+            # executors busy instead of serializing eight small shuffles;
+            # Spark's scheduler interleaves the jobs safely.
+            with ThreadPoolExecutor(max_workers=len(ALL_AGGREGATES)) as pool:
+                futures = [
+                    pool.submit(self.sinks[name].apply_delta, fn(good), epoch_id)
+                    for name, fn in ALL_AGGREGATES.items()
+                ]
+                for f in futures:
+                    f.result()  # propagate the first failure, fail the batch
             good.unpersist()
         finally:
             batch_df.unpersist()
