@@ -472,6 +472,19 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "sha256")
 
 
+def q_media_probe(spark, sf_dir):
+    """X5 de-stubbed: REAL container decode. A deterministic corpus of
+    genuinely valid PNG/JPEG/GIF/BMP/WAV files (headers derived from
+    doc_id) is built executor-side, then probe_media parses the actual
+    bytes — magic sniff, segment walk, dimension/duration extraction
+    (operators/mediahdr.py). The oracle recomputes the expected fields
+    arithmetically from doc_id, so a hash match proves the parser reads
+    real file structures correctly."""
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.media_fixture_from_ids(docs, "doc_id")
+    return multimodal.probe_media(media)
+
+
 def q_approx_stats(spark, sf_dir):
     """Rows-only: HLL distinct + approximate quantiles (ops hygiene at
     100 TB; approximate by definition, no exact oracle)."""
@@ -601,6 +614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_ivf_topk": q_ivf_topk,
         "x4_doc_profile": q_doc_profile,
         "x5_media_features": q_media_features,
+        "x5_media_probe": q_media_probe,
         "x6_approx_stats": q_approx_stats,
         "x6_exact_stats": q_exact_stats,
         # streaming topology end-to-end (SURVEY §2.8 C1/C2, §2.3 K2)
@@ -864,6 +878,17 @@ def oracle_sql() -> dict[str, str]:
         "x5_media_features": (
             "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
+        ),
+        "x5_media_probe": (
+            "SELECT doc_id AS media_id, "
+            "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+            "WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'wav' END AS format, "
+            "CASE WHEN doc_id % 5 < 4 THEN CAST(1 + doc_id % 300 AS INT) END AS width, "
+            "CASE WHEN doc_id % 5 < 4 THEN CAST(1 + doc_id % 200 AS INT) END AS height, "
+            "CASE WHEN doc_id % 5 = 4 THEN CAST(10 + doc_id % 490 AS BIGINT) END AS duration_ms, "
+            "CASE WHEN doc_id % 5 = 4 THEN CAST(8000 AS INT) END AS sample_rate, "
+            "CASE WHEN doc_id % 5 = 4 THEN CAST(1 AS INT) END AS channels "
+            "FROM documents"
         ),
         "x6_exact_stats": (
             "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts, "

