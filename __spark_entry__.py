@@ -355,6 +355,24 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_capped(spark, sf_dir):
+    """X2a at scale settings: the document-frequency-capped inverted
+    index (max_df drops boilerplate shingles from the JOIN only, so a
+    shingle in m docs can no longer contribute m²/2 candidate pairs —
+    the plan that survives a hot-shingle corpus). The oracle applies
+    the identical cap relationally, so this is hash-gated, not
+    rows-only: precision preservation is proven, not asserted."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=50)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """Rows-only check (xxhash64 has no DuckDB twin)."""
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
@@ -429,7 +447,8 @@ def q_embedding_dup_lsh(spark, sf_dir):
     thresholds (≥0.9, p≈0.86) reach >90% recall with the same cost."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_dup_pairs_lsh(
-        emb, threshold=0.35, bits=6, n_tables=8
+        emb, threshold=0.35, bits=6, n_tables=8,
+        dim=len(_query_vec(spark, sf_dir, 0)),
     )
 
 
@@ -603,6 +622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_quality": q_quality,
         "x4_lang_id": q_lang_id,
         "x2_ngram_jaccard": q_ngram_jaccard,
+        "x2_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "x2_minhash_lsh": q_minhash_lsh,
         "x2_simhash_pairs": q_simhash,
         "x2_winnow_fingerprints": q_winnow,
@@ -834,6 +854,19 @@ def oracle_sql() -> dict[str, str]:
             f"WITH {_SHINGLE_CTE}, "
             "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
             "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
+            "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
+            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
+        ),
+        # identical cap semantics: common counts only shingles with
+        # document frequency <= 50; sizes keep the full shingle counts
+        "x2_ngram_jaccard_capped": (
+            f"WITH {_SHINGLE_CTE}, "
+            "rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50), "
+            "shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
             "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
             "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
             "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "

@@ -12,8 +12,9 @@ Four strategies, each picked for a different scale/recall point:
                    band-bucket equality joins, never an all-pairs join.
                    Pure DataFrame ops, deterministic seeds.
 - SimHash        — 64-bit sketch per doc from token hashes; near-dups
-                   via Hamming-band self-join (4×16-bit bands). All
-                   built-ins (xxhash64 + bit ops), zero Python.
+                   via Hamming-band self-join (max_hamming+1 bands —
+                   pigeonhole-complete for the radius). All built-ins
+                   (xxhash64 + bit ops), zero Python.
 
 Everything shuffles on small keys (hashes, not documents) — the
 property that survives a 1000-executor corpus.
@@ -27,18 +28,21 @@ from pyspark.sql import functions as F
 from adguard2clickhouse_spark.operators.text import fingerprint
 
 
-def _balanced(df: DataFrame) -> DataFrame:
+def _balanced(df: DataFrame, balance: bool = True) -> DataFrame:
     """Ensure CPU-dense per-row work (shingling, hashing) gets all cores.
 
     A small single-file parquet scan yields 1 partition, serializing
-    the expensive expression work above it. Repartition UP to the
-    default parallelism only — never shuffle a large many-partition
-    input downward.
+    the expensive expression work above it — so these operators'
+    ingest points round-robin to the default parallelism. No partition
+    -count probe: inspecting ``df.rdd`` would materialize the RDD
+    lineage on the driver and bypass AQE planning, which is worse than
+    the shuffle it tries to avoid. Large corpora arrive pre-partitioned;
+    their callers pass ``balance=False`` (every public operator here
+    forwards it) and skip the exchange entirely.
     """
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    if not balance:
+        return df
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 # ---------------------------------------------------------------------------
 # X1 — exact dedup
@@ -130,6 +134,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    balance: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
 
@@ -149,7 +154,7 @@ def ngram_jaccard_pairs(
     # shingle hashes, never shingle strings (collision odds at
     # 2^-64·n² are nil), so the shuffle moves a quarter of the bytes.
     inv = (
-        _balanced(df)
+        _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
         .select("_id", F.explode(shingle_hashes_from_tokens(F.col("_toks"), n)).alias("_h"))
         .persist()
@@ -222,6 +227,7 @@ def winnow_fingerprints(
     id_col: str = "doc_id",
     k: int = 5,
     w: int = 4,
+    balance: bool = True,
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash selection, the
     MOSS scheme: Schleimer/Wilkerson/Aiken, SIGMOD 2003).
@@ -246,7 +252,7 @@ def winnow_fingerprints(
         )
     )
     return (
-        _balanced(df)
+        _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
         .select("_id", _positional_shingle_hashes(F.col("_toks"), k).alias("_hs"))
         .filter(F.size("_hs") >= w)
@@ -264,6 +270,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     n: int = 3,
     num_hashes: int = 16,
+    balance: bool = True,
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) — num_hashes independent min-hashes.
 
@@ -278,7 +285,7 @@ def minhash_signatures(
     distinct pass is needed either.
     """
     tok = (
-        _balanced(df)
+        _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
         .select("_id", F.explode(shingle_hashes_from_tokens(F.col("_toks"), n)).alias("_h"))
     )
@@ -294,6 +301,7 @@ def minhash_lsh_pairs(
     n: int = 3,
     num_hashes: int = 16,
     bands: int = 4,
+    balance: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -304,7 +312,7 @@ def minhash_lsh_pairs(
     est_jaccard is the fraction of agreeing minhashes ×1000 (integer).
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes)
+    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, balance)
 
     band_exprs = [
         F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
@@ -367,7 +375,8 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    balance: bool = True,
 ) -> DataFrame:
     """64-bit SimHash per document, entirely in built-ins.
 
@@ -376,7 +385,7 @@ def simhash(
     expressions over the exploded token column — one shuffle on doc id,
     JVM codegen throughout.
     """
-    tok = _balanced(df).select(
+    tok = _balanced(df, balance).select(
         F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
     ).withColumn("_h", F.xxhash64("_t"))
 
@@ -402,14 +411,27 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    balance: bool = True,
 ) -> DataFrame:
-    """Near-dup pairs with Hamming(simhash) ≤ max_hamming.
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming — complete.
 
-    Band trick: split 64 bits into 4×16-bit bands; any pair within
-    Hamming ≤3 agrees exactly on ≥1 band (pigeonhole), so the join key
-    is (band, 16-bit chunk) — never an all-pairs comparison.
+    Band trick: split the 64 bits into ``max_hamming + 1`` near-equal
+    bands. A pair within the Hamming budget has at most ``max_hamming``
+    differing bits, which cannot touch all ``max_hamming + 1`` bands
+    (pigeonhole) — so every qualifying pair agrees exactly on ≥1 band
+    and is found by the (band, chunk) equi-join; no all-pairs compare,
+    no silent recall loss. More bands (larger max_hamming) = shorter
+    chunks = more candidates to verify: cost scales with the radius,
+    correctness does not.
     """
-    sk = simhash(df, text_col, id_col)
+    bands = max_hamming + 1
+    if bands > 32:
+        raise ValueError("max_hamming > 31 needs >32 bands of a 64-bit sketch")
+    base, rem = divmod(64, bands)
+    widths = [base + 1 if b < rem else base for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+
+    sk = simhash(df, text_col, id_col, balance)
     # persist: the banded relation feeds both self-join sides — without
     # it the 64-aggregate sketch shuffle runs twice.
     chunks = sk.select(
@@ -419,9 +441,11 @@ def simhash_near_pairs(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("chunk"),
+                    F.shiftrightunsigned("simhash", offsets[b])
+                    .bitwiseAND(F.lit((1 << widths[b]) - 1))
+                    .alias("chunk"),
                 )
-                for b in range(4)
+                for b in range(bands)
             ])
         ).alias("_c"),
     ).select(

@@ -28,16 +28,31 @@ def salted_join(
     slim: DataFrame,
     on: str | list[str],
     salt: int = 8,
+    spread_cols: list[str] | None = None,
 ) -> DataFrame:
     """Inner equi-join with the fat side salted and the slim side
     replicated ``salt`` ×. Use when one join key is hot enough that a
     single reducer would own it; the slim side pays salt× replication,
-    so keep it the smaller relation."""
+    so keep it the smaller relation.
+
+    Scatter: ``pmod(xxhash64(keys ++ spread_cols), salt)``. Pass
+    ``spread_cols`` naming stable non-key columns of the fat side so
+    a hot key's rows actually spread; the hash of stable column values
+    is deterministic under task retries and recomputation, which keeps
+    the salted plan safe for streaming joins and speculative execution
+    (a row-id scatter would not be — monotonically_increasing_id
+    changes across recomputes). With no spread_cols the scatter
+    degenerates to one sub-key per key value: correct, but no skew
+    relief — so insist on them.
+    """
     keys = [on] if isinstance(on, str) else list(on)
-    # deterministic scatter: hash the full fat row's key + a spread
-    # column-independent term; pmod keeps it in [0, salt)
+    if not spread_cols:
+        raise ValueError(
+            "salted_join needs spread_cols: stable fat-side non-key "
+            "columns that differentiate rows within a hot key"
+        )
     scatter = F.pmod(
-        F.xxhash64(*[F.col(k) for k in keys], F.monotonically_increasing_id()),
+        F.xxhash64(*[F.col(k) for k in keys + list(spread_cols)]),
         F.lit(salt),
     ).cast("int")
     fat_s = fat.withColumn(_SALT, scatter)

@@ -78,8 +78,17 @@ def _sessionize_group(
                 last_s = max(last_s, t)
                 n += 1
         state.update((start_s, last_s, n))
-        # evict when the watermark passes the gap after the last event
-        state.setTimeoutTimestamp((last_s + SESSION_GAP_S) * 1000)
+        # Evict when the watermark passes the gap after the last event.
+        # Clamp to watermark+1: Spark does NOT pre-filter rows older
+        # than the watermark for this operator, so a straggler event
+        # could put last_s + gap behind the current watermark, and a
+        # timeout timestamp ≤ watermark raises and fails the whole
+        # streaming query. The clamp closes such a session at the next
+        # trigger instead.
+        timeout_ms = (last_s + SESSION_GAP_S) * 1000
+        state.setTimeoutTimestamp(
+            max(timeout_ms, state.getCurrentWatermarkMs() + 1)
+        )
 
     if closed:
         out = pd.DataFrame(

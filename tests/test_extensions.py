@@ -163,8 +163,26 @@ def test_salted_join_equals_plain_join(spark):
         [("hot", 1), ("k10", 2), ("k20", 3), ("missing", 4)], "k STRING, w INT"
     )
     plain = {(r.k, r.v, r.w) for r in fat.join(slim, "k").collect()}
-    salted = {(r.k, r.v, r.w) for r in salted_join(fat, slim, "k", salt=4).collect()}
+    salted = {
+        (r.k, r.v, r.w)
+        for r in salted_join(fat, slim, "k", salt=4, spread_cols=["v"]).collect()
+    }
     assert salted == plain
+    # hot key's rows actually scatter across sub-keys (the skew relief)
+    from pyspark.sql import functions as F
+
+    n_subkeys = (
+        fat.filter(F.col("k") == "hot")
+        .select(F.pmod(F.xxhash64("k", "v"), F.lit(4)).alias("s"))
+        .distinct()
+        .count()
+    )
+    assert n_subkeys == 4
+    # missing spread_cols is a hard error, not silent no-op salting
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="spread_cols"):
+        salted_join(fat, slim, "k", salt=4)
 
 
 def test_ngram_jaccard_max_df_is_precision_preserving(spark):
@@ -194,3 +212,121 @@ def test_ngram_jaccard_max_df_is_precision_preserving(spark):
     # the true near-dup pair survives the cap (their overlap includes
     # rare shingles too)
     assert (1, 2) in capped
+
+
+# ---------------------------------------------------------------------------
+# Recall gates: every approximate path measured against its exact twin
+# on the driver-generated fixture corpus (bounds set from measured
+# values with margin; a regression below the bound = a real recall bug)
+# ---------------------------------------------------------------------------
+
+SF0001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def fixture_docs(spark):
+    from adguard2clickhouse_spark.sources.tables import load_table
+
+    df = load_table(spark, SF0001, "documents").cache()
+    yield df
+    # unpersist: a lingering cache entry substitutes into later tests'
+    # plans (same logical subtree) and defeats their pruning assertions
+    df.unpersist()
+
+
+@pytest.fixture(scope="module")
+def fixture_emb(spark):
+    from adguard2clickhouse_spark.sources.tables import load_table
+
+    df = load_table(spark, SF0001, "embeddings").cache()
+    yield df
+    df.unpersist()
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(fixture_docs):
+    from adguard2clickhouse_spark.operators import dedup
+
+    exact = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.ngram_jaccard_pairs(fixture_docs, n=3, threshold=0.8).collect()
+    }
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(
+            fixture_docs, n=3, num_hashes=16, bands=4
+        ).collect()
+    }
+    assert exact, "fixture must contain near-dup pairs"
+    recall = len(exact & cand) / len(exact)
+    # banding math: P(candidate | J=0.8) = 1-(1-0.8^4)^4 ≈ 0.88 per
+    # pair; measured 1.0 on this corpus (its dup pairs are J≈1)
+    assert recall >= 0.9, recall
+
+
+def test_embedding_lsh_recall_vs_exact(fixture_emb):
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_dup_pairs(fixture_emb, threshold=0.35).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_dup_pairs_lsh(
+            fixture_emb, threshold=0.35, bits=6, n_tables=8, dim=64
+        ).collect()
+    }
+    assert approx <= exact, "LSH must be a subset (exact verify inside)"
+    recall = len(exact & approx) / len(exact)
+    # 6 bits × 8 tables at the demo threshold 0.35 (per-bit collision
+    # p ≈ 0.61 → ~35% predicted); measured 0.41
+    assert recall >= 0.30, recall
+
+
+def test_ivf_topk_recall_vs_brute_force(fixture_emb):
+    q = [float(x) for x in fixture_emb.filter("vec_id=0").select("embedding").head()[0]]
+    exact = [r.vec_id for r in similarity.topk_cosine(fixture_emb, q, k=10).collect()]
+    got = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            fixture_emb, q, k=10, n_cells=16, nprobe=4
+        ).collect()
+    ]
+    recall = len(set(exact) & set(got)) / 10
+    # nprobe/n_cells = 25% of cells scanned; measured 0.9
+    assert recall >= 0.7, recall
+
+
+def test_lsh_topk_recall_vs_brute_force(fixture_emb):
+    q = [float(x) for x in fixture_emb.filter("vec_id=0").select("embedding").head()[0]]
+    exact = [r.vec_id for r in similarity.topk_cosine(fixture_emb, q, k=10).collect()]
+    got = [r.vec_id for r in similarity.lsh_bucketed_topk(fixture_emb, q, k=10).collect()]
+    recall = len(set(exact) & set(got)) / 10
+    # 16 bits, Hamming ≤4, 8 tables; measured 0.7 on this corpus
+    assert recall >= 0.5, recall
+
+
+def test_ivf_materialized_probe_prunes_partitions(fixture_emb, tmp_path_factory, spark):
+    """The 100 TB layout claim, executed: partitionBy(ivf_cell) on disk,
+    probe reads only nprobe partition directories (plan-asserted)."""
+    path = str(tmp_path_factory.mktemp("ivf") / "emb_by_cell")
+    cents = similarity.ivf_centroids(fixture_emb, n_cells=16)
+    similarity.ivf_materialize(fixture_emb, path, cents)
+
+    q = [float(x) for x in fixture_emb.filter("vec_id=0").select("embedding").head()[0]]
+    probed = similarity.ivf_topk_materialized(
+        spark, path, q, cents, k=10, nprobe=4
+    )
+    # identical results to the inline probe on the same centroids
+    inline = [
+        r.vec_id
+        for r in similarity.ivf_topk(
+            fixture_emb, q, k=10, centroids=cents, nprobe=4
+        ).collect()
+    ]
+    assert [r.vec_id for r in probed.collect()] == inline
+
+    physical = probed._jdf.queryExecution().executedPlan().toString()
+    # partition pruning visible in the scan: the ivf_cell filter is a
+    # PartitionFilter, not a data Filter
+    assert "PartitionFilters" in physical
+    pf_line = next(l for l in physical.splitlines() if "PartitionFilters" in l)
+    assert "ivf_cell" in pf_line, pf_line
