@@ -46,6 +46,26 @@ BENCH_QUERIES = [
     "x4_quality",
 ]
 
+# Round-1 per-query seconds (BENCH_r01.json, sf0.1, local[32]) — the
+# frozen comparison base. Any query regressing past 2× its r1 time is
+# flagged on stderr so a perf regression can't hide inside the total.
+R1_BASE = {
+    "a1_blocked_domains": 0.361,
+    "a3_clients_stats": 0.268,
+    "a6_stats2": 0.554,
+    "a7_tld_stats": 1.18,
+    "p7_dns_parse": 0.775,
+    "q1_pricing_summary": 0.312,
+    "x_join_revenue_by_nation": 0.533,
+    "x_window_rank": 0.477,
+    "e_sessions": 0.281,
+    "x1_dedup_count": 0.387,
+    "x2_ngram_jaccard": 2.157,
+    "x2_minhash_lsh": 1.492,
+    "x3_topk_cosine": 0.541,
+    "x4_quality": 0.197,
+}
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -73,6 +93,15 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.count()  # executes the full plan without driver collect
         timings[name] = round(time.time() - t0, 3)
+
+    if sf == 0.1:
+        for name, secs in timings.items():
+            base = R1_BASE.get(name)
+            if base and secs > 2 * base:
+                print(
+                    f"PERF-REGRESSION {name}: {secs:.3f}s vs r1 {base:.3f}s (>2x)",
+                    file=sys.stderr,
+                )
 
     total = round(sum(timings.values()), 3)
     print(
