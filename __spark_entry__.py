@@ -530,6 +530,61 @@ def q_exact_stats(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """Temporal extension: as-of join (operators/temporal.py). Every
+    event picks up the most recent per-user "snapshot" (every 20th
+    event) at or before its timestamp — the union+window plan, one
+    shuffle on user_id, no inequality join. Oracle: DuckDB's native
+    ASOF LEFT JOIN."""
+    from adguard2clickhouse_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    dim = (
+        ev.filter(F.col("event_id") % 20 == 0)
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("snap_value"))
+    )
+    out = asof_join(left, dim, ts_col="ts", by="user_id", right_cols=["snap_value"])
+    return out.select("event_id", "user_id", "ts", "snap_value_asof", "ts_asof")
+
+
+def q_range_join(spark, sf_dir):
+    """Temporal extension: point-in-interval join via granule
+    bucketing (equi-join on (user, hour-granule) + exact boundary
+    filter) instead of the broadcast-nested-loop an inequality join
+    plans to. Oracle: the plain inequality join, which DuckDB's IEJoin
+    executes exactly."""
+    from adguard2clickhouse_spark.operators.temporal import range_join
+
+    ev = _t(spark, sf_dir, "events")
+    points = ev.select("event_id", "user_id", "ts")
+    intervals = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("interval_id"),
+        F.col("user_id"),
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("end_ts"),
+    )
+    out = range_join(
+        points, intervals, point_ts="ts", start_col="start_ts",
+        end_col="end_ts", by="user_id", granule_s=3600,
+    )
+    return out.select("event_id", "interval_id")
+
+
+def q_dedup_clusters(spark, sf_dir):
+    """X1 transitive closure: near-dup pairs (exact Jaccard ≥ 0.8) as
+    edges, hash-min label propagation to connected components
+    (operators/graph.py — the iterative fixpoint a single declarative
+    query can't express). Oracle: DuckDB recursive CTE reachability."""
+    from adguard2clickhouse_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    return comp.select("doc_id", F.col("component").cast("long").alias("component"))
+
+
 def q_stream_pipeline(spark, sf_dir):
     """C1/C2/K2 end-to-end under the oracle gate: the reference's whole
     topology (collector.py:54-78 tail→parse→insert→MV cascade) as one
@@ -615,9 +670,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # events analytics
         "e_sessions": q_sessions,
         "e_pivot": q_pivot,
+        "e_asof_join": q_asof_join,
+        "e_range_join": q_range_join,
         # training-data extensions (X1-X6)
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
+        "x1_dedup_clusters": q_dedup_clusters,
         "x4_token_stats": q_token_stats,
         "x4_quality": q_quality,
         "x4_lang_id": q_lang_id,
@@ -927,6 +985,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts, "
             "count(DISTINCT l_suppkey) AS n_supps, "
             "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem"
+        ),
+        # CAST(ts AS TIMESTAMP) truncates DuckDB's ns to µs exactly like
+        # the loader's `ts div 1000` (verified) — both sides of the
+        # temporal queries compare at identical µs precision.
+        "e_asof_join": (
+            "WITH l AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), "
+            "r AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(value) AS snap_value "
+            "FROM events WHERE event_id % 20 = 0 GROUP BY 1, 2) "
+            "SELECT l.event_id, l.user_id, l.ts, "
+            "r.snap_value AS snap_value_asof, r.ts AS ts_asof "
+            "FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts"
+        ),
+        "e_range_join": (
+            "WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events), "
+            "i AS (SELECT event_id AS interval_id, user_id, CAST(ts AS TIMESTAMP) AS start_ts, "
+            "CAST(ts AS TIMESTAMP) + INTERVAL 2 HOUR AS end_ts "
+            "FROM events WHERE event_id % 20 = 0) "
+            "SELECT p.event_id, i.interval_id FROM p JOIN i ON p.user_id = i.user_id "
+            "AND i.start_ts <= p.ts AND p.ts < i.end_ts"
+        ),
+        "x1_dedup_clusters": (
+            f"WITH RECURSIVE {_SHINGLE_CTE}, "
+            "pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT da, db FROM pr JOIN sz x ON da = x.doc_id "
+            "JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)), "
+            "edges AS (SELECT da AS u, db AS v FROM pairs "
+            "UNION SELECT db, da FROM pairs), "
+            "reach(u, r) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) "
+            "SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component "
+            "FROM reach GROUP BY u"
         ),
         # the streaming read-back must equal the batch aggregate over the
         # same (bridged) rows — identical oracle to a3_clients_stats.

@@ -1,0 +1,90 @@
+"""Connected components over near-duplicate pair edges (brief
+§extensions: dedup clustering).
+
+Pairwise dedup output (exact, Jaccard, MinHash, SimHash, embedding —
+operators/dedup.py, similarity.py) is edges; what a pipeline keeps is
+one document per TRANSITIVE cluster (A≈B, B≈C ⇒ {A,B,C} even when
+A,C were never compared). This is the canonical iterative algorithm
+the declarative surface can't express in one query.
+
+Algorithm: hash-min label propagation. Every node starts labeled with
+its own id; each round every node takes the min label in its closed
+neighborhood; converged when no label changes. Rounds needed = graph
+diameter (dup clusters are near-cliques, so 2-3 rounds in practice —
+the per-round cost is one groupBy shuffle of (node, label) pairs, no
+document bodies). localCheckpoint per round cuts the growing lineage,
+and the convergence probe is a single count() aggregate — the one
+driver action an iterative fixpoint genuinely needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, component) — component = min node id reachable from id.
+    Nodes absent from every edge form singleton components.
+
+    Raises after ``max_iters`` non-converged rounds rather than
+    returning silently-wrong partial labels.
+    """
+    sym = (
+        edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("_u"), F.col(src_col).alias("_v"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = nodes.select(
+        F.col(id_col).alias("_u"), F.col(id_col).cast("long").alias("_lbl")
+    ).localCheckpoint(eager=True)
+
+    try:
+        for _ in range(max_iters):
+            # neighbor labels: edge (u,v) proposes v's current label to u
+            proposed = (
+                sym.join(labels.withColumnRenamed("_u", "_v"), "_v")
+                .select("_u", "_lbl")
+                .unionByName(labels)
+                .groupBy("_u")
+                .agg(F.min("_lbl").alias("_new"))
+            )
+            merged = labels.join(proposed, "_u").localCheckpoint(eager=True)
+            changed = merged.filter(F.col("_new") < F.col("_lbl")).count()
+            labels = merged.select("_u", F.col("_new").alias("_lbl"))
+            if changed == 0:
+                return labels.select(
+                    F.col("_u").alias(id_col), F.col("_lbl").alias("component")
+                )
+    finally:
+        sym.unpersist()
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds "
+        "(diameter larger than max_iters?)"
+    )
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+) -> DataFrame:
+    """Transitive dedup: keep exactly one row (the min-id member) per
+    connected component of the near-dup pair graph. The full-row frame
+    only participates in the final semi-join — components are computed
+    on (id, id) pairs alone."""
+    comp = connected_components(df.select(id_col), pairs, id_col, src_col, dst_col)
+    keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
+    return df.join(keep, id_col, "left_semi")

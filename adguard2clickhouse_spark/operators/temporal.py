@@ -1,0 +1,120 @@
+"""Temporal join operators Spark's declarative surface lacks (brief
+§extensions: as-of join, range join).
+
+Both are implemented as shuffle-on-key plans — never the broadcast
+nested-loop that a naive inequality join compiles to, which is the
+difference between "runs at 100 TB" and "runs on the demo".
+
+- asof_join: the union + ordered-window trick. Tag both sides, union,
+  one window per key ordered by (ts, side) carrying the last non-null
+  right payload forward. ONE shuffle on the join key; no inequality
+  join at all. This is how kdb's aj / DuckDB's ASOF JOIN semantics
+  map onto a hash-partitioned engine.
+- range_join: granule bucketing. Intervals explode into the fixed-size
+  time granules they cover, points compute their granule arithmetically,
+  and the join is a plain equi-join on (keys…, granule) followed by the
+  exact boundary filter. Join fan-out is bounded by interval_length /
+  granule per interval — pick the granule near the median interval
+  length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    ts_col: str = "ts",
+    by: str | list[str] = "user_id",
+    right_cols: list[str] | None = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """For every left row, attach the most recent right row with
+    ``right.ts <= left.ts`` in the same ``by`` group (left outer:
+    unmatched rows keep nulls).
+
+    Right rows must be unique per (by…, ts) — pre-aggregate if not;
+    this keeps the semantics engine-independent (DuckDB's ASOF JOIN
+    leaves duplicate-ts winners unspecified).
+
+    Plan: union both sides with a side tag, then one window per key
+    ordered by (ts, side) — right rows sort before left rows at equal
+    ts, so equality matches — carrying ``last(value, ignorenulls)``
+    forward. One hash shuffle on ``by`` + an in-partition sort; scales
+    linearly and never materializes the inequality cross product.
+    """
+    keys = [by] if isinstance(by, str) else list(by)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys + [ts_col]]
+
+    left_cols = [c for c in left.columns if c not in keys + [ts_col]]
+    tagged_l = left.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        *left_cols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}") for c in right_cols],
+        F.lit(None).cast(left.schema[ts_col].dataType).alias(f"{ts_col}{suffix}"),
+    )
+    tagged_r = right.select(
+        *keys,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in left_cols],
+        *[F.col(c).alias(f"{c}{suffix}") for c in right_cols],
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged_l.unionByName(tagged_r)
+    for c in [f"{c}{suffix}" for c in right_cols] + [f"{ts_col}{suffix}"]:
+        carried = carried.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return carried.filter(F.col("_side") == 1).drop("_side")
+
+
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start_ts",
+    end_col: str = "end_ts",
+    by: str | list[str] | None = None,
+    granule_s: int = 3600,
+) -> DataFrame:
+    """Inner join of point rows to the interval rows containing them:
+    ``start <= point_ts < end`` (half-open), optionally also equi-keyed
+    on ``by``.
+
+    Plan: both sides map time onto ``granule_s``-second granules —
+    intervals explode into every granule they overlap, points compute
+    theirs arithmetically — then a plain equi-join on (by…, granule)
+    plus the exact boundary filter. Catalyst would otherwise pick a
+    broadcast-nested-loop for the inequality; this shape shuffles on a
+    small uniform key instead, with fan-out bounded by
+    ceil(interval_len / granule) per interval row.
+    """
+    keys = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    # Exact integer microsecond arithmetic (unix_micros), never a
+    # seconds truncation or a double round-trip: a sub-second interval
+    # boundary must not be able to shift a granule id by one.
+    p_gran = F.expr(f"unix_micros({point_ts}) div {granule_s * 1_000_000}")
+    # end is exclusive: the last covered granule holds end - 1µs
+    i_first = F.expr(f"unix_micros({start_col}) div {granule_s * 1_000_000}")
+    i_last = F.expr(f"(unix_micros({end_col}) - 1) div {granule_s * 1_000_000}")
+
+    p = points.withColumn("_gran", p_gran)
+    i = intervals.withColumn(
+        "_gran", F.explode(F.sequence(i_first, F.greatest(i_last, i_first)))
+    )
+    joined = p.join(i, keys + ["_gran"]).filter(
+        (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
+    )
+    return joined.drop("_gran")

@@ -1,0 +1,208 @@
+"""Temporal joins (as-of, range) and dup-cluster connected components:
+boundary semantics, tie-breaks, convergence, completeness."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from adguard2clickhouse_spark.operators.graph import (
+    connected_components,
+    dedup_keep_representatives,
+)
+from adguard2clickhouse_spark.operators.temporal import asof_join, range_join
+
+
+def _ts(h, m=0, s=0, us=0):
+    return dt.datetime(2024, 1, 1, h, m, s, us)
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def asof_data(spark):
+    left = spark.createDataFrame(
+        [
+            (1, 7, _ts(10)),       # after both snaps → latest (9:30)
+            (2, 7, _ts(9, 30)),    # exactly at a snap → matches it
+            (3, 7, _ts(8)),        # before any snap → null
+            (4, 8, _ts(12)),       # other user, own snapshot stream
+            (5, 9, _ts(12)),       # user with no snaps at all → null
+        ],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    right = spark.createDataFrame(
+        [
+            (7, _ts(9), 1.0),
+            (7, _ts(9, 30), 2.0),
+            (8, _ts(11), 3.0),
+        ],
+        "user_id LONG, ts TIMESTAMP, snap_value DOUBLE",
+    )
+    return left, right
+
+
+def test_asof_matches_latest_at_or_before(asof_data):
+    left, right = asof_data
+    out = {
+        r.event_id: (r.snap_value_asof, r.ts_asof)
+        for r in asof_join(left, right, "ts", "user_id").collect()
+    }
+    assert out[1] == (2.0, _ts(9, 30))   # latest of the two
+    assert out[2] == (2.0, _ts(9, 30))   # equality is inclusive
+    assert out[3] == (None, None)        # nothing at-or-before
+    assert out[4] == (3.0, _ts(11))      # per-user isolation
+    assert out[5] == (None, None)        # user with no right rows
+
+
+def test_asof_keeps_every_left_row_and_columns(asof_data):
+    left, right = asof_data
+    out = asof_join(left, right, "ts", "user_id")
+    assert out.count() == left.count()
+    assert set(out.columns) == {
+        "event_id", "user_id", "ts", "snap_value_asof", "ts_asof"
+    }
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+def test_range_join_half_open_boundaries(spark):
+    points = spark.createDataFrame(
+        [
+            (1, _ts(10, 0, 0)),            # == start → in
+            (2, _ts(11, 59, 59, 999999)),  # 1µs before end → in
+            (3, _ts(12, 0, 0)),            # == end → out (half-open)
+            (4, _ts(9, 59, 59, 999999)),   # 1µs before start → out
+        ],
+        "event_id LONG, ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [(100, _ts(10), _ts(12))],
+        "interval_id LONG, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    got = {
+        r.event_id
+        for r in range_join(points, intervals, "ts", "start_ts", "end_ts").collect()
+    }
+    assert got == {1, 2}
+
+
+def test_range_join_interval_spanning_many_granules(spark):
+    # 5-hour interval, 1-hour granule: points in hours 1..5 all match
+    points = spark.createDataFrame(
+        [(i, _ts(i, 30)) for i in range(8)], "event_id LONG, ts TIMESTAMP"
+    )
+    intervals = spark.createDataFrame(
+        [(100, _ts(1), _ts(6))],
+        "interval_id LONG, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    got = {
+        r.event_id
+        for r in range_join(points, intervals, "ts", "start_ts", "end_ts").collect()
+    }
+    assert got == {1, 2, 3, 4, 5}
+
+
+def test_range_join_subsecond_interval(spark):
+    # interval smaller than a granule, fractional-µs boundaries
+    points = spark.createDataFrame(
+        [(1, _ts(10, 0, 0, 500)), (2, _ts(10, 0, 0, 1500))],
+        "event_id LONG, ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [(100, _ts(10, 0, 0, 400), _ts(10, 0, 0, 1000))],
+        "interval_id LONG, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    got = {
+        r.event_id
+        for r in range_join(points, intervals, "ts", "start_ts", "end_ts").collect()
+    }
+    assert got == {1}
+
+
+def test_range_join_with_key(spark):
+    points = spark.createDataFrame(
+        [(1, 7, _ts(10, 30)), (2, 8, _ts(10, 30))],
+        "event_id LONG, user_id LONG, ts TIMESTAMP",
+    )
+    intervals = spark.createDataFrame(
+        [(100, 7, _ts(10), _ts(11))],
+        "interval_id LONG, user_id LONG, start_ts TIMESTAMP, end_ts TIMESTAMP",
+    )
+    got = {
+        r.event_id
+        for r in range_join(
+            points, intervals, "ts", "start_ts", "end_ts", by="user_id"
+        ).collect()
+    }
+    assert got == {1}
+
+
+# ---------------------------------------------------------------------------
+# connected components / transitive dedup
+# ---------------------------------------------------------------------------
+
+def test_cc_chain_and_singletons(spark):
+    # chain 1-2-3-4 (diameter 3: transitive, 1 and 4 never compared),
+    # pair 10-11, singletons 20, 21
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21]], "doc_id LONG"
+    )
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a LONG, doc_b LONG"
+    )
+    got = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+
+
+def test_cc_non_convergence_raises(spark):
+    nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id LONG")
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "doc_a LONG, doc_b LONG"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        connected_components(nodes, edges, max_iters=1)
+
+
+def test_dedup_keep_representatives(spark):
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in [1, 2, 3, 7, 9]], "doc_id LONG, text STRING"
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "doc_a LONG, doc_b LONG")
+    kept = {r.doc_id for r in dedup_keep_representatives(docs, pairs).collect()}
+    assert kept == {1, 7, 9}
+
+
+# ---------------------------------------------------------------------------
+# simhash banding completeness (the pigeonhole guarantee, brute-checked)
+# ---------------------------------------------------------------------------
+
+def test_simhash_banding_complete_vs_brute_force(spark):
+    from adguard2clickhouse_spark.operators.dedup import simhash, simhash_near_pairs
+    from adguard2clickhouse_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    for radius in (3, 8):
+        sk = simhash(docs)
+        a, b = sk.alias("a"), sk.alias("b")
+        ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        brute = {
+            (r.doc_a, r.doc_b)
+            for r in a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+            .filter(ham <= radius)
+            .select(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .collect()
+        }
+        banded = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_near_pairs(docs, max_hamming=radius).collect()
+        }
+        assert banded == brute, f"radius {radius}: banding must be lossless"
