@@ -37,6 +37,13 @@ def connected_components(
     Raises after ``max_iters`` non-converged rounds rather than
     returning silently-wrong partial labels.
     """
+    # Iterative rounds mean many small shuffles; AQE coalescing
+    # right-sizes them (runtime-settable — foreign sessions included,
+    # same discipline as sources/tables.py).
+    spark = nodes.sparkSession
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
     sym = (
         edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
         .unionByName(
