@@ -530,6 +530,44 @@ def q_exact_stats(spark, sf_dir):
     )
 
 
+def q_p7_dns_parse_diverse(spark, sf_dir):
+    """P7 with a UNIQUE packet per row: every events row gets its own
+    genuinely-encoded DNS response (rcode = k mod 6, one A record whose
+    octets encode event_id), so the parser's memoization cache cannot
+    flatter this path — every packet is a cache miss, unlike
+    p7_dns_parse's five variants. The oracle recomputes rcode and the
+    A-record string arithmetically; a hash match proves wire encode →
+    base64 → Arrow UDF decode → classification on 10k distinct packets."""
+    import pandas as _pd
+
+    from adguard2clickhouse_spark.operators.dnswire import parse_dns_answer
+
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("try_cast(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS int)")
+    base = ev.select("event_id", k.alias("k"))
+
+    def gen(batches):
+        from adguard2clickhouse_spark.operators.dnswire import build_answer_b64
+
+        for pdf in batches:
+            b64 = [
+                build_answer_b64(
+                    rcode=int(kk) % 6,
+                    a=[f"10.{(int(e) >> 16) & 255}.{(int(e) >> 8) & 255}.{int(e) & 255}"],
+                )
+                for e, kk in zip(pdf["event_id"], pdf["k"])
+            ]
+            yield _pd.DataFrame({"event_id": pdf["event_id"], "answer_b64": b64})
+
+    pk = base.mapInPandas(gen, "event_id bigint, answer_b64 string")
+    parsed = pk.select("event_id", parse_dns_answer("answer_b64").alias("_d"))
+    return parsed.select(
+        "event_id",
+        F.col("_d.rcode").alias("rcode"),
+        F.element_at("_d.rdatas", 1).alias("rdata"),
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """Temporal extension: as-of join (operators/temporal.py). Every
     event picks up the most recent per-user "snapshot" (every 20th
@@ -653,6 +691,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
         "p7_dns_parse": q_p7_dns_parse,
+        "p7_dns_parse_diverse": q_p7_dns_parse_diverse,
         # relational extensions (§2.11)
         "q1_pricing_summary": q_q1_pricing,
         "x_join_revenue_by_nation": q_join_revenue,
@@ -985,6 +1024,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts, "
             "count(DISTINCT l_suppkey) AS n_supps, "
             "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem"
+        ),
+        "p7_dns_parse_diverse": (
+            "WITH e AS (SELECT event_id, "
+            "TRY_CAST(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS INT) AS k "
+            "FROM events) "
+            "SELECT event_id, CAST(k % 6 AS INT) AS rcode, "
+            "'10.' || CAST((event_id // 65536) % 256 AS VARCHAR) || '.' || "
+            "CAST((event_id // 256) % 256 AS VARCHAR) || '.' || "
+            "CAST(event_id % 256 AS VARCHAR) AS rdata FROM e"
         ),
         # CAST(ts AS TIMESTAMP) truncates DuckDB's ns to µs exactly like
         # the loader's `ts div 1000` (verified) — both sides of the
