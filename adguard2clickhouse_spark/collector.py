@@ -1,0 +1,64 @@
+"""Runnable collector daemon — the reference's process, Spark-first.
+
+The reference ships as a single always-on process (``python
+src/collector.py``; /root/reference/Dockerfile:14) that tails the
+query log and keeps the aggregate tables fresh. This module is that
+deployable surface for the Spark engine:
+
+    python -m adguard2clickhouse_spark.collector \
+        --source /var/log/adguard-spool --out /data/dns [--once]
+
+- ``--source``: directory AdGuard querylog JSONL files land in (use
+  sources.tailer.TailBridge to bridge a single growing file into it).
+- ``--out``: engine state — the date-partitioned log2 fact table, the
+  dead-letter channel, and the eight additive aggregate tables.
+- ``--once``: drain what's there and exit (availableNow) — cron-style
+  operation; default is the always-on micro-batch daemon.
+
+Config mirrors the reference's env-var surface (collector.py:81-87):
+``DB_HOST/DB_USER/DB_PASSWORD/DB_DATABASE`` switch the aggregate sink
+to ClickHouse when ``clickhouse_connect`` is available; otherwise the
+parquet summing sink serves the identical read API.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+from adguard2clickhouse_spark.session import get_spark
+from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="adguard2clickhouse_spark.collector",
+        description="Tail AdGuard querylog JSONL into fact + aggregate tables.",
+    )
+    p.add_argument("--source", required=True, help="watched querylog directory")
+    p.add_argument("--out", required=True, help="engine output directory")
+    p.add_argument(
+        "--trigger", default="5 seconds",
+        help="micro-batch interval (the reference's async-insert analog)",
+    )
+    p.add_argument(
+        "--once", action="store_true",
+        help="process available input and exit (availableNow)",
+    )
+    p.add_argument("--master", default=None, help="Spark master override")
+    return p
+
+
+def run(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    spark = get_spark(app_name="adguard-collector", master=args.master)
+    pipe = QuerylogPipeline(spark, args.source, args.out)
+    if args.once:
+        pipe.run_available()
+        return
+    query = pipe.start(processing_time=args.trigger)  # pragma: no cover
+    query.awaitTermination()  # pragma: no cover
+
+
+if __name__ == "__main__":  # pragma: no cover
+    run()
