@@ -206,3 +206,50 @@ def test_simhash_banding_complete_vs_brute_force(spark):
             for r in simhash_near_pairs(docs, max_hamming=radius).collect()
         }
         assert banded == brute, f"radius {radius}: banding must be lossless"
+
+
+def test_asof_join_property_vs_brute_force(spark):
+    """Randomized as-of joins must equal the brute-force definition:
+    for each left row, the right row with the max ts <= left.ts in the
+    same key (None if absent)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    ts_s = st.integers(min_value=0, max_value=3600)
+    key_s = st.integers(min_value=0, max_value=3)
+
+    @given(
+        st.lists(st.tuples(key_s, ts_s), min_size=1, max_size=25),
+        st.lists(st.tuples(key_s, ts_s), min_size=0, max_size=25),
+    )
+    @settings(max_examples=12, deadline=None)
+    def _check(left_rows, right_rows):
+        base = dt.datetime(2024, 1, 1)
+        left = spark.createDataFrame(
+            [
+                (i, k, base + dt.timedelta(seconds=s))
+                for i, (k, s) in enumerate(left_rows)
+            ],
+            "event_id LONG, user_id LONG, ts TIMESTAMP",
+        )
+        # de-dup right per (key, ts): operator contract
+        rdict = {}
+        for k, s in right_rows:
+            rdict[(k, s)] = float(k * 10000 + s)
+        right = spark.createDataFrame(
+            [
+                (k, base + dt.timedelta(seconds=s), v)
+                for (k, s), v in rdict.items()
+            ] or [(99, base, 0.0)],
+            "user_id LONG, ts TIMESTAMP, snap_value DOUBLE",
+        )
+        got = {
+            r.event_id: r.snap_value_asof
+            for r in asof_join(left, right, "ts", "user_id").collect()
+        }
+        for i, (k, s) in enumerate(left_rows):
+            cand = [(s2, v) for (k2, s2), v in rdict.items() if k2 == k and s2 <= s]
+            expect = max(cand)[1] if cand else None
+            assert got[i] == expect, (i, k, s, cand)
+
+    _check()
