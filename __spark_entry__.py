@@ -295,6 +295,60 @@ def q_sessions(spark, sf_dir):
     )
 
 
+def q_sessions_stream(spark, sf_dir):
+    """The custom stateful streaming operator under the hash gate:
+    applyInPandasWithState gap-sessionization (streaming/sessions.py)
+    over the events table, streamed as JSON files.
+
+    Determinism trick: one sentinel event per user at the GLOBAL
+    max(ts) + gap + 1s closes every real session INLINE within the
+    batch. The single global sentinel time matters: the end-of-run
+    watermark is global_max - watermark_delay, which can never pass
+    sentinel + gap, so the sentinels' own 1-event sessions sit in the
+    state store unemitted instead of leaking via timeout (a per-user
+    sentinel time would emit for every user idle > 1h before the
+    corpus end — measured exactly that off-by-137 at sf0.01). The
+    oracle computes the same sessions relationally (lag + cumulative
+    new-session markers) over events alone — a hash match proves the
+    stateful operator's gap semantics, second-truncated timestamps
+    included."""
+    import tempfile
+
+    from adguard2clickhouse_spark.streaming.sessions import (
+        SESSION_GAP_S,
+        sessionize_stream,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    gmax = ev.agg(
+        (F.max("ts") + F.expr(f"INTERVAL {SESSION_GAP_S + 1} SECONDS")).alias("ts")
+    )
+    sent = ev.select("user_id").distinct().crossJoin(F.broadcast(gmax))
+    both = ev.unionByName(sent.select("user_id", "ts"))
+
+    tmp = tempfile.mkdtemp(prefix="sess_stream_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    both.coalesce(1).write.mode("overwrite").json(src)
+
+    stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").json(src)
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.read.parquet(out)
+    return res.select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 def q_pivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     kinds = ["click", "view", "signup", "purchase", "error"]
@@ -731,6 +785,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_pivot": q_pivot,
         "e_asof_join": q_asof_join,
         "e_range_join": q_range_join,
+        "e_sessions_stream": q_sessions_stream,
         # training-data extensions (X1-X6)
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
@@ -1070,6 +1125,20 @@ def oracle_sql() -> dict[str, str]:
             "'10.' || CAST((event_id // 65536) % 256 AS VARCHAR) || '.' || "
             "CAST((event_id // 256) % 256 AS VARCHAR) || '.' || "
             "CAST(event_id % 256 AS VARCHAR) AS rdata FROM e"
+        ),
+        # second-truncated epochs on both sides: the stateful operator
+        # compares gap in whole seconds and emits second-precision
+        # session bounds, so the oracle truncates identically.
+        "e_sessions_stream": (
+            "WITH e AS (SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) // 1000000 AS s FROM events), "
+            "m AS (SELECT user_id, s, CASE WHEN lag(s) OVER w IS NULL OR s - lag(s) OVER w > 1800 "
+            "THEN 1 ELSE 0 END AS is_new FROM e WINDOW w AS (PARTITION BY user_id ORDER BY s)), "
+            "g AS (SELECT user_id, s, sum(is_new) OVER (PARTITION BY user_id ORDER BY s "
+            "ROWS UNBOUNDED PRECEDING) AS sid FROM m) "
+            "SELECT user_id, make_timestamp(min(s) * 1000000) AS session_start, "
+            "make_timestamp(max(s) * 1000000) AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events "
+            "FROM g GROUP BY user_id, sid"
         ),
         # CAST(ts AS TIMESTAMP) truncates DuckDB's ns to µs exactly like
         # the loader's `ts div 1000` (verified) — both sides of the
