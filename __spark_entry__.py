@@ -349,6 +349,43 @@ def q_sessions_stream(spark, sf_dir):
     )
 
 
+def q_stats2_stream(spark, sf_dir):
+    """A6 design (a) under the hash gate: the watermarked state-store
+    window aggregate (streaming/windowed.py), availableNow over the
+    bridged log2 stream. Append mode emits exactly the windows
+    finalized by the end-of-run watermark (max event time − 1h) — a
+    deterministic set the oracle replicates with a HAVING cutoff, so
+    the hash match covers the state store, the watermark arithmetic,
+    and the no-data flush batch."""
+    import tempfile
+
+    from adguard2clickhouse_spark.streaming.windowed import stats2_windowed_stream
+
+    log2 = log2_from_events(spark, sf_dir).select("date_time", "IP", "IsFiltered")
+    tmp = tempfile.mkdtemp(prefix="stats2_stream_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    # parquet transport keeps µs timestamps exact (JSON's default write
+    # format truncates to ms — harmless for 10-min buckets but the
+    # watermark cutoff should compare at source precision).
+    log2.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "date_time TIMESTAMP, IP STRING, IsFiltered BOOLEAN"
+    ).parquet(src)
+    q = (
+        stats2_windowed_stream(stream, watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("IP", "date_time", "blocked", "visited")
+
+
 def q_pivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     kinds = ["click", "view", "signup", "purchase", "error"]
@@ -786,6 +823,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_asof_join": q_asof_join,
         "e_range_join": q_range_join,
         "e_sessions_stream": q_sessions_stream,
+        "a6_stats2_stream": q_stats2_stream,
         # training-data extensions (X1-X6)
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
@@ -1172,6 +1210,19 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) "
             "SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component "
             "FROM reach GROUP BY u"
+        ),
+        # append mode emits exactly the windows the end-of-run watermark
+        # (max event time − 1h) finalized: window_end <= watermark. The
+        # cutoff compares µs-exact; window ends are whole seconds, so
+        # Spark's internal ms-floor of the watermark cannot flip it.
+        "a6_stats2_stream": oracle_cte(
+            ", agg AS (SELECT IP, time_bucket(INTERVAL '10 minutes', date_time) AS date_time, "
+            "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS blocked, "
+            "CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS visited "
+            "FROM log2 GROUP BY 1, 2), "
+            "cut AS (SELECT max(date_time) - INTERVAL 1 HOUR AS c FROM log2) "
+            "SELECT agg.IP, agg.date_time, agg.blocked, agg.visited "
+            "FROM agg, cut WHERE agg.date_time + INTERVAL 10 MINUTE <= cut.c"
         ),
         # the streaming read-back must equal the batch aggregate over the
         # same (bridged) rows — identical oracle to a3_clients_stats.
