@@ -29,7 +29,9 @@ from pyspark.sql.window import Window
 
 from adguard2clickhouse_spark.functions import IPV4_RE, IPV6_RE
 from adguard2clickhouse_spark.operators import aggregates as agg
+from adguard2clickhouse_spark.operators import contamination as _contamination
 from adguard2clickhouse_spark.operators import dedup, multimodal, similarity, text
+from adguard2clickhouse_spark.operators import scrub as _scrub
 from adguard2clickhouse_spark.sources.events_bridge import (
     log2_from_events,
     oracle_cte,
@@ -615,6 +617,83 @@ def q_distinctive_terms(spark, sf_dir):
     return text.distinctive_terms(docs, k=3)
 
 
+def q_pii_scrub(spark, sf_dir):
+    """X4 curation: sequential regex PII redaction (email → SSN → IPv4
+    → phone). The corpus has no PII, so the text is augmented with
+    doc_id-derived synthetic PII by the SAME expression on both engines
+    — the hash gate then proves the regexes match and redact
+    identically, not just that zero counts equal zero counts."""
+    from adguard2clickhouse_spark.operators.scrub import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    augmented = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" reach me at user"), sid, F.lit("@mail-"), sid,
+            F.lit(".example.org or 10.20."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7, ssn 123-45-"), F.lpad(sid, 4, "0"),
+            F.lit(", tel +1555000"), F.lpad(sid, 4, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(augmented)
+    return out.select(
+        "doc_id", F.md5("redacted").alias("redacted_md5"),
+        "n_email", "n_ssn", "n_ipv4", "n_phone",
+    )
+
+
+def q_repetition(spark, sf_dir):
+    """X4 curation: Gopher-style repetition metrics (unique-token,
+    top-token, duplicate-bigram permille) — the filters that catch
+    degenerate/machine-generated text before it poisons a corpus."""
+    from adguard2clickhouse_spark.operators.repetition import repetition_metrics
+
+    return repetition_metrics(_t(spark, sf_dir, "documents"))
+
+
+def q_top_bigrams(spark, sf_dir):
+    """X4 curation: corpus-level top-20 bigrams (boilerplate mining).
+    Global top-k via orderBy+limit = TakeOrderedAndProject, never a
+    full sort."""
+    from adguard2clickhouse_spark.operators.repetition import corpus_ngram_counts
+
+    out = corpus_ngram_counts(_t(spark, sf_dir, "documents"), n=2, k=20)
+    return out.select(
+        "ngram", F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def q_stratified_sample(spark, sf_dir):
+    """X7 curation: exactly-k-per-language deterministic sample (md5
+    rank inside each stratum) — reproducible corpus-mix rebalancing."""
+    from adguard2clickhouse_spark.operators.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents")
+    return stratified_sample(docs, "lang", 5).select("doc_id", "lang", "rnk")
+
+
+def q_contamination(spark, sf_dir):
+    """X8 curation: benchmark-contamination screen. Docs with
+    doc_id % 20 == 0 stand in for the eval suite; a corpus document is
+    contaminated when it shares ≥1 word 3-gram with any benchmark doc.
+    Benchmark shingles broadcast (eval suites are tiny vs the corpus);
+    corpus shingles never shuffle."""
+    from adguard2clickhouse_spark.operators.contamination import contamination_report
+
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    rep = contamination_report(docs, bench, n=3)
+    return rep.select(
+        "doc_id",
+        (F.col("doc_id") % 20 == 0).alias("is_benchmark"),
+        "n_hits",
+        "contaminated",
+    )
+
+
 def q_approx_stats(spark, sf_dir):
     """Rows-only: HLL distinct + approximate quantiles (ops hygiene at
     100 TB; approximate by definition, no exact oracle)."""
@@ -844,7 +923,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_ivf_topk": q_ivf_topk,
         "x4_doc_profile": q_doc_profile,
         "x4_distinctive_terms": q_distinctive_terms,
+        "x4_pii_scrub": q_pii_scrub,
+        "x4_repetition": q_repetition,
+        "x4_top_bigrams": q_top_bigrams,
         "x7_hash_split": q_hash_split,
+        "x7_stratified_sample": q_stratified_sample,
+        "x8_contamination": q_contamination,
         "x5_media_features": q_media_features,
         "x5_media_probe": q_media_probe,
         "x6_approx_stats": q_approx_stats,
@@ -875,6 +959,16 @@ sh AS (
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """.strip()
+
+# Position-preserving token stream (the shape repetition metrics and
+# n-gram mining share): positions assigned BEFORE the empty-token
+# filter, exactly like the Spark posexplode-then-filter.
+_TOKS_POS_CTE = (
+    "t AS (SELECT doc_id, _pos, _tok FROM ("
+    "SELECT doc_id, unnest(string_split(text, ' ')) AS _tok, "
+    "generate_subscripts(string_split(text, ' '), 1) AS _pos "
+    "FROM documents) WHERE _tok <> '')"
+)
 
 _COSINE_SCORED = """
 q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
@@ -1138,6 +1232,61 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, term, score, rnk FROM ("
             "SELECT doc_id, term, score, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS BIGINT) AS rnk "
             "FROM scored) WHERE rnk <= 3"
+        ),
+        # The augmented-text expression is the verbatim SQL twin of
+        # q_pii_scrub's Spark concat; pii_oracle_sql replays the same
+        # pattern sequence with DuckDB's 'g' flag (global replace).
+        "x4_pii_scrub": (
+            "WITH aug AS (SELECT doc_id, text || ' reach me at user' || "
+            "CAST(doc_id AS VARCHAR) || '@mail-' || CAST(doc_id AS VARCHAR) || "
+            "'.example.org or 10.20.' || CAST(doc_id % 256 AS VARCHAR) || "
+            "'.7, ssn 123-45-' || lpad(CAST(doc_id AS VARCHAR), 4, '0') || "
+            "', tel +1555000' || lpad(CAST(doc_id AS VARCHAR), 4, '0') AS text "
+            "FROM documents) "
+            "SELECT doc_id, md5(redacted) AS redacted_md5, "
+            "n_email, n_ssn, n_ipv4, n_phone FROM "
+            f"(SELECT {_scrub.pii_oracle_sql('text')} FROM aug)"
+        ),
+        "x4_repetition": (
+            f"WITH {_TOKS_POS_CTE}, "
+            "tc AS (SELECT doc_id, _tok, count(*) AS c FROM t GROUP BY 1, 2), "
+            "pd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tok, "
+            "count(*) AS n_uniq, max(c) AS top FROM tc GROUP BY 1), "
+            "bi AS (SELECT doc_id, concat_ws(' ', _tok, nxt) AS b FROM ("
+            "SELECT doc_id, _tok, lead(_tok) OVER (PARTITION BY doc_id ORDER BY _pos) AS nxt "
+            "FROM t) WHERE nxt IS NOT NULL), "
+            "ba AS (SELECT doc_id, count(*) AS n_bi, count(DISTINCT b) AS n_bi_uniq "
+            "FROM bi GROUP BY 1) "
+            "SELECT pd.doc_id, pd.n_tok AS n_tokens, "
+            "CAST(floor(n_uniq * 1000 / n_tok) AS BIGINT) AS uniq_token_permille, "
+            "CAST(floor(top * 1000 / n_tok) AS BIGINT) AS top_token_permille, "
+            "CAST(coalesce(1000 - floor(n_bi_uniq * 1000 / n_bi), 0) AS BIGINT) AS dup_bigram_permille "
+            "FROM pd LEFT JOIN ba ON pd.doc_id = ba.doc_id"
+        ),
+        "x4_top_bigrams": (
+            f"WITH {_TOKS_POS_CTE}, "
+            "bi AS (SELECT doc_id, concat_ws(' ', _tok, nxt) AS ngram FROM ("
+            "SELECT doc_id, _tok, lead(_tok) OVER (PARTITION BY doc_id ORDER BY _pos) AS nxt "
+            "FROM t) WHERE nxt IS NOT NULL) "
+            "SELECT ngram, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+            "FROM bi GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20"
+        ),
+        "x7_stratified_sample": (
+            "SELECT doc_id, lang, rnk FROM (SELECT doc_id, lang, "
+            "CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk "
+            "FROM documents) WHERE rnk <= 5"
+        ),
+        "x8_contamination": (
+            f"WITH sh AS ({_contamination.shingle_sql_cte(3)}), "
+            "bsh AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 20 = 0), "
+            "hits AS (SELECT s.doc_id, count(DISTINCT s.shingle) AS n_hits "
+            "FROM sh s JOIN bsh USING (shingle) GROUP BY 1) "
+            "SELECT d.doc_id, d.doc_id % 20 = 0 AS is_benchmark, "
+            "CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "coalesce(h.n_hits, 0) > 0 AS contaminated "
+            "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
         ),
         "x5_media_probe": (
             "SELECT doc_id AS media_id, "

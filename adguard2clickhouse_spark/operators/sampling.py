@@ -57,3 +57,32 @@ def deterministic_sample(
     rows every run (unlike df.sample, which varies with partitioning).
     Composable: a 100‰ sample is a superset of a 50‰ sample."""
     return df.filter(hash_bucket(id_col) < rate_permille * _BUCKETS // 1000)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    per_stratum: int,
+    id_col: str = "doc_id",
+    rank_col: str = "rnk",
+) -> DataFrame:
+    """Exactly ``per_stratum`` rows per stratum (fewer if the stratum
+    is smaller), chosen deterministically: rank rows inside each
+    stratum by md5(id) — a stable pseudo-random order — and keep the
+    first k. Rebalancing language/source mixes this way is how corpus
+    recipes hit their per-domain token budgets reproducibly.
+
+    Scale: one shuffle on the stratum key. The per-stratum sort the
+    row_number needs is bounded by stratum size — for skew-prone
+    strata (one language dominating a corpus) prefer two-phase: a
+    ``deterministic_sample`` pre-filter at ≈k/N_stratum rate to shrink
+    the big strata, then this exact top-k on the survivors.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(id_col)
+    w = Window.partitionBy(strata_col).orderBy(F.md5(c.cast("string")), c)
+    return (
+        df.withColumn(rank_col, F.row_number().over(w).cast("long"))
+        .filter(F.col(rank_col) <= per_stratum)
+    )

@@ -1,0 +1,162 @@
+"""Curation operators: PII scrub, repetition metrics, corpus n-grams,
+stratified sampling, contamination screen (operators/{scrub,repetition,
+contamination,sampling}.py)."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from adguard2clickhouse_spark.operators.contamination import (
+    contamination_report,
+    shingle_sql_cte,
+    word_shingles,
+)
+from adguard2clickhouse_spark.operators.repetition import (
+    corpus_ngram_counts,
+    repetition_metrics,
+)
+from adguard2clickhouse_spark.operators.sampling import stratified_sample
+from adguard2clickhouse_spark.operators.scrub import scrub_pii
+
+
+@pytest.fixture(scope="module")
+def pii_docs(spark):
+    rows = [
+        (0, "mail alice.smith+x@corp.example.com and bob@b.io today"),
+        (1, "server at 192.168.0.1 and 10.0.0.255 rebooted"),
+        (2, "ssn 123-45-6789 on file, call 555-123-4567 or +4917112345678"),
+        (3, "clean text with no pii at all"),
+        (4, "edge: not-an-ip 999.999.999.999 still matches the dotted-quad shape"),
+    ]
+    return spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+
+def test_scrub_counts_and_redaction(pii_docs):
+    out = {r.doc_id: r for r in scrub_pii(pii_docs).collect()}
+    assert out[0].n_email == 2
+    assert "<EMAIL>" in out[0].redacted and "@" not in out[0].redacted
+    assert out[1].n_ipv4 == 2
+    assert out[2].n_ssn == 1 and out[2].n_phone == 2
+    assert "<SSN>" in out[2].redacted and "<PHONE>" in out[2].redacted
+    assert out[3].n_email == out[3].n_ipv4 == out[3].n_ssn == out[3].n_phone == 0
+    assert out[3].redacted == "clean text with no pii at all"
+    # the scrubber is a syntactic screen, not a validator: 999.* redacts
+    assert out[4].n_ipv4 == 1
+
+
+def test_scrub_sequential_order(pii_docs, spark):
+    """An SSN must be consumed by the SSN pattern, not double-counted
+    by the phone pattern that runs later."""
+    df = spark.createDataFrame([(0, "id 123-45-6789 end")], "doc_id LONG, text STRING")
+    r = scrub_pii(df).head()
+    assert r.n_ssn == 1 and r.n_phone == 0
+    assert r.redacted == "id <SSN> end"
+
+
+def test_repetition_metrics_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "a a a a"),          # 1 uniq of 4; top 4/4; bigrams: 3× "a a" → 1 uniq of 3
+            (1, "a b c d"),          # all unique
+            (2, "solo"),             # 1 token, no bigrams
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert out[0].n_tokens == 4
+    assert out[0].uniq_token_permille == 250
+    assert out[0].top_token_permille == 1000
+    assert out[0].dup_bigram_permille == 1000 - 333
+    assert out[1].uniq_token_permille == 1000
+    assert out[1].dup_bigram_permille == 0
+    assert out[2].n_tokens == 1 and out[2].dup_bigram_permille == 0
+
+
+def test_corpus_ngram_counts_order_and_ties(spark):
+    df = spark.createDataFrame(
+        [(0, "x y x y z"), (1, "x y q")], "doc_id LONG, text STRING"
+    )
+    rows = corpus_ngram_counts(df, n=2, k=3).collect()
+    assert [(r.ngram, r.cnt, r.n_docs) for r in rows] == [
+        ("x y", 3, 2),   # twice in doc 0, once in doc 1
+        ("y q", 1, 1),   # ties on cnt=1 break on ngram asc
+        ("y x", 1, 1),
+    ]
+
+
+def test_stratified_sample_exact_k_and_stable(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 else "de") for i in range(60)], "doc_id LONG, lang STRING"
+    )
+    s1 = stratified_sample(df, "lang", 7)
+    counts = {r.lang: r.n for r in s1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": 7, "de": 7}
+    # deterministic: same ids across independent evaluations
+    ids1 = sorted(r.doc_id for r in s1.collect())
+    ids2 = sorted(r.doc_id for r in stratified_sample(df, "lang", 7).collect())
+    assert ids1 == ids2
+    # nested: the 3-per-stratum sample is a prefix of the 7-per-stratum one
+    ids_small = {r.doc_id for r in stratified_sample(df, "lang", 3).collect()}
+    assert ids_small <= set(ids1)
+
+
+def test_stratified_sample_small_stratum(spark):
+    df = spark.createDataFrame([(1, "fr"), (2, "fr")], "doc_id LONG, lang STRING")
+    assert stratified_sample(df, "lang", 10).count() == 2
+
+
+def test_contamination_flags(spark):
+    corpus = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps"),       # benchmark
+            (1, "a quick brown fox runs away"),     # shares "quick brown fox"
+            (2, "completely different words here"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    bench = corpus.filter(F.col("doc_id") == 0)
+    rep = {r.doc_id: r for r in contamination_report(corpus, bench, n=3).collect()}
+    assert rep[0].contaminated          # benchmark doc flags itself
+    assert rep[1].contaminated and rep[1].n_hits == 1
+    assert not rep[2].contaminated and rep[2].n_hits == 0
+
+
+def test_word_shingles_matches_sql_cte(spark):
+    """The Spark shingler and its published SQL twin agree on a corpus
+    with empty tokens and short docs."""
+    rows = [(0, "a b c d"), (1, "x  y z"), (2, "too short")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = sorted(
+        (r.doc_id, r.shingle) for r in word_shingles(df, n=3).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        + ", ".join(f"({i}, '{t}')" for i, t in rows)
+        + ") v(doc_id, text)"
+    )
+    want = sorted(map(tuple, con.sql(shingle_sql_cte(3)).fetchall()))
+    assert got == want
+    assert (1, "x y z") in got  # empty token skipped, positions preserved
+
+
+def test_contamination_broadcasts_benchmark(spark):
+    """The benchmark shingle set must broadcast — corpus shingles never
+    shuffle through the join (only the per-doc hit agg exchanges)."""
+    corpus = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3}") for i in range(50)],
+        "doc_id LONG, text STRING",
+    )
+    bench = corpus.filter(F.col("doc_id") < 3)
+    plan = (
+        contamination_report(corpus, bench)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the shingle equi-join itself must be the broadcast one (the final
+    # per-doc left join is AQE's call — its build side is a runtime-sized
+    # aggregate)
+    assert "BroadcastHashJoin [shingle" in plan
