@@ -31,6 +31,7 @@ from adguard2clickhouse_spark.functions import IPV4_RE, IPV6_RE
 from adguard2clickhouse_spark.operators import aggregates as agg
 from adguard2clickhouse_spark.operators import contamination as _contamination
 from adguard2clickhouse_spark.operators import dedup, multimodal, similarity, text
+from adguard2clickhouse_spark.operators import packing as _packing
 from adguard2clickhouse_spark.operators import scrub as _scrub
 from adguard2clickhouse_spark.sources.events_bridge import (
     log2_from_events,
@@ -694,6 +695,19 @@ def q_contamination(spark, sf_dir):
     )
 
 
+def q_sequence_pack(spark, sf_dir):
+    """X9 curation: greedy sequence packing (fixed 256-token training
+    sequences, packed per language stratum in doc-id order). The
+    applyInPandas kernel's exact bin/pos/fill assignment is replayed by
+    a DuckDB recursive CTE — a hash gate over a genuinely
+    non-relational operator."""
+    from adguard2clickhouse_spark.operators.packing import pack_greedy
+
+    docs = _t(spark, sf_dir, "documents")
+    meta = docs.select("doc_id", "lang", text.token_count("text").alias("n_tokens"))
+    return pack_greedy(meta, max_tokens=256)
+
+
 def q_approx_stats(spark, sf_dir):
     """Rows-only: HLL distinct + approximate quantiles (ops hygiene at
     100 TB; approximate by definition, no exact oracle)."""
@@ -929,6 +943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_hash_split": q_hash_split,
         "x7_stratified_sample": q_stratified_sample,
         "x8_contamination": q_contamination,
+        "x9_sequence_pack": q_sequence_pack,
         "x5_media_features": q_media_features,
         "x5_media_probe": q_media_probe,
         "x6_approx_stats": q_approx_stats,
@@ -1277,6 +1292,11 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY lang "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk "
             "FROM documents) WHERE rnk <= 5"
+        ),
+        "x9_sequence_pack": _packing.pack_oracle_sql(
+            256,
+            "SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens "
+            "FROM documents",
         ),
         "x8_contamination": (
             f"WITH sh AS ({_contamination.shingle_sql_cte(3)}), "

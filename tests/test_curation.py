@@ -160,3 +160,69 @@ def test_contamination_broadcasts_benchmark(spark):
     # per-doc left join is AQE's call — its build side is a runtime-sized
     # aggregate)
     assert "BroadcastHashJoin [shingle" in plan
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (operators/packing.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def packed(spark):
+    from adguard2clickhouse_spark.operators.packing import pack_greedy
+
+    rows = [
+        # lang, doc_id, n_tokens — en stream: 100+100 fit, 60 spills etc.
+        ("en", 1, 100), ("en", 2, 100), ("en", 3, 60), ("en", 4, 200),
+        ("en", 5, 300),            # oversize (max 256)
+        ("en", 6, 10),
+        ("de", 10, 256),           # exactly full bin
+        ("de", 11, 1),
+    ]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id LONG, n_tokens LONG")
+    return {r.doc_id: r for r in pack_greedy(df, max_tokens=256).collect()}
+
+
+def test_pack_greedy_bins(packed):
+    # en: [1,2]=200, +3=260>256 → [3,4]=260>256? 60+200=260>256 → 3 alone? no:
+    # greedy: bin0 {1:100,2:200(fill)}, 3 would make 260 → bin1 {3:60},
+    # 4: 60+200=260>256 → bin2 {4:200}, 5: 200+300>256 → bin3 {5:300 oversize},
+    # 6: 300+10>256 → bin4 {6:10}
+    assert (packed[1].bin, packed[1].pos, packed[1].fill) == (0, 0, 100)
+    assert (packed[2].bin, packed[2].pos, packed[2].fill) == (0, 1, 200)
+    assert (packed[3].bin, packed[3].pos, packed[3].fill) == (1, 0, 60)
+    assert (packed[4].bin, packed[4].pos) == (2, 0)
+    assert (packed[5].bin, packed[5].oversize) == (3, True)
+    assert packed[6].bin == 4
+    # de: exactly-full bin closes before the next doc
+    assert (packed[10].bin, packed[10].fill) == (0, 256)
+    assert (packed[11].bin, packed[11].pos) == (1, 0)
+
+
+def test_pack_fill_invariant(spark):
+    """Every non-oversize bin fill stays ≤ max_tokens; positions are
+    contiguous from 0 in id order."""
+    from adguard2clickhouse_spark.operators.packing import pack_greedy
+
+    rows = [("x", i, (i * 37) % 120 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "lang STRING, doc_id LONG, n_tokens LONG")
+    out = pack_greedy(df, max_tokens=256)
+    assert out.filter((F.col("fill") > 256) & ~F.col("oversize")).count() == 0
+    # pos within each bin is exactly 0..k-1 in doc_id order
+    import itertools
+
+    rows_out = sorted(out.collect(), key=lambda r: (r.bin, r.doc_id))
+    for _, grp in itertools.groupby(rows_out, key=lambda r: r.bin):
+        g = list(grp)
+        assert [r.pos for r in g] == list(range(len(g)))
+
+
+def test_packing_efficiency_report(spark):
+    from adguard2clickhouse_spark.operators.packing import (
+        pack_greedy,
+        packing_efficiency,
+    )
+
+    rows = [("en", i, 128) for i in range(10)]  # pairs fill bins exactly
+    df = spark.createDataFrame(rows, "lang STRING, doc_id LONG, n_tokens LONG")
+    rep = packing_efficiency(pack_greedy(df, 256), 256).head()
+    assert rep.n_bins == 5 and rep.fill_permille == 1000
