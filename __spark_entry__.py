@@ -468,8 +468,17 @@ def q_ngram_jaccard_capped(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """Rows-only check (xxhash64 has no DuckDB twin)."""
+    """Rows-only check (xxhash64 has no DuckDB twin); the exact-gated
+    variant of the identical pipeline is x2_minhash_lsh_md5."""
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_lsh_md5(spark, sf_dir):
+    """X2b under the hash gate: the same banded MinHash LSH pipeline
+    with the engine-portable md5 minhash — signatures, banding,
+    candidate join, and the est-Jaccard readback all replayed exactly
+    by the DuckDB oracle."""
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"), portable=True)
 
 
 def q_simhash(spark, sf_dir):
@@ -927,6 +936,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x2_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "x2_minhash_lsh": q_minhash_lsh,
+        "x2_minhash_lsh_md5": q_minhash_lsh_md5,
         "x2_simhash_pairs": q_simhash,
         "x2_winnow_fingerprints": q_winnow,
         "x2_embedding_dup": q_embedding_dup,
@@ -974,6 +984,37 @@ sh AS (
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """.strip()
+
+def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs(portable=True): md5
+    minhashes (first 60 bits as BIGINT), string band keys, band
+    equi-join, and the 16-way signature-agreement readback."""
+    rpb = num_hashes // bands
+    mh_defs = ", ".join(
+        f"min(('0x' || substring(md5(s || '#{i}'), 1, 15))::BIGINT) AS mh_{i}"
+        for i in range(num_hashes)
+    )
+    band_rows = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws('|', "
+        + ", ".join(f"CAST(mh_{b * rpb + r} AS VARCHAR)" for r in range(rpb))
+        + ") AS key FROM sig"
+        for b in range(bands)
+    )
+    agree = " + ".join(
+        f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return (
+        f"WITH {_SHINGLE_CTE}, "
+        f"sig AS (SELECT doc_id, {mh_defs} FROM sh GROUP BY doc_id), "
+        f"bands AS ({band_rows}), "
+        "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nb "
+        "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "SELECT da AS doc_a, db AS doc_b, CAST(nb AS BIGINT) AS n_bands_agree, "
+        f"CAST(floor(({agree}) * 1000 / {num_hashes}) AS BIGINT) AS est_jaccard_permille "
+        "FROM pairs JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id"
+    )
+
 
 # Position-preserving token stream (the shape repetition metrics and
 # n-gram mining share): positions assigned BEFORE the empty-token
@@ -1293,6 +1334,7 @@ def oracle_sql() -> dict[str, str]:
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk "
             "FROM documents) WHERE rnk <= 5"
         ),
+        "x2_minhash_lsh_md5": _minhash_md5_oracle(),
         "x9_sequence_pack": _packing.pack_oracle_sql(
             256,
             "SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens "

@@ -299,6 +299,43 @@ def minhash_signatures(
     )
 
 
+def minhash_md5_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    num_hashes: int = 16,
+    balance: bool = True,
+) -> DataFrame:
+    """Engine-portable MinHash: mh_i = min over shingles of the first
+    60 bits of md5(shingle ∥ '#i'), as a long.
+
+    Slower than the xxhash64 form (md5 per shingle per hash, string
+    shingles through the explode), but every step exists verbatim in
+    DuckDB — so the WHOLE banded-LSH pipeline sits under the driver's
+    exact hash gate (see x2_minhash_lsh_md5), turning the fast twin's
+    rows-only check into a proven-identical algorithm with a swapped
+    hash primitive.
+    """
+    tok = (
+        _balanced(df, balance)
+        .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_s"))
+    )
+    return tok.groupBy("_id").agg(
+        *[
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat_ws("#", F.col("_s"), F.lit(str(i)))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -307,6 +344,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     balance: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash LSH.
 
@@ -315,16 +353,32 @@ def minhash_lsh_pairs(
     join key is (band_index, band_hash) — tiny, uniform, shuffle-friendly.
     Returns (doc_a, doc_b, n_bands_agree, est_jaccard_permille) where
     est_jaccard is the fraction of agreeing minhashes ×1000 (integer).
+
+    ``portable=True`` swaps xxhash64 minhashes for the md5 form and
+    string band keys (concat of the band's minhashes) — bit-identical
+    in DuckDB, used by the oracle-gated driver query.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, text_col, id_col, n, num_hashes, balance)
-
-    band_exprs = [
-        F.xxhash64(*[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]).alias(
-            f"band_{b}"
-        )
-        for b in range(bands)
-    ]
+    if portable:
+        sig = minhash_md5_signatures(df, text_col, id_col, n, num_hashes, balance)
+        band_exprs = [
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        sig = minhash_signatures(df, text_col, id_col, n, num_hashes, balance)
+        band_exprs = [
+            F.xxhash64(
+                *[F.col(f"mh_{b * rows_per_band + r}") for r in range(rows_per_band)]
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
     banded = sig.select("_id", *[F.col(f"mh_{i}") for i in range(num_hashes)], *band_exprs)
 
     # Cache the bucket relation: the signature build (num_hashes array

@@ -372,3 +372,21 @@ def test_distinctive_terms_ranks_rare_terms_first(spark):
     assert top[(1, 2)] == ("unique1", 1_000_000)
     assert top[(2, 1)] == ("unique2", 2_000_000)   # tf2/df1 beats common
     assert top[(3, 1)] == ("filler", 2_000_000)
+
+
+def test_minhash_portable_matches_fast_variant(fixture_docs):
+    """The md5-portable LSH (oracle-gated) and the xxhash64 fast path
+    are the same algorithm with a swapped hash primitive — on this
+    corpus (dup pairs at J≈1, where any minhash scheme agrees on all
+    bands) they must emit the identical pair set."""
+    from adguard2clickhouse_spark.operators import dedup
+
+    fast = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(fixture_docs).collect()
+    }
+    portable = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.minhash_lsh_pairs(fixture_docs, portable=True).collect()
+    }
+    assert fast and fast == portable
