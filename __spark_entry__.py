@@ -274,6 +274,36 @@ def q_exists_subquery(spark, sf_dir):
     )
 
 
+def q_salted_join(spark, sf_dir):
+    """Skew-safe salted equi-join (operators/skew.py) under the hash
+    gate. The join key is event_type — a handful of hot values owning
+    ~12k rows each at sf0.01, exactly the shape where one reducer owns
+    a key at corpus scale. The fat side scatters 8 ways on stable row
+    attributes; the slim per-type stats replicate 8×. Salting is
+    semantics-preserving for inner equi-joins, so the oracle is the
+    PLAIN join — the gate proves salted ≡ unsalted on real data.
+    """
+    from adguard2clickhouse_spark.operators.skew import salted_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    type_stats = ev.groupBy("event_type").agg(
+        F.floor(F.avg("value") * 1000).cast("long").alias("type_avg_permille")
+    )
+    joined = salted_join(
+        ev, type_stats, on="event_type", salt=8, spread_cols=["event_id"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(
+                F.floor(F.col("value") * 1000) > F.col("type_avg_permille"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_above_avg"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Events analytics (streaming-shaped batch queries)
 # ---------------------------------------------------------------------------
@@ -482,14 +512,32 @@ def q_minhash_lsh_md5(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """Rows-only check (xxhash64 has no DuckDB twin)."""
+    """Rows-only check (xxhash64 has no DuckDB twin); the exact-gated
+    variant of the identical pipeline is x2_simhash_md5."""
     return dedup.simhash_near_pairs(_t(spark, sf_dir, "documents"), max_hamming=8)
+
+
+def q_simhash_md5(spark, sf_dir):
+    """X2c under the hash gate: the full SimHash pipeline — 60-bit md5
+    sketch, 9-band pigeonhole candidate join, Hamming verify — replayed
+    bit-identically by the DuckDB oracle."""
+    return dedup.simhash_near_pairs(
+        _t(spark, sf_dir, "documents"), max_hamming=8, portable=True
+    )
 
 
 def q_winnow(spark, sf_dir):
     """Rows-only: winnowing fingerprint sets (rolling-hash selection;
-    xxhash64 has no DuckDB twin)."""
+    xxhash64 has no DuckDB twin — the exact-gated variant of the
+    identical selection is x2_winnow_md5)."""
     return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+def q_winnow_md5(spark, sf_dir):
+    """X2e under the hash gate: winnowing with the portable md5 k-gram
+    hash — positional hashing, window minima, distinct selection all
+    replayed by the DuckDB oracle."""
+    return dedup.winnow_fingerprints(_t(spark, sf_dir, "documents"), portable=True)
 
 
 def _query_vec(spark, sf_dir, vec_id: int = 0) -> list[float]:
@@ -919,6 +967,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_anti_join": q_anti_join,
         "x_semi_join": q_semi_join,
         "x_exists_subquery": q_exists_subquery,
+        "x_salted_join": q_salted_join,
         # events analytics
         "e_sessions": q_sessions,
         "e_pivot": q_pivot,
@@ -938,7 +987,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_lsh": q_minhash_lsh,
         "x2_minhash_lsh_md5": q_minhash_lsh_md5,
         "x2_simhash_pairs": q_simhash,
+        "x2_simhash_md5": q_simhash_md5,
         "x2_winnow_fingerprints": q_winnow,
+        "x2_winnow_md5": q_winnow_md5,
         "x2_embedding_dup": q_embedding_dup,
         "x2_embedding_dup_lsh": q_embedding_dup_lsh,
         "x3_topk_cosine": q_topk_cosine,
@@ -984,6 +1035,58 @@ sh AS (
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """.strip()
+
+def _simhash_md5_oracle(max_hamming: int = 8) -> str:
+    """DuckDB twin of dedup.simhash_near_pairs(portable=True): 60-bit
+    md5 token hashes, sign-of-bit-sums sketch, pigeonhole banding,
+    Hamming verify via bit_count(xor) — same integer ops end to end."""
+    bands = max_hamming + 1
+    base, rem = divmod(60, bands)
+    widths = [base + 1 if b < rem else base for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    bit_defs = ", ".join(
+        f"sum(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(60)
+    )
+    sketch = " + ".join(
+        f"CASE WHEN b{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END" for i in range(60)
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, s, {b} AS band, (s >> {offsets[b]}) & {(1 << widths[b]) - 1} "
+        "AS chunk FROM sig"
+        for b in range(bands)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, unnest(str_split(text, ' ')) AS t FROM documents), "
+        "th AS (SELECT doc_id, ('0x' || substring(md5(t), 1, 15))::BIGINT AS h FROM tok), "
+        f"bits AS (SELECT doc_id, {bit_defs} FROM th GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, {sketch} AS s FROM bits), "
+        f"chunks AS ({chunk_rows}) "
+        "SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+        "CAST(bit_count(xor(a.s, b.s)) AS BIGINT) AS hamming "
+        "FROM chunks a JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk "
+        f"AND a.doc_id < b.doc_id WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}"
+    )
+
+
+def _winnow_md5_oracle(k: int = 5, w: int = 4) -> str:
+    """DuckDB twin of dedup.winnow_fingerprints(portable=True): md5
+    k-gram hashes at each position, min over each w-window (only full
+    windows, like the Spark slice bound), distinct minima."""
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents), "
+        "kg AS (SELECT doc_id, i, "
+        f"('0x' || substring(md5({gram}), 1, 15))::BIGINT AS h "
+        f"FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {k - 1})) AS i) g "
+        f"WHERE len(t) >= {k}), "
+        "wm AS (SELECT doc_id, i, "
+        "min(h) OVER (PARTITION BY doc_id ORDER BY i "
+        f"ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m, "
+        "count(*) OVER (PARTITION BY doc_id) AS nk FROM kg) "
+        f"SELECT DISTINCT doc_id, m AS fingerprint FROM wm WHERE i <= nk - {w - 1}"
+    )
+
 
 def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     """DuckDB twin of dedup.minhash_lsh_pairs(portable=True): md5
@@ -1162,6 +1265,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT count(*) AS n FROM orders WHERE EXISTS ("
             "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)"
         ),
+        # the oracle is the UNSALTED join: salting must be invisible
+        "x_salted_join": (
+            "WITH ts AS (SELECT event_type, CAST(floor(avg(value) * 1000) AS BIGINT) "
+            "AS type_avg_permille FROM events GROUP BY event_type) "
+            "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_events, "
+            "CAST(sum(CASE WHEN floor(e.value * 1000) > ts.type_avg_permille "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_above_avg "
+            "FROM events e JOIN ts USING (event_type) GROUP BY e.event_type"
+        ),
         "e_sessions": (
             "WITH o AS (SELECT user_id, ts, event_id, "
             "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
@@ -1335,6 +1447,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE rnk <= 5"
         ),
         "x2_minhash_lsh_md5": _minhash_md5_oracle(),
+        "x2_simhash_md5": _simhash_md5_oracle(),
+        "x2_winnow_md5": _winnow_md5_oracle(),
         "x9_sequence_pack": _packing.pack_oracle_sql(
             256,
             "SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens "

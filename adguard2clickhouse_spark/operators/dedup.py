@@ -226,6 +226,29 @@ def _positional_shingle_hashes(toks, n: int):
     )
 
 
+def _positional_shingle_md5(toks, n: int):
+    """Engine-portable twin of `_positional_shingle_hashes`: first 60
+    bits of md5 over the space-joined n-gram — replays verbatim in
+    DuckDB (see x2_winnow_md5's oracle)."""
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.transform(
+        F.sequence(F.lit(1), count),
+        lambda i: F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long"),
+    )
+
+
 def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
@@ -233,9 +256,14 @@ def winnow_fingerprints(
     k: int = 5,
     w: int = 4,
     balance: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Winnowing document fingerprints (rolling-hash selection, the
     MOSS scheme: Schleimer/Wilkerson/Aiken, SIGMOD 2003).
+
+    ``portable=True`` hashes k-grams with the 60-bit md5 form instead
+    of xxhash64 — the selection (window minima over positions) is
+    unchanged, and the whole operator replays in DuckDB (x2_winnow_md5).
 
     Hash every token k-gram, slide a window of w consecutive hashes,
     keep the minimum of each window; the distinct minima are the
@@ -259,7 +287,14 @@ def winnow_fingerprints(
     return (
         _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select("_id", _positional_shingle_hashes(F.col("_toks"), k).alias("_hs"))
+        .select(
+            "_id",
+            (
+                _positional_shingle_md5(F.col("_toks"), k)
+                if portable
+                else _positional_shingle_hashes(F.col("_toks"), k)
+            ).alias("_hs"),
+        )
         .filter(F.size("_hs") >= w)
         .select(F.col("_id").alias(id_col), F.explode(mins).alias("fingerprint"))
     )
@@ -465,32 +500,73 @@ def simhash(
     return agg.select(F.col("_id").alias(id_col), sketch.alias("simhash"))
 
 
+def simhash_md5(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    balance: bool = True,
+) -> DataFrame:
+    """Engine-portable 60-bit SimHash: the token hash is the first 60
+    bits of md5(token) as a long. Same sign-of-bit-sums construction
+    as `simhash`; 60 bits keeps the sketch and every band chunk
+    non-negative, so plain arithmetic shifts agree across engines and
+    the whole sketch replays verbatim in DuckDB (the oracle for
+    x2_simhash_md5). Slower than xxhash64 — use for cross-engine
+    verification, not the hot path.
+    """
+    tok = _balanced(df, balance).select(
+        F.col(id_col).alias("_id"), F.explode(F.split(F.col(text_col), " ")).alias("_t")
+    ).withColumn(
+        "_h", F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10).cast("long")
+    )
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("_h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(60)
+    ]
+    agg = tok.groupBy("_id").agg(*bit_sums)
+    sketch = F.lit(0).cast("long")
+    for i in range(60):
+        sketch = sketch + F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return agg.select(F.col("_id").alias(id_col), sketch.alias("simhash"))
+
+
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     balance: bool = True,
+    portable: bool = False,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming — complete.
 
-    Band trick: split the 64 bits into ``max_hamming + 1`` near-equal
-    bands. A pair within the Hamming budget has at most ``max_hamming``
-    differing bits, which cannot touch all ``max_hamming + 1`` bands
-    (pigeonhole) — so every qualifying pair agrees exactly on ≥1 band
-    and is found by the (band, chunk) equi-join; no all-pairs compare,
-    no silent recall loss. More bands (larger max_hamming) = shorter
-    chunks = more candidates to verify: cost scales with the radius,
-    correctness does not.
+    Band trick: split the sketch bits into ``max_hamming + 1``
+    near-equal bands. A pair within the Hamming budget has at most
+    ``max_hamming`` differing bits, which cannot touch all
+    ``max_hamming + 1`` bands (pigeonhole) — so every qualifying pair
+    agrees exactly on ≥1 band and is found by the (band, chunk)
+    equi-join; no all-pairs compare, no silent recall loss. More bands
+    (larger max_hamming) = shorter chunks = more candidates to verify:
+    cost scales with the radius, correctness does not.
+
+    ``portable=True`` swaps the 64-bit xxhash64 token hash for the
+    60-bit md5 form (`simhash_md5`) so the whole pipeline — sketch,
+    banding, candidate join, Hamming verify — replays bit-identically
+    in DuckDB (see x2_simhash_md5).
     """
     bands = max_hamming + 1
-    if bands > 32:
-        raise ValueError("max_hamming > 31 needs >32 bands of a 64-bit sketch")
-    base, rem = divmod(64, bands)
+    total_bits = 60 if portable else 64
+    if bands > total_bits // 2:
+        raise ValueError("max_hamming too large for the sketch width")
+    base, rem = divmod(total_bits, bands)
     widths = [base + 1 if b < rem else base for b in range(bands)]
     offsets = [sum(widths[:b]) for b in range(bands)]
 
-    sk = simhash(df, text_col, id_col, balance)
+    sk = (
+        simhash_md5(df, text_col, id_col, balance)
+        if portable
+        else simhash(df, text_col, id_col, balance)
+    )
     # persist: the banded relation feeds both self-join sides — without
     # it the 64-aggregate sketch shuffle runs twice.
     chunks = sk.select(
@@ -525,7 +601,7 @@ def simhash_near_pairs(
             .select(
                 F.col("a._id").alias("doc_a"),
                 F.col("b._id").alias("doc_b"),
-                ham.alias("hamming"),
+                ham.cast("long").alias("hamming"),
             )
             .dropDuplicates(["doc_a", "doc_b"])
             .localCheckpoint(eager=True)

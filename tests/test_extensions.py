@@ -117,6 +117,37 @@ def test_winnow_shared_run_guarantee(docs_df):
     assert len(by_doc[1]) < 36
 
 
+def test_winnow_portable_shares_selection_properties(docs_df):
+    """The md5-portable winnowing (oracle-gated as x2_winnow_md5) uses
+    a different hash, so the selected minima differ from the xxhash64
+    path — but the hash-independent guarantees must hold identically:
+    shared-run detection, disjoint isolation, ~2/(w+1) density."""
+    from adguard2clickhouse_spark.operators.dedup import winnow_fingerprints
+
+    fps = winnow_fingerprints(docs_df, k=5, w=4, portable=True)
+    by_doc: dict[int, set] = {}
+    for r in fps.collect():
+        by_doc.setdefault(r.doc_id, set()).add(r.fingerprint)
+    assert by_doc[1] & by_doc[2]
+    assert not (by_doc[1] & by_doc[3])
+    assert len(by_doc[1]) < 36
+
+
+def test_simhash_portable_pairs_exact_dups_at_hamming_zero(spark):
+    from adguard2clickhouse_spark.operators.dedup import simhash_near_pairs
+
+    t = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, "entirely unrelated vocabulary everywhere " * 5)],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in simhash_near_pairs(docs, max_hamming=8, portable=True).collect()
+    }
+    assert got.get((1, 2)) == 0
+
+
 def test_winnow_deterministic(docs_df):
     from adguard2clickhouse_spark.operators.dedup import winnow_fingerprints
 
