@@ -449,6 +449,22 @@ def q_dedup_count(spark, sf_dir):
     return dedup.fingerprint_dedup(docs).agg(F.count(F.lit(1)).alias("n"))
 
 
+def q_incremental_dedup(spark, sf_dir):
+    """X1 at ingest time: the corpus hash-split 80/20 into history and
+    an incoming batch (the same portable md5 bucketing as
+    x7_hash_split); `incremental_dedup` admits incoming docs that are
+    new within the batch AND unseen in the historical digest set. The
+    history side is digests only — the 100 TB shape."""
+    from adguard2clickhouse_spark.operators.sampling import hash_bucket
+
+    docs = _t(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id")
+    seen = dedup.corpus_fingerprints(docs.filter(b < 8000))
+    return dedup.incremental_dedup(docs.filter(b >= 8000), seen).select(
+        "doc_id", "lang", "source"
+    )
+
+
 def q_token_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select(
@@ -608,6 +624,23 @@ def q_ivf_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir, 0)
     return similarity.ivf_topk(emb, q, k=10, n_cells=16, nprobe=4)
+
+
+def q_quantize_int8(spark, sf_dir):
+    """X3 storage path under the hash gate: symmetric per-vector int8
+    quantization (clamped integer floor at scale amax/127). The driver
+    output is scalar per-vector summaries of the quantized array (the
+    harness cannot canonicalize list columns); the oracle replays the
+    full quantization with DuckDB list_transform."""
+    emb = similarity.quantize_embeddings_int8(_t(spark, sf_dir, "embeddings"))
+    qv = F.col("q_embedding")
+    return emb.select(
+        "vec_id",
+        "q_scale_ppm",
+        F.array_min(qv).cast("long").alias("q_min"),
+        F.array_max(qv).cast("long").alias("q_max"),
+        F.aggregate(qv, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+    )
 
 
 def q_doc_profile(spark, sf_dir):
@@ -979,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
         "x1_dedup_clusters": q_dedup_clusters,
+        "x1_incremental_dedup": q_incremental_dedup,
         "x4_token_stats": q_token_stats,
         "x4_quality": q_quality,
         "x4_lang_id": q_lang_id,
@@ -996,6 +1030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_knn_join": q_knn_join,
         "x3_lsh_topk": q_lsh_topk,
         "x3_ivf_topk": q_ivf_topk,
+        "x3_quantize_int8": q_quantize_int8,
         "x4_doc_profile": q_doc_profile,
         "x4_distinctive_terms": q_distinctive_terms,
         "x4_pii_scrub": q_pii_scrub,
@@ -1297,6 +1332,17 @@ def oracle_sql() -> dict[str, str]:
         "x1_dedup_count": (
             f"SELECT count(DISTINCT {_FP_SQL}) AS n FROM documents"
         ),
+        "x1_incremental_dedup": (
+            f"WITH fp AS (SELECT doc_id, lang, source, {_FP_SQL} AS f, "
+            "CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) "
+            "% 10000 AS INT) AS b FROM documents), "
+            "hist AS (SELECT DISTINCT f FROM fp WHERE b < 8000), "
+            "inc AS (SELECT doc_id, lang, source, f FROM fp WHERE b >= 8000), "
+            "w AS (SELECT f, min(doc_id) AS doc_id FROM inc GROUP BY f) "
+            "SELECT i.doc_id, i.lang, i.source FROM inc i "
+            "JOIN w ON i.doc_id = w.doc_id AND i.f = w.f "
+            "WHERE i.f NOT IN (SELECT f FROM hist)"
+        ),
         "x4_token_stats": (
             "SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens, "
             "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe_tokens "
@@ -1381,6 +1427,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, "
             "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk "
             "FROM scored) WHERE rnk <= 3"
+        ),
+        "x3_quantize_int8": (
+            "WITH a AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, "
+            "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax "
+            "FROM embeddings), "
+            "q AS (SELECT vec_id, amax, CASE WHEN amax = 0 "
+            "THEN list_transform(v, x -> 0::BIGINT) "
+            "ELSE list_transform(v, x -> greatest(-127::BIGINT, least(127::BIGINT, "
+            "CAST(floor(x * 127 / amax) AS BIGINT)))) END AS qv FROM a) "
+            "SELECT vec_id, CAST(floor(amax * 1000000) AS BIGINT) AS q_scale_ppm, "
+            "CAST(list_min(qv) AS BIGINT) AS q_min, CAST(list_max(qv) AS BIGINT) AS q_max, "
+            "CAST(list_sum(qv) AS BIGINT) AS q_sum FROM q"
         ),
         "x5_media_features": (
             "SELECT doc_id AS media_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes, "

@@ -68,6 +68,43 @@ def fingerprint_dedup(
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
+def corpus_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """The historical corpus reduced to its distinct 32-char digests —
+    the only thing incremental dedup ever needs from 100 TB of history.
+    Materialize this once per corpus snapshot (ideally bucketed by
+    `fingerprint`) and ship it to every ingest job; bodies stay put."""
+    return df.select(fingerprint(text_col).alias("fingerprint")).distinct()
+
+
+def incremental_dedup(
+    incoming: DataFrame,
+    seen_fingerprints: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Admit only genuinely new documents from an ingest batch:
+    within-batch exact dups collapse to the min-id winner, then
+    anything whose fingerprint already exists in the historical corpus
+    (`seen_fingerprints` from `corpus_fingerprints`) is dropped via a
+    left-anti join on the digest.
+
+    Scale shape: the incoming side shuffles (digest, id) pairs only;
+    the historical side is a single 32-char column. With both sides
+    bucketed on `fingerprint` the anti join is exchange-free; otherwise
+    it is one shuffle of digests — never of document bodies.
+    """
+    inc = incoming.withColumn("_fp", fingerprint(text_col))
+    winners = inc.groupBy("_fp").agg(F.min(id_col).alias(id_col))
+    batch_unique = inc.join(
+        winners, on=[id_col, "_fp"], how="left_semi"
+    )
+    return batch_unique.join(
+        seen_fingerprints.withColumnRenamed("fingerprint", "_fp").select("_fp"),
+        on="_fp",
+        how="left_anti",
+    ).drop("_fp")
+
+
 def duplicate_groups(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -45,6 +45,57 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def normalize_embeddings(
+    df: DataFrame, vec_col: str = "embedding", out_col: str | None = None
+) -> DataFrame:
+    """L2-normalize an embedding column: v / ‖v‖ (double precision);
+    zero vectors pass through unchanged. Normalizing once at ingest
+    turns every downstream cosine into a plain dot product — at corpus
+    scale that halves the per-pair flops and lets the dot kernel skip
+    the per-row norm entirely."""
+    out = out_col or vec_col
+    c = F.col(vec_col)
+    n = norm(c)
+    return df.withColumn(
+        out,
+        F.when(n == 0, F.transform(c, lambda x: x.cast("double"))).otherwise(
+            F.transform(c, lambda x: x.cast("double") / n)
+        ),
+    )
+
+
+def quantize_embeddings_int8(
+    df: DataFrame, vec_col: str = "embedding", q_col: str = "q_embedding"
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization:
+    ``q_i = clamp(floor(v_i * 127 / amax), -127, 127)`` with
+    ``amax = max(|v_i|)``; the scale survives as ``q_scale_ppm``
+    (floor(amax·10⁶)). 4× smaller storage and int8 SIMD kernels
+    downstream; max dequantization error amax/127 per component.
+    Integer floor + clamp keep the mapping engine-portable — the
+    x3_quantize_int8 oracle replays it exactly in DuckDB."""
+    c = F.col(vec_col)
+    amax = F.array_max(F.transform(c, lambda x: F.abs(x.cast("double"))))
+    quant = F.transform(
+        c,
+        lambda x: F.greatest(
+            F.lit(-127),
+            F.least(F.lit(127), F.floor(x.cast("double") * 127.0 / amax)),
+        ).cast("int"),
+    )
+    zeros = F.transform(c, lambda x: F.lit(0).cast("int"))
+    return df.withColumn(
+        q_col, F.when(amax == 0, zeros).otherwise(quant)
+    ).withColumn("q_scale_ppm", F.floor(amax * 1e6).cast("long"))
+
+
+def dequantize_int8(q_col: Column, scale_ppm: Column) -> Column:
+    """Inverse mapping: ``q_i · (scale_ppm/10⁶) / 127`` as double."""
+    return F.transform(
+        q_col, lambda q: q.cast("double") * (scale_ppm.cast("double") / 1e6) / 127.0
+    )
+
+
 def topk_cosine(
     df: DataFrame,
     query_vec: list[float],

@@ -117,6 +117,62 @@ def test_winnow_shared_run_guarantee(docs_df):
     assert len(by_doc[1]) < 36
 
 
+def test_normalize_embeddings_unit_norm_and_cosine_invariance(spark):
+    df = spark.createDataFrame(
+        [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 2.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    normed = similarity.normalize_embeddings(df, out_col="u")
+    rows = {r.vec_id: r for r in normed.collect()}
+    assert rows[1].u == pytest.approx([0.6, 0.8])
+    assert rows[2].u == [0.0, 0.0]  # zero vector passes through
+    # cosine(u, q) == dot(u, q/|q|): normalization removes the norm term
+    got = normed.filter(F.col("vec_id") != 2).select(
+        "vec_id",
+        similarity.dot(F.col("u"), F.array(F.lit(1.0), F.lit(0.0))).alias("d"),
+        similarity.cosine(F.col("embedding"), F.array(F.lit(1.0), F.lit(0.0))).alias("c"),
+    ).collect()
+    for r in got:
+        assert r.d == pytest.approx(r.c)
+
+
+def test_quantize_int8_bounds_and_roundtrip_error(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25]), (2, [0.0, 0.0, 0.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    q = similarity.quantize_embeddings_int8(df)
+    rows = {r.vec_id: r for r in q.collect()}
+    assert rows[2].q_embedding == [0, 0, 0] and rows[2].q_scale_ppm == 0
+    qv, scale = rows[1].q_embedding, rows[1].q_scale_ppm / 1e6
+    assert all(-127 <= x <= 127 for x in qv)
+    assert min(qv) == -127  # the max-magnitude component hits the rail
+    for orig, qi in zip([0.5, -1.0, 0.25], qv):
+        assert abs(qi * scale / 127 - orig) <= scale / 127 + 1e-9
+
+
+def test_incremental_dedup_drops_history_and_batch_dups(spark):
+    from adguard2clickhouse_spark.operators.dedup import (
+        corpus_fingerprints,
+        incremental_dedup,
+    )
+
+    hist = spark.createDataFrame([(1, "seen before")], "doc_id LONG, text STRING")
+    inc = spark.createDataFrame(
+        [
+            (10, "seen   BEFORE"),  # dup of history after normalization
+            (11, "fresh one"),
+            (12, "fresh one"),  # within-batch dup → min id wins
+            (13, "unique text"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    out = sorted(
+        r.doc_id for r in incremental_dedup(inc, corpus_fingerprints(hist)).collect()
+    )
+    assert out == [11, 13]
+
+
 def test_winnow_portable_shares_selection_properties(docs_df):
     """The md5-portable winnowing (oracle-gated as x2_winnow_md5) uses
     a different hash, so the selected minima differ from the xxhash64
