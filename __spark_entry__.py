@@ -274,6 +274,24 @@ def q_exists_subquery(spark, sf_dir):
     )
 
 
+def q_zorder_key(spark, sf_dir):
+    """Z-order layout key (plans/zorder.py) under the hash gate: the
+    Morton interleave of (order-date epoch-day, custkey) low 10 bits —
+    pure integer bit arithmetic, replayed exactly by the oracle. The
+    write-side plan (range-partition + sort on this key) is what makes
+    parquet min/max stats prune on BOTH dimensions at corpus scale."""
+    from adguard2clickhouse_spark.plans.zorder import zorder_key2
+
+    o = _t(spark, sf_dir, "orders")
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.to_date(F.lit("1970-01-01"))
+    ).bitwiseAND(F.lit(1023))
+    cust = F.col("o_custkey").bitwiseAND(F.lit(1023))
+    return o.select(
+        "o_orderkey", zorder_key2(day, cust, bits=10).alias("zkey")
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-safe salted equi-join (operators/skew.py) under the hash
     gate. The join key is event_type — a handful of hot values owning
@@ -1001,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_semi_join": q_semi_join,
         "x_exists_subquery": q_exists_subquery,
         "x_salted_join": q_salted_join,
+        "x_zorder_key": q_zorder_key,
         # events analytics
         "e_sessions": q_sessions,
         "e_pivot": q_pivot,
@@ -1299,6 +1318,17 @@ def oracle_sql() -> dict[str, str]:
         "x_exists_subquery": (
             "SELECT count(*) AS n FROM orders WHERE EXISTS ("
             "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)"
+        ),
+        "x_zorder_key": (
+            "WITH d AS (SELECT o_orderkey, "
+            "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 1023 AS a, "
+            "o_custkey & 1023 AS b FROM orders) "
+            "SELECT o_orderkey, CAST("
+            + " + ".join(
+                f"((a >> {i}) & 1) * {1 << (2 * i)} + ((b >> {i}) & 1) * {1 << (2 * i + 1)}"
+                for i in range(10)
+            )
+            + " AS BIGINT) AS zkey FROM d"
         ),
         # the oracle is the UNSALTED join: salting must be invisible
         "x_salted_join": (

@@ -171,3 +171,44 @@ def test_ngram_jaccard_no_size_shuffle(spark, qs):
     sizes = arr.select("_id", F.size("_arr").alias("_sz"))
     plan = _physical(sizes)
     assert "Exchange" not in plan  # narrow: no shuffle to learn set sizes
+
+
+def test_zorder_layout_narrows_both_dimensions(spark, tmp_path_factory):
+    """Range-partitioning on the Morton key must give every output
+    file a compact rectangle in (a, b) space — per-file spans far
+    below the global span on BOTH dimensions. The control layout
+    (range on `a` alone) keeps `b` unconstrained per file, which is
+    exactly the multi-dim pruning failure z-order exists to fix."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.zorder import zorder_layout
+
+    path = str(tmp_path_factory.mktemp("zorder") / "grid")
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("a"), F.floor(F.col("id") / 32).alias("b")
+    )
+    zorder_layout(grid, "a", "b", n_files=16, bits=5).write.parquet(path)
+
+    back = spark.read.parquet(path).select(
+        "a", "b", F.input_file_name().alias("f")
+    )
+    spans = back.groupBy("f").agg(
+        (F.max("a") - F.min("a")).alias("sa"),
+        (F.max("b") - F.min("b")).alias("sb"),
+    ).collect()
+    assert len(spans) > 4
+    # 16 files over a 32×32 grid ≈ 8×8 blocks; range boundaries are
+    # sampled so allow slack, but both spans must be well under 31.
+    assert max(r.sa for r in spans) <= 16
+    assert max(r.sb for r in spans) <= 16
+
+    ctrl_path = str(tmp_path_factory.mktemp("zorder") / "asort")
+    grid.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(ctrl_path)
+    ctrl = (
+        spark.read.parquet(ctrl_path)
+        .select("a", "b", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg((F.max("b") - F.min("b")).alias("sb"))
+        .collect()
+    )
+    assert max(r.sb for r in ctrl) == 31  # single-dim sort: b unconstrained
