@@ -437,6 +437,53 @@ def q_stats2_stream(spark, sf_dir):
     return spark.read.parquet(out).select("IP", "date_time", "blocked", "visited")
 
 
+def q_stream_interval_join(spark, sf_dir):
+    """Stream-stream interval join under the hash gate: click→purchase
+    attribution (purchase within 30 min of the same user's click),
+    both sides streamed availableNow from parquet. Inner joins emit on
+    match, so the result is complete and the oracle is the plain batch
+    interval join. The watermark ('2 hours') is what bounds state at
+    production scale; it cannot change inner-join results."""
+    import tempfile
+
+    from adguard2clickhouse_spark.streaming.joins import interval_join_streams
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), F.col("ts").alias("p_ts")
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ivj_stream_")
+    csrc, psrc = os.path.join(tmp, "c"), os.path.join(tmp, "p")
+    out, ckpt = os.path.join(tmp, "out"), os.path.join(tmp, "ckpt")
+    clicks.coalesce(1).write.mode("overwrite").parquet(csrc)
+    purchases.coalesce(1).write.mode("overwrite").parquet(psrc)
+
+    cs = spark.readStream.schema(
+        "user_id BIGINT, click_id BIGINT, c_ts TIMESTAMP"
+    ).parquet(csrc)
+    ps = spark.readStream.schema(
+        "user_id BIGINT, purchase_id BIGINT, p_ts TIMESTAMP"
+    ).parquet(psrc)
+    q = (
+        interval_join_streams(
+            cs, ps, on="user_id", left_ts="c_ts", right_ts="p_ts",
+            upper_seconds=1800, watermark="2 hours",
+        )
+        .select("user_id", "click_id", "purchase_id")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select("user_id", "click_id", "purchase_id")
+
+
 def q_pivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     kinds = ["click", "view", "signup", "purchase", "error"]
@@ -816,6 +863,16 @@ def q_sequence_pack(spark, sf_dir):
     return pack_greedy(meta, max_tokens=256)
 
 
+def q_heavy_hitters(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/sketch.py) under the hash
+    gate: customers holding > n/1000 of all orders. The sketch pass is
+    map-only with bounded memory; the exact recount of its candidates
+    makes the output EXACT, so the oracle is the plain HAVING query."""
+    from adguard2clickhouse_spark.operators.sketch import heavy_hitters
+
+    return heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey", k=1000)
+
+
 def q_approx_stats(spark, sf_dir):
     """Rows-only: HLL distinct + approximate quantiles (ops hygiene at
     100 TB; approximate by definition, no exact oracle)."""
@@ -1027,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_range_join": q_range_join,
         "e_sessions_stream": q_sessions_stream,
         "a6_stats2_stream": q_stats2_stream,
+        "e_stream_interval_join": q_stream_interval_join,
         # training-data extensions (X1-X6)
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
@@ -1062,6 +1120,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_media_features": q_media_features,
         "x5_media_probe": q_media_probe,
         "x6_approx_stats": q_approx_stats,
+        "x6_heavy_hitters": q_heavy_hitters,
         "x6_exact_stats": q_exact_stats,
         # streaming topology end-to-end (SURVEY §2.8 C1/C2, §2.3 K2)
         "c1_stream_pipeline": q_stream_pipeline,
@@ -1568,6 +1627,14 @@ def oracle_sql() -> dict[str, str]:
             "count(DISTINCT l_suppkey) AS n_supps, "
             "min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship FROM lineitem"
         ),
+        # Misra-Gries candidates have no false negatives and the exact
+        # recount kills false positives → the plain HAVING query is the
+        # exact oracle of the sketch pipeline.
+        "x6_heavy_hitters": (
+            "WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM orders GROUP BY 1), tot AS (SELECT count(*) AS n FROM orders) "
+            "SELECT o_custkey, cnt FROM c, tot WHERE cnt * 1000 > n"
+        ),
         "p7_dns_parse_diverse": (
             "WITH e AS (SELECT event_id, "
             "TRY_CAST(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS INT) AS k "
@@ -1636,6 +1703,16 @@ def oracle_sql() -> dict[str, str]:
             "cut AS (SELECT max(date_time) - INTERVAL 1 HOUR AS c FROM log2) "
             "SELECT agg.IP, agg.date_time, agg.blocked, agg.visited "
             "FROM agg, cut WHERE agg.date_time + INTERVAL 10 MINUTE <= cut.c"
+        ),
+        # inner stream-stream joins emit on match → the batch interval
+        # join is the exact oracle.
+        "e_stream_interval_join": (
+            "WITH c AS (SELECT user_id, event_id AS click_id, ts AS c_ts "
+            "FROM events WHERE event_type = 'click'), "
+            "p AS (SELECT user_id, event_id AS purchase_id, ts AS p_ts "
+            "FROM events WHERE event_type = 'purchase') "
+            "SELECT user_id, click_id, purchase_id FROM c JOIN p USING (user_id) "
+            "WHERE p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 30 MINUTE"
         ),
         # the streaming read-back must equal the batch aggregate over the
         # same (bridged) rows — identical oracle to a3_clients_stats.

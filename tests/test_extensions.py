@@ -117,6 +117,38 @@ def test_winnow_shared_run_guarantee(docs_df):
     assert len(by_doc[1]) < 36
 
 
+def test_heavy_hitters_exact_above_threshold(spark):
+    """MG candidates + exact recount: everything strictly above n/k
+    with exact counts, nothing else — across multiple partitions (each
+    runs its own bounded-memory sketch)."""
+    from adguard2clickhouse_spark.operators.sketch import heavy_hitters
+
+    rows = (
+        [("hot",)] * 300 + [("warm",)] * 150 + [(f"v{i}",) for i in range(550)]
+    )
+    df = spark.createDataFrame(rows, "v STRING").repartition(4)
+    got = {r.v: r.cnt for r in heavy_hitters(df, "v", k=10).collect()}
+    assert got == {"hot": 300, "warm": 150}  # threshold n/k = 100
+
+
+def test_approx_hygiene_within_error_bounds(spark):
+    """The rows-only x6 path, bounded: HLL distinct within its ~2%
+    envelope (5% asserted) and percentile_approx inside a generous
+    rank window around the exact median."""
+    from adguard2clickhouse_spark.sources.tables import load_table
+
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    r = li.agg(
+        F.approx_count_distinct("l_partkey").alias("apx"),
+        F.countDistinct("l_partkey").alias("exact"),
+        F.percentile_approx("l_extendedprice", 0.5).alias("p50"),
+        F.expr("percentile(l_extendedprice, 0.45)").alias("lo"),
+        F.expr("percentile(l_extendedprice, 0.55)").alias("hi"),
+    ).head()
+    assert abs(r.apx - r.exact) <= 0.05 * r.exact
+    assert r.lo <= r.p50 <= r.hi
+
+
 def test_normalize_embeddings_unit_norm_and_cosine_invariance(spark):
     df = spark.createDataFrame(
         [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 2.0])],

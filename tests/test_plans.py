@@ -212,3 +212,37 @@ def test_zorder_layout_narrows_both_dimensions(spark, tmp_path_factory):
         .collect()
     )
     assert max(r.sb for r in ctrl) == 31  # single-dim sort: b unconstrained
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The 100 TB star-join guard: with a selective dim filter, Spark's
+    InjectRuntimeFilter must add a bloom_filter_agg on the dim side and
+    a might_contain probe on the fact side, pruning fact rows BEFORE
+    the join shuffle. The size thresholds are tuned for clusters, so
+    the test pins them to make the tiny fixture qualify — the assert is
+    that the rewrite engages at all (it is plan-level, size-agnostic).
+    """
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force shuffle join
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(f"{SF}/lineitem.parquet")
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            "o_totalprice > 400000"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _optimized(j)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
