@@ -657,10 +657,21 @@ def q_knn_join(spark, sf_dir):
 
 
 def q_lsh_topk(spark, sf_dir):
-    """Rows-only (approximate recall by construction)."""
+    """Rows-only (approximate recall by construction); the exact-gated
+    single-table twin is x3_lsh_topk_portable."""
     emb = _t(spark, sf_dir, "embeddings")
     q = _query_vec(spark, sf_dir, 0)
     return similarity.lsh_bucketed_topk(emb, q, k=10)
+
+
+def q_lsh_topk_portable(spark, sf_dir):
+    """X3's LSH probe under the hash gate: strict-fold sign signatures
+    against literal hyperplanes, Hamming-radius candidate filter, exact
+    cosine rank — every step replayed in DuckDB with the same plane
+    literals and fold order."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    return similarity.lsh_topk_portable(emb, q, k=10)
 
 
 def q_embedding_dup(spark, sf_dir):
@@ -861,6 +872,34 @@ def q_sequence_pack(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     meta = docs.select("doc_id", "lang", text.token_count("text").alias("n_tokens"))
     return pack_greedy(meta, max_tokens=256)
+
+
+def q_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation recipe as ONE composed plan — quality
+    gate → exact dedup (min-id winner) → PII scrub → per-lang
+    stratified sample. Every stage is an individually-gated operator
+    (x4_quality, x1_dedup, x4_pii_scrub, x7_stratified_sample); this
+    query gates their COMPOSITION, which is what a user actually runs.
+    Narrow joins only: quality and dedup communicate via doc_id
+    semi-joins, the scrub is a projection, the sample is one
+    per-stratum window."""
+    from adguard2clickhouse_spark.operators.sampling import stratified_sample
+    from adguard2clickhouse_spark.operators.scrub import scrub_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    kept = docs.join(
+        text.quality_features(docs).filter("quality_keep").select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    deduped = dedup.fingerprint_dedup(kept)
+    scrubbed = scrub_pii(deduped).select(
+        "doc_id", F.md5("redacted").alias("redacted_md5")
+    )
+    enriched = deduped.select("doc_id", "lang", "source").join(scrubbed, "doc_id")
+    return stratified_sample(enriched, "lang", per_stratum=10).select(
+        "doc_id", "lang", "source", "redacted_md5", "rnk"
+    )
 
 
 def q_heavy_hitters(spark, sf_dir):
@@ -1106,6 +1145,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_topk_cosine": q_topk_cosine,
         "x3_knn_join": q_knn_join,
         "x3_lsh_topk": q_lsh_topk,
+        "x3_lsh_topk_portable": q_lsh_topk_portable,
         "x3_ivf_topk": q_ivf_topk,
         "x3_quantize_int8": q_quantize_int8,
         "x4_doc_profile": q_doc_profile,
@@ -1117,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_stratified_sample": q_stratified_sample,
         "x8_contamination": q_contamination,
         "x9_sequence_pack": q_sequence_pack,
+        "x10_curation_pipeline": q_curation_pipeline,
         "x5_media_features": q_media_features,
         "x5_media_probe": q_media_probe,
         "x6_approx_stats": q_approx_stats,
@@ -1148,6 +1189,64 @@ sh AS (
 ),
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """.strip()
+
+def _lsh_topk_portable_oracle(
+    dim: int = 64, bits: int = 16, seed: int = 42, radius: int = 4, k: int = 10
+) -> str:
+    """DuckDB twin of similarity.lsh_topk_portable: the SAME hyperplane
+    literals (numpy RandomState(seed), full repr precision), sign bits
+    from list_dot_product (both engines: strict double fold), Hamming
+    candidate filter, exact cosine rank."""
+    from adguard2clickhouse_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+
+    def sig_expr(vcol: str) -> str:
+        return " + ".join(
+            f"CASE WHEN list_dot_product({vcol}, ["
+            + ", ".join(repr(float(x)) for x in planes[i])
+            + f"]) > 0 THEN {1 << i} ELSE 0 END"
+            for i in range(bits)
+        )
+
+    return (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), "
+        "q AS (SELECT ve AS qv FROM v WHERE vec_id = 0), "
+        f"sigs AS (SELECT vec_id, ve, {sig_expr('ve')} AS s FROM v), "
+        f"qs AS (SELECT {sig_expr('qv')} AS s FROM q), "
+        f"cand AS (SELECT vec_id, ve FROM sigs, qs WHERE bit_count(xor(sigs.s, qs.s)) <= {radius}), "
+        "scored AS (SELECT vec_id, list_dot_product(ve, qv) / "
+        "(sqrt(list_dot_product(ve, ve)) * sqrt(list_dot_product(qv, qv))) AS sim "
+        "FROM cand, q) "
+        "SELECT vec_id, rnk FROM (SELECT vec_id, "
+        "CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "
+        f"FROM scored) WHERE rnk <= {k}"
+    )
+
+
+def _curation_pipeline_oracle(per_stratum: int = 10) -> str:
+    """DuckDB twin of q_curation_pipeline: the same four stages as
+    CTEs — x4_quality's keep predicate, the min-id fingerprint winner,
+    the chained PII regex replacements, x7's md5-ranked sample."""
+    redacted = "text"
+    for _, pattern, repl in _scrub.PII_PATTERNS:
+        pat_sql = pattern.replace("'", "''")
+        redacted = f"regexp_replace({redacted}, '{pat_sql}', '{repl}', 'g')"
+    return (
+        "WITH q AS (SELECT doc_id FROM documents WHERE "
+        "len(str_split(text, ' ')) >= 10 AND length(text) >= 50 AND "
+        "floor((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) "
+        "* 1000 / length(text)) < 200), "
+        "k AS (SELECT d.* FROM documents d WHERE doc_id IN (SELECT doc_id FROM q)), "
+        f"w AS (SELECT min(doc_id) AS doc_id FROM (SELECT doc_id, {_FP_SQL} AS f FROM k) GROUP BY f), "
+        "dd AS (SELECT k.* FROM k WHERE doc_id IN (SELECT doc_id FROM w)), "
+        "r AS (SELECT doc_id, lang, source, "
+        f"md5({redacted}) AS redacted_md5, "
+        "CAST(row_number() OVER (PARTITION BY lang "
+        "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk FROM dd) "
+        f"SELECT doc_id, lang, source, redacted_md5, rnk FROM r WHERE rnk <= {per_stratum}"
+    )
+
 
 def _simhash_md5_oracle(max_hamming: int = 8) -> str:
     """DuckDB twin of dedup.simhash_near_pairs(portable=True): 60-bit
@@ -1596,6 +1695,8 @@ def oracle_sql() -> dict[str, str]:
         "x2_minhash_lsh_md5": _minhash_md5_oracle(),
         "x2_simhash_md5": _simhash_md5_oracle(),
         "x2_winnow_md5": _winnow_md5_oracle(),
+        "x10_curation_pipeline": _curation_pipeline_oracle(),
+        "x3_lsh_topk_portable": _lsh_topk_portable_oracle(),
         "x9_sequence_pack": _packing.pack_oracle_sql(
             256,
             "SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens "

@@ -472,6 +472,46 @@ def ivf_topk_materialized(
     )
 
 
+def lsh_topk_portable(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 16,
+    seed: int = 42,
+    radius: int = 4,
+) -> DataFrame:
+    """Single-table sign-LSH probe in pure strict-fold expressions —
+    the engine-portable twin of `lsh_bucketed_topk`'s first table.
+
+    Signatures come from `lsh_signature` (interpreted left-to-right
+    double folds, NOT the numpy matmul kernel, whose pairwise
+    summation can flip a sign within ~1 ULP of zero), so the identical
+    plane literals + fold order replay bit-for-bit in DuckDB and the
+    whole candidate-set + exact-rank pipeline sits under the hash gate
+    (x3_lsh_topk_portable). Use `lsh_bucketed_topk` (multi-table,
+    vectorized) for production recall; this one proves the machinery.
+    """
+    from pyspark.sql.window import Window
+
+    qcol = F.array(*[F.lit(float(x)) for x in query_vec])
+    dim = len(query_vec)
+    sig = lsh_signature(F.col(vec_col), dim, bits, seed)
+    qsig = lsh_signature(qcol, dim, bits, seed)  # constant-folded
+    top = (
+        df.select(F.col(id_col), F.col(vec_col), sig.alias("_sig"))
+        .filter(F.bit_count(F.col("_sig").bitwiseXOR(qsig)) <= radius)
+        .select(F.col(id_col), cosine(F.col(vec_col), qcol).alias("_sim"))
+        .orderBy(F.desc("_sim"), F.asc(id_col))
+        .limit(k)  # TakeOrderedAndProject — the window below ranks only k rows
+    )
+    w = Window.orderBy(F.desc("_sim"), F.asc(id_col))
+    return top.select(
+        F.col(id_col), F.row_number().over(w).cast("long").alias("rnk")
+    )
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     query_vec: list[float],

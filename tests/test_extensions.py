@@ -117,6 +117,39 @@ def test_winnow_shared_run_guarantee(docs_df):
     assert len(by_doc[1]) < 36
 
 
+def test_training_shard_export_bounds_and_manifest(spark, tmp_path_factory):
+    """Shard export invariants: every file stays under the record cap,
+    the manifest's per-split totals equal the input, and each split is
+    its own partition directory."""
+    from adguard2clickhouse_spark.operators.sampling import with_split
+    from adguard2clickhouse_spark.sinks.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+    from adguard2clickhouse_spark.sources.tables import load_table
+
+    docs = with_split(
+        load_table(spark, "/root/testdata/sf0.001", "documents"),
+        val_permille=100,
+        test_permille=100,
+    )
+    path = str(tmp_path_factory.mktemp("shards") / "corpus")
+    write_training_shards(
+        docs, path, n_shards_per_split=4, max_records_per_file=20
+    )
+    man = shard_manifest(spark, path).collect()
+    assert max(r.n_rows for r in man) <= 20
+    totals = {}
+    for r in man:
+        totals[r.split] = totals.get(r.split, 0) + r.n_rows
+        assert f"split={r.split}" in r.file  # partition-dir layout
+    expect = {
+        r.split: r.cnt
+        for r in docs.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    assert totals == expect
+
+
 def test_heavy_hitters_exact_above_threshold(spark):
     """MG candidates + exact recount: everything strictly above n/k
     with exact counts, nothing else — across multiple partitions (each
