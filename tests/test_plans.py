@@ -246,3 +246,40 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_heavy_hitters_candidates_broadcast_and_map_only_sketch(spark):
+    """Pass 1 must be map-only (MapInPandas, no preceding exchange on
+    the raw values) and pass 2 must broadcast the tiny candidate set
+    into a semi join — never shuffle the full column for the join."""
+    from adguard2clickhouse_spark.operators.sketch import heavy_hitters
+
+    o = spark.read.parquet(f"{SF}/orders.parquet")
+    plan = _physical(heavy_hitters(o, "o_custkey", k=100))
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_salted_join_spreads_key_under_shuffle_join(spark):
+    """With broadcast off (the 100 TB shape where salting matters) the
+    join must be a shuffle join keyed on (event_type, salt) — the salt
+    column in the join keys is what spreads a hot key over tasks."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.operators.skew import salted_join
+
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        ev = spark.read.parquet(f"{SF}/events.parquet").select(
+            "event_id", "event_type", "value"
+        )
+        stats = ev.groupBy("event_type").agg(F.avg("value").alias("m"))
+        plan = _physical(
+            salted_join(ev, stats, on="event_type", salt=8, spread_cols=["event_id"])
+        )
+        assert "_salt_skew" in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "BroadcastHashJoin" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
