@@ -274,6 +274,115 @@ def q_exists_subquery(spark, sf_dir):
     )
 
 
+def q_q6_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: a single-scan predicate-pushdown aggregate.
+    Per-row integer cents BEFORE the sum keep the fold order-
+    independent (cross-engine exact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .select(_cents(F.col("l_extendedprice") * F.col("l_discount")).alias("c"))
+        .agg(F.sum("c").cast("long").alias("revenue_cents"))
+    )
+
+
+def q_q3_shipping(spark, sf_dir):
+    """TPC-H Q3 shape: segment filter → 3-way join (customer broadcast)
+    → per-order revenue → top 10. TakeOrderedAndProject, not a global
+    sort."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01").cast("timestamp")
+    )
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view → click → purchase): each stage
+    counts users whose earliest qualifying event follows their previous
+    stage's earliest time. Three narrow per-user min-aggregates chained
+    by joins — no window over raw events, no state."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_click_after_view")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_purchase_after_click")))
+    )
+
+
+def q_retention(spark, sf_dir):
+    """Weekly retention cohorts: users grouped by first-seen week,
+    counted per week-offset of later activity. Two aggregates and one
+    join on user_id — the classic cohort matrix at any scale."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    )
+    first = ev.groupBy("user_id").agg(F.min("wk").alias("cohort"))
+    active = ev.distinct()
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            F.col("cohort"),
+            (F.datediff(F.col("wk"), F.col("cohort")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )
+
+
+def q_det_shuffle(spark, sf_dir):
+    """Reproducible epoch shuffle: (shard, pos) as a pure function of
+    doc_id — hash spread across shards, md5 rank within. One shuffle on
+    the shard key; never a global window."""
+    from adguard2clickhouse_spark.operators.sampling import deterministic_shuffle
+
+    return deterministic_shuffle(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "shard", "pos"
+    )
+
+
 def q_zorder_key(spark, sf_dir):
     """Z-order layout key (plans/zorder.py) under the hash gate: the
     Morton interleave of (order-date epoch-day, custkey) low 10 bits —
@@ -1102,6 +1211,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_dns_parse_diverse": q_p7_dns_parse_diverse,
         # relational extensions (§2.11)
         "q1_pricing_summary": q_q1_pricing,
+        "q3_shipping_priority": q_q3_shipping,
+        "q6_forecast_revenue": q_q6_revenue,
         "x_join_revenue_by_nation": q_join_revenue,
         "x_topk_orders": q_topk_orders,
         "x_window_rank": q_window_rank,
@@ -1124,6 +1235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_sessions_stream": q_sessions_stream,
         "a6_stats2_stream": q_stats2_stream,
         "e_stream_interval_join": q_stream_interval_join,
+        "e_funnel": q_funnel,
+        "e_retention_cohorts": q_retention,
         # training-data extensions (X1-X6)
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
@@ -1155,6 +1268,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_top_bigrams": q_top_bigrams,
         "x7_hash_split": q_hash_split,
         "x7_stratified_sample": q_stratified_sample,
+        "x7_det_shuffle": q_det_shuffle,
         "x8_contamination": q_contamination,
         "x9_sequence_pack": q_sequence_pack,
         "x10_curation_pipeline": q_curation_pipeline,
@@ -1476,6 +1590,47 @@ def oracle_sql() -> dict[str, str]:
         "x_exists_subquery": (
             "SELECT count(*) AS n FROM orders WHERE EXISTS ("
             "SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)"
+        ),
+        "q6_forecast_revenue": (
+            "SELECT CAST(sum(CAST(floor((l_extendedprice * l_discount) * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24"
+        ),
+        "q3_shipping_priority": (
+            "SELECT o_orderkey, o_orderdate, o_orderpriority, "
+            "CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
+            "AND l_shipdate > TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"
+        ),
+        "e_funnel": (
+            "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "c AS (SELECT e.user_id, min(ts) AS t2 FROM events e "
+            "JOIN v ON e.user_id = v.user_id WHERE event_type = 'click' AND ts >= t1 GROUP BY 1), "
+            "p AS (SELECT e.user_id, min(ts) AS t3 FROM events e "
+            "JOIN c ON e.user_id = c.user_id WHERE event_type = 'purchase' AND ts >= t2 GROUP BY 1) "
+            "SELECT (SELECT count(*) FROM v) AS n_view, "
+            "(SELECT count(*) FROM c) AS n_click_after_view, "
+            "(SELECT count(*) FROM p) AS n_purchase_after_click"
+        ),
+        "e_retention_cohorts": (
+            "WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events), "
+            "f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1) "
+            "SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM e JOIN f USING (user_id) GROUP BY 1, 2"
+        ),
+        "x7_det_shuffle": (
+            "WITH b AS (SELECT doc_id, "
+            "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard "
+            "FROM documents) "
+            "SELECT doc_id, CAST(shard AS BIGINT) AS shard, "
+            "CAST(row_number() OVER (PARTITION BY shard "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos FROM b"
         ),
         "x_zorder_key": (
             "WITH d AS (SELECT o_orderkey, "

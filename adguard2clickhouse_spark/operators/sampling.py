@@ -86,3 +86,32 @@ def stratified_sample(
         df.withColumn(rank_col, F.row_number().over(w).cast("long"))
         .filter(F.col(rank_col) <= per_stratum)
     )
+
+
+def deterministic_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    n_shards: int = 8,
+    shard_col: str = "shard",
+    pos_col: str = "pos",
+) -> DataFrame:
+    """Reproducible global training order: every row gets a (shard,
+    position) that is a pure function of its id — the corpus "shuffle"
+    a training run needs, stable across runs, machines, partitioning
+    and engine versions (unlike orderBy(rand()) which changes with the
+    seed plumbing and task layout).
+
+    Shard = id-hash bucket; position = rank of md5(id) within the
+    shard. Scale shape: one shuffle on the shard key and a per-shard
+    sort — never a single global window. Readers consume shards
+    independently and interleave them; two-level randomness (hash
+    spread across shards, md5 order within) is the standard epoch-
+    shuffle layout.
+    """
+    from pyspark.sql.window import Window
+
+    c = F.col(id_col)
+    w = Window.partitionBy(shard_col).orderBy(F.md5(c.cast("string")), c)
+    return df.withColumn(
+        shard_col, hash_bucket(id_col, n_shards).cast("long")
+    ).withColumn(pos_col, F.row_number().over(w).cast("long"))
