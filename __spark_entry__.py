@@ -372,6 +372,32 @@ def q_retention(spark, sf_dir):
     )
 
 
+def q_common_ngrams(spark, sf_dir):
+    """Boilerplate exposure: permille of each doc's distinct 3-grams
+    occurring in ≥2 docs corpus-wide. Hashed inverted index, linear —
+    no self-join; the oracle replays it over string shingles (counts
+    agree because the 64-bit shingle hash is collision-free here)."""
+    return text.common_ngram_density(_t(spark, sf_dir, "documents"))
+
+
+def q_transitions(spark, sf_dir):
+    """Event-sequence mining: per-user consecutive (prev → next) type
+    transition counts via one ordered window — the Markov-matrix
+    building block of behavioral analytics."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.lag("event_type").over(w).alias("prev_type"),
+            "event_type",
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_transitions"))
+    )
+
+
 def q_det_shuffle(spark, sf_dir):
     """Reproducible epoch shuffle: (shard, pos) as a pure function of
     doc_id — hash spread across shards, md5 rank within. One shuffle on
@@ -801,6 +827,17 @@ def q_embedding_dup_lsh(spark, sf_dir):
     return similarity.embedding_dup_pairs_lsh(
         emb, threshold=0.35, bits=6, n_tables=8,
         dim=len(_query_vec(spark, sf_dir, 0)),
+    )
+
+
+def q_embedding_dup_lsh_portable(spark, sf_dir):
+    """X2d's LSH path under the hash gate: strict-fold sign signatures
+    (literal hyperplanes), signature-equality buckets, exact cosine
+    verify — the whole candidate-generate + verify pipeline replayed
+    in DuckDB."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs_lsh_portable(
+        emb, threshold=0.35, bits=6, dim=len(_query_vec(spark, sf_dir, 0))
     )
 
 
@@ -1237,6 +1274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_stream_interval_join": q_stream_interval_join,
         "e_funnel": q_funnel,
         "e_retention_cohorts": q_retention,
+        "e_transitions": q_transitions,
         # training-data extensions (X1-X6)
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
@@ -1255,6 +1293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_winnow_md5": q_winnow_md5,
         "x2_embedding_dup": q_embedding_dup,
         "x2_embedding_dup_lsh": q_embedding_dup_lsh,
+        "x2_embedding_dup_lsh_portable": q_embedding_dup_lsh_portable,
         "x3_topk_cosine": q_topk_cosine,
         "x3_knn_join": q_knn_join,
         "x3_lsh_topk": q_lsh_topk,
@@ -1266,6 +1305,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_pii_scrub": q_pii_scrub,
         "x4_repetition": q_repetition,
         "x4_top_bigrams": q_top_bigrams,
+        "x4_common_ngrams": q_common_ngrams,
         "x7_hash_split": q_hash_split,
         "x7_stratified_sample": q_stratified_sample,
         "x7_det_shuffle": q_det_shuffle,
@@ -1335,6 +1375,28 @@ def _lsh_topk_portable_oracle(
         "SELECT vec_id, rnk FROM (SELECT vec_id, "
         "CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "
         f"FROM scored) WHERE rnk <= {k}"
+    )
+
+
+def _embedding_lsh_pairs_oracle(
+    dim: int = 64, bits: int = 6, seed: int = 42, threshold: float = 0.35
+) -> str:
+    """DuckDB twin of similarity.embedding_dup_pairs_lsh_portable."""
+    from adguard2clickhouse_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, bits, seed)
+    sig = " + ".join(
+        f"CASE WHEN list_dot_product(ve, ["
+        + ", ".join(repr(float(x)) for x in planes[i])
+        + f"]) > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(bits)
+    )
+    return (
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings), "
+        f"sigs AS (SELECT vec_id, ve, sqrt(list_dot_product(ve, ve)) AS n, {sig} AS s FROM v) "
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b FROM sigs a JOIN sigs b "
+        "ON a.s = b.s AND a.vec_id < b.vec_id "
+        f"WHERE list_dot_product(a.ve, b.ve) / (a.n * b.n) >= {threshold}"
     )
 
 
@@ -1624,6 +1686,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cohort, CAST(date_diff('day', cohort, wk) / 7 AS BIGINT) AS week_offset, "
             "CAST(count(*) AS BIGINT) AS n_users FROM e JOIN f USING (user_id) GROUP BY 1, 2"
         ),
+        "x4_common_ngrams": (
+            f"WITH {_SHINGLE_CTE}, "
+            "dfq AS (SELECT s, count(*) AS df FROM sh GROUP BY s) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_shingles, "
+            "CAST(floor(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) * 1000 / n) AS BIGINT) "
+            "AS common_permille "
+            "FROM sh JOIN dfq USING (s) JOIN sz USING (doc_id) GROUP BY doc_id, n"
+        ),
+        "e_transitions": (
+            "WITH t AS (SELECT lag(event_type) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS prev_type, "
+            "event_type AS next_type FROM events) "
+            "SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n_transitions "
+            "FROM t WHERE prev_type IS NOT NULL GROUP BY 1, 2"
+        ),
         "x7_det_shuffle": (
             "WITH b AS (SELECT doc_id, "
             "('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8 AS shard "
@@ -1852,6 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "x2_winnow_md5": _winnow_md5_oracle(),
         "x10_curation_pipeline": _curation_pipeline_oracle(),
         "x3_lsh_topk_portable": _lsh_topk_portable_oracle(),
+        "x2_embedding_dup_lsh_portable": _embedding_lsh_pairs_oracle(),
         "x9_sequence_pack": _packing.pack_oracle_sql(
             256,
             "SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens "

@@ -311,6 +311,58 @@ def embedding_dup_pairs_lsh(
 # IVF (inverted-file) ANN index — coarse quantizer + cell-pruned probe
 # ---------------------------------------------------------------------------
 
+def embedding_dup_pairs_lsh_portable(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bits: int = 6,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Single-table sign-LSH near-dup pairs in strict-fold expressions —
+    the engine-portable twin of `embedding_dup_pairs_lsh`.
+
+    Signature equality (not Hamming radius) buckets candidates; the
+    exact cosine verify then decides. Both the sign bits (identical
+    plane literals, left-to-right double folds) and the verify replay
+    bit-for-bit in DuckDB, so the full candidate-generate + verify
+    pipeline sits under the hash gate (x2_embedding_dup_lsh_portable).
+    Production recall comes from the multi-table variant; this one
+    proves the machinery.
+    """
+    sig = lsh_signature(F.col(vec_col), dim, bits, seed)
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+        sig.alias("_sig"),
+    ).persist()
+    try:
+        a, b = base.alias("a"), base.alias("b")
+        out = (
+            a.join(
+                b,
+                (F.col("a._sig") == F.col("b._sig"))
+                & (F.col("a._id") < F.col("b._id")),
+            )
+            .select(
+                F.col("a._id").alias("id_a"),
+                F.col("b._id").alias("id_b"),
+                (
+                    dot(F.col("a._v"), F.col("b._v"))
+                    / (F.col("a._n") * F.col("b._n"))
+                ).alias("_sim"),
+            )
+            .filter(F.col("_sim") >= threshold)
+            .select("id_a", "id_b")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        base.unpersist()
+    return out
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: list[list[float]],

@@ -155,3 +155,52 @@ def distinctive_terms(
         .filter(F.col("rnk") <= k)
         .select(F.col("_id").alias(id_col), "term", "score", "rnk")
     )
+
+
+def common_ngram_density(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_df: int = 2,
+) -> DataFrame:
+    """Boilerplate exposure per document: the permille of its distinct
+    word n-grams that occur in ≥ ``min_df`` documents corpus-wide.
+    High values mean the document is mostly template/boilerplate text
+    shared with others — the per-document signal behind boilerplate
+    stripping and near-dup triage.
+
+    Scale shape: one explode of 8-byte shingle hashes (never the
+    shingle strings), a groupBy on the hash for document frequency,
+    and a hash-keyed join back — the same inverted-index skeleton as
+    ngram_jaccard_pairs, but linear (no self-join). Returns
+    (id, n_shingles, common_permille).
+    """
+    from adguard2clickhouse_spark.operators.dedup import (
+        shingle_hashes_from_tokens,
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                shingle_hashes_from_tokens(F.split(F.col(text_col), " "), n)
+            )
+        ).alias("_h"),
+    )
+    dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(dfreq, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.floor(
+                F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+                * 1000
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("common_permille"),
+        )
+        .select(F.col("_id").alias(id_col), "n_shingles", "common_permille")
+    )
