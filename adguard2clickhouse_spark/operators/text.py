@@ -187,20 +187,25 @@ def common_ngram_density(
                 shingle_hashes_from_tokens(F.split(F.col(text_col), " "), n)
             )
         ).alias("_h"),
-    )
-    dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
-    return (
-        sh.join(dfreq, "_h")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_shingles"),
-            F.floor(
-                F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
-                * 1000
-                / F.count(F.lit(1))
+    ).persist()  # feeds both the df-count and the join-back — build once
+    try:
+        dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        out = (
+            sh.join(dfreq, "_h")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_shingles"),
+                F.floor(
+                    F.sum(F.when(F.col("_df") >= min_df, 1).otherwise(0))
+                    * 1000
+                    / F.count(F.lit(1))
+                )
+                .cast("long")
+                .alias("common_permille"),
             )
-            .cast("long")
-            .alias("common_permille"),
+            .select(F.col("_id").alias(id_col), "n_shingles", "common_permille")
+            .localCheckpoint(eager=True)
         )
-        .select(F.col("_id").alias(id_col), "n_shingles", "common_permille")
-    )
+    finally:
+        sh.unpersist()
+    return out

@@ -67,9 +67,26 @@ R1_BASE = {
 }
 
 
+def _calibrate() -> float:
+    """Fixed single-core workload (200k md5 digests of a 4 KiB buffer),
+    measured in seconds. The query list and warmup are frozen across
+    rounds, but the HOST is not — cross-round comparisons of the query
+    total should be read against this number (verified drift: the
+    unchanged r1 code measured 9.5 s at the r1 snapshot and 14.2 s
+    re-run later the same day under background load)."""
+    import hashlib
+
+    buf = b"x" * 4096
+    t0 = time.time()
+    for _ in range(200_000):
+        hashlib.md5(buf).hexdigest()
+    return round(time.time() - t0, 3)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    calibration = _calibrate()
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -112,6 +129,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "host_calibration_sec": calibration,
             }
         )
     )

@@ -117,6 +117,24 @@ def test_winnow_shared_run_guarantee(docs_df):
     assert len(by_doc[1]) < 36
 
 
+def test_common_ngram_density_flags_boilerplate(spark):
+    from adguard2clickhouse_spark.operators.text import common_ngram_density
+
+    tmpl = "this is the standard footer text always"
+    docs = spark.createDataFrame(
+        [
+            (1, tmpl),                      # pure boilerplate (shared with 2)
+            (2, tmpl + " plus unique tail content here"),
+            (3, "completely original words nothing shared at all"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in common_ngram_density(docs, min_df=2).collect()}
+    assert got[1].common_permille == 1000  # every 3-gram shared with doc 2
+    assert 0 < got[2].common_permille < 1000
+    assert got[3].common_permille == 0
+
+
 def test_training_shard_export_bounds_and_manifest(spark, tmp_path_factory):
     """Shard export invariants: every file stays under the record cap,
     the manifest's per-split totals equal the input, and each split is
