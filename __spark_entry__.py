@@ -372,6 +372,20 @@ def q_retention(spark, sf_dir):
     )
 
 
+def q_span_scrub(spark, sf_dir):
+    """Substring-level dedup under the hash gate: repeated spans of ≥8
+    tokens (k-gram frequency ≥2 corpus-wide, gaps-and-islands runs,
+    coverage removal, position-ordered reassembly) — the distributed
+    stand-in for suffix-array exact-substring dedup, replayed end to
+    end by the DuckDB oracle via the portable md5 k-gram hash."""
+    from adguard2clickhouse_spark.operators.spans import repeated_span_scrub
+
+    out = repeated_span_scrub(_t(spark, sf_dir, "documents"), portable=True)
+    return out.select(
+        "doc_id", "n_tokens", "n_removed", F.md5("cleaned").alias("cleaned_md5")
+    )
+
+
 def q_common_ngrams(spark, sf_dir):
     """Boilerplate exposure: permille of each doc's distinct 3-grams
     occurring in ≥2 docs corpus-wide. Hashed inverted index, linear —
@@ -1306,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_repetition": q_repetition,
         "x4_top_bigrams": q_top_bigrams,
         "x4_common_ngrams": q_common_ngrams,
+        "x4_span_scrub": q_span_scrub,
         "x7_hash_split": q_hash_split,
         "x7_stratified_sample": q_stratified_sample,
         "x7_det_shuffle": q_det_shuffle,
@@ -1375,6 +1390,38 @@ def _lsh_topk_portable_oracle(
         "SELECT vec_id, rnk FROM (SELECT vec_id, "
         "CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "
         f"FROM scored) WHERE rnk <= {k}"
+    )
+
+
+def _span_scrub_oracle(k: int = 5, min_span: int = 8, min_df: int = 2) -> str:
+    """DuckDB twin of spans.repeated_span_scrub(portable=True): md5
+    positional k-gram hashes, corpus frequency threshold, islands via
+    i − row_number, span coverage, position-ordered reassembly."""
+    min_run = min_span - k + 1
+    gram = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return (
+        "WITH toks AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents), "
+        "kg AS (SELECT doc_id, i, "
+        f"('0x' || substring(md5({gram}), 1, 15))::BIGINT AS h "
+        f"FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - {k - 1})) AS i) g "
+        f"WHERE len(t) >= {k}), "
+        f"dup AS (SELECT h FROM kg GROUP BY h HAVING count(*) >= {min_df}), "
+        "dp AS (SELECT doc_id, i FROM kg WHERE h IN (SELECT h FROM dup)), "
+        "runs AS (SELECT doc_id, i, i - row_number() OVER "
+        "(PARTITION BY doc_id ORDER BY i) AS grp FROM dp), "
+        "spans AS (SELECT doc_id, min(i) AS s, max(i) AS e FROM runs "
+        f"GROUP BY doc_id, grp HAVING count(*) >= {min_run}), "
+        "cov AS (SELECT DISTINCT doc_id, p FROM spans, "
+        f"LATERAL (SELECT unnest(generate_series(s, e + {k - 1})) AS p) g), "
+        "tok AS (SELECT doc_id, i AS p, t[i] AS tok FROM toks, "
+        "LATERAL (SELECT unnest(generate_series(1, len(t))) AS i) g), "
+        "kept AS (SELECT tok.* FROM tok ANTI JOIN cov USING (doc_id, p)), "
+        "agg AS (SELECT doc_id, md5(string_agg(tok, ' ' ORDER BY p)) AS cm, "
+        "count(*) AS n_kept FROM kept GROUP BY doc_id), "
+        "nt AS (SELECT doc_id, len(t) AS n_tokens FROM toks) "
+        "SELECT nt.doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, "
+        "CAST(n_tokens - coalesce(n_kept, 0) AS BIGINT) AS n_removed, "
+        "coalesce(cm, md5('')) AS cleaned_md5 FROM nt LEFT JOIN agg USING (doc_id)"
     )
 
 
@@ -1930,6 +1977,7 @@ def oracle_sql() -> dict[str, str]:
         "x10_curation_pipeline": _curation_pipeline_oracle(),
         "x3_lsh_topk_portable": _lsh_topk_portable_oracle(),
         "x2_embedding_dup_lsh_portable": _embedding_lsh_pairs_oracle(),
+        "x4_span_scrub": _span_scrub_oracle(),
         "x9_sequence_pack": _packing.pack_oracle_sql(
             256,
             "SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens "

@@ -117,6 +117,34 @@ def test_winnow_shared_run_guarantee(docs_df):
     assert len(by_doc[1]) < 36
 
 
+def test_repeated_span_scrub_removes_shared_runs(spark):
+    from adguard2clickhouse_spark.operators.spans import repeated_span_scrub
+
+    shared = "one two three four five six seven eight"  # exactly min_span=8
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha " + shared + " omega"),
+            (2, "beta gamma " + shared),
+            (3, "unique words only here nothing repeated whatsoever today"),
+            (4, shared),  # wholly boilerplate → empty survivor
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {r.doc_id: r for r in repeated_span_scrub(docs).collect()}
+    assert (got[1].n_removed, got[1].cleaned) == (8, "alpha omega")
+    assert (got[2].n_removed, got[2].cleaned) == (8, "beta gamma")
+    assert (got[3].n_removed, got[3].cleaned.split()[0]) == (0, "unique")
+    assert (got[4].n_removed, got[4].cleaned) == (8, "")
+    # a 7-token shared run stays: below min_span
+    docs2 = spark.createDataFrame(
+        [(1, "a " + " ".join(f"s{i}" for i in range(7))),
+         (2, "b " + " ".join(f"s{i}" for i in range(7)))],
+        "doc_id LONG, text STRING",
+    )
+    got2 = {r.doc_id: r.n_removed for r in repeated_span_scrub(docs2).collect()}
+    assert got2 == {1: 0, 2: 0}
+
+
 def test_common_ngram_density_flags_boilerplate(spark):
     from adguard2clickhouse_spark.operators.text import common_ngram_density
 
