@@ -372,6 +372,31 @@ def q_retention(spark, sf_dir):
     )
 
 
+def q_source_report(spark, sf_dir):
+    """Per-source corpus report — the dashboard a curation run reads:
+    doc counts, token/char volume, quality keep-rate. One narrow
+    aggregate over the quality features."""
+    docs = _t(spark, sf_dir, "documents")
+    qf = text.quality_features(docs).select("doc_id", "n_tokens", "n_chars", "quality_keep")
+    return (
+        docs.select("doc_id", "source")
+        .join(qf, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.floor(
+                F.sum(F.when(F.col("quality_keep"), 1).otherwise(0))
+                * 1000
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("keep_permille"),
+        )
+    )
+
+
 def q_span_scrub(spark, sf_dir):
     """Substring-level dedup under the hash gate: repeated spans of ≥8
     tokens (k-gram frequency ≥2 corpus-wide, gaps-and-islands runs,
@@ -1321,6 +1346,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_top_bigrams": q_top_bigrams,
         "x4_common_ngrams": q_common_ngrams,
         "x4_span_scrub": q_span_scrub,
+        "x4_source_report": q_source_report,
         "x7_hash_split": q_hash_split,
         "x7_stratified_sample": q_stratified_sample,
         "x7_det_shuffle": q_det_shuffle,
@@ -1978,6 +2004,18 @@ def oracle_sql() -> dict[str, str]:
         "x3_lsh_topk_portable": _lsh_topk_portable_oracle(),
         "x2_embedding_dup_lsh_portable": _embedding_lsh_pairs_oracle(),
         "x4_span_scrub": _span_scrub_oracle(),
+        "x4_source_report": (
+            "WITH f AS (SELECT doc_id, source, length(text) AS n_chars, "
+            "len(str_split(text, ' ')) AS n_tokens, "
+            "length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS n_punct "
+            "FROM documents) "
+            "SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(n_tokens) AS BIGINT) AS total_tokens, "
+            "CAST(sum(n_chars) AS BIGINT) AS total_chars, "
+            "CAST(floor(sum(CASE WHEN n_tokens >= 10 AND n_chars >= 50 "
+            "AND floor(n_punct * 1000 / n_chars) < 200 THEN 1 ELSE 0 END) * 1000 "
+            "/ count(*)) AS BIGINT) AS keep_permille FROM f GROUP BY source"
+        ),
         "x9_sequence_pack": _packing.pack_oracle_sql(
             256,
             "SELECT lang, doc_id, len(string_split(text, ' ')) AS n_tokens "

@@ -211,3 +211,40 @@ def test_windowed_state_store_matches_batch_for_final_windows(tmp_path, spark):
     assert ("10.0.0.2", "2024-01-01T00:00:00", 1, 0) in got
     # the 03:00 row's window is not finalized (watermark 02:00) -> absent
     assert all(ip != "10.0.0.9" for ip, *_ in got)
+
+
+def test_stream_dedupe_drops_redelivered_events(tmp_path, spark):
+    """dropDuplicatesWithinWatermark keeps one row per event_id among
+    in-horizon re-deliveries — the ingest guard that makes
+    at-least-once sources harmless to the additive sinks."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.streaming.dedupe import dedupe_stream
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    rows = [
+        {"event_id": i % 40, "ts": f"2026-01-01T00:{i % 40:02d}:00Z", "v": i % 40}
+        for i in range(120)  # every event delivered 3×
+    ]
+    src.mkdir()
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts STRING, v BIGINT")
+        .json(str(src))
+        .withColumn("ts", F.to_timestamp("ts"))
+    )
+    q = (
+        dedupe_stream(stream, ["event_id"], "ts", watermark="1 hour")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    assert got.count() == 40
+    assert got.select("event_id").distinct().count() == 40
