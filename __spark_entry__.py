@@ -319,6 +319,30 @@ def q_q3_shipping(spark, sf_dir):
     )
 
 
+def q_q14_promo(spark, sf_dir):
+    """TPC-H Q14 shape: broadcast dim join + conditional-ratio
+    aggregate in integer cents (order-independent)."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    p = _t(spark, sf_dir, "part")
+    cents = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(
+            F.when(F.col("p_type") == "PROMO", cents).otherwise(0).alias("promo_c"),
+            cents.alias("all_c"),
+        )
+        .agg(
+            F.floor(F.sum("promo_c") * 1000 / F.sum("all_c"))
+            .cast("long")
+            .alias("promo_permille"),
+            F.sum("all_c").cast("long").alias("revenue_cents"),
+        )
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel (view → click → purchase): each stage
     counts users whose earliest qualifying event follows their previous
@@ -1289,6 +1313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing,
         "q3_shipping_priority": q_q3_shipping,
         "q6_forecast_revenue": q_q6_revenue,
+        "q14_promo_revenue": q_q14_promo,
         "x_join_revenue_by_nation": q_join_revenue,
         "x_topk_orders": q_topk_orders,
         "x_window_rank": q_window_rank,
@@ -1741,6 +1766,15 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
             "AND l_shipdate > TIMESTAMP '1998-01-01' "
             "GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"
+        ),
+        "q14_promo_revenue": (
+            "WITH j AS (SELECT CASE WHEN p_type = 'PROMO' THEN "
+            "CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) ELSE 0 END AS promo_c, "
+            "CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS all_c "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-07-01') "
+            "SELECT CAST(floor(sum(promo_c) * 1000 / sum(all_c)) AS BIGINT) AS promo_permille, "
+            "CAST(sum(all_c) AS BIGINT) AS revenue_cents FROM j"
         ),
         "e_funnel": (
             "WITH v AS (SELECT user_id, min(ts) AS t1 FROM events "

@@ -283,3 +283,25 @@ def test_salted_join_spreads_key_under_shuffle_join(spark):
         assert "BroadcastHashJoin" not in plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def test_zorder_key_matches_reference_interleave(spark):
+    """Property check: the Morton expression equals a Python reference
+    bit-interleave over the full 5-bit grid (injectivity follows)."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.zorder import zorder_key2
+
+    def ref(a: int, b: int, bits: int) -> int:
+        out = 0
+        for i in range(bits):
+            out |= ((a >> i) & 1) << (2 * i)
+            out |= ((b >> i) & 1) << (2 * i + 1)
+        return out
+
+    grid = spark.range(1024).select(
+        (F.col("id") % 32).alias("a"), F.floor(F.col("id") / 32).alias("b")
+    )
+    rows = grid.select("a", "b", zorder_key2("a", "b", bits=5).alias("z")).collect()
+    assert all(r.z == ref(r.a, r.b, 5) for r in rows)
+    assert len({r.z for r in rows}) == 1024  # bijective on the grid
