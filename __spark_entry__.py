@@ -98,6 +98,21 @@ def q_a8(spark, sf_dir):
     return agg.upstream_stats(log2_from_events(spark, sf_dir))
 
 
+def q_a9_latency(spark, sf_dir):
+    """A9 — the aggregate the reference's users ask for next: per-
+    upstream latency profile over Elapsed (ns). Integer sums and
+    integer division (`div` ≡ DuckDB `//` on non-negatives) keep every
+    measure exact cross-engine; an avg() of longs would route through
+    doubles and risk the hash at the ULP level."""
+    log2 = log2_from_events(spark, sf_dir)
+    return log2.groupBy("Upstream").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("Elapsed").cast("long").alias("total_elapsed"),
+        F.expr("sum(Elapsed) div count(1)").cast("long").alias("avg_elapsed"),
+        F.max("Elapsed").cast("long").alias("max_elapsed"),
+    )
+
+
 def q_f3(spark, sf_dir):
     """F3 predicate (README.md:148) as a standalone count."""
     log2 = log2_from_events(spark, sf_dir)
@@ -1305,6 +1320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_stats2": q_a6,
         "a7_tld_stats": q_a7,
         "a8_upstream_stats": q_a8,
+        "a9_latency_stats": q_a9_latency,
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
         "p7_dns_parse": q_p7_dns_parse,
@@ -1665,6 +1681,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_upstream_stats": oracle_cte(
             'SELECT Upstream, count(*) AS "count" FROM log2 GROUP BY Upstream'
+        ),
+        "a9_latency_stats": oracle_cte(
+            "SELECT Upstream, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(Elapsed) AS BIGINT) AS total_elapsed, "
+            "CAST(sum(Elapsed) // count(*) AS BIGINT) AS avg_elapsed, "
+            "CAST(max(Elapsed) AS BIGINT) AS max_elapsed "
+            "FROM log2 GROUP BY Upstream"
         ),
         "f3_real_domain_count": oracle_cte(
             f"SELECT count(*) AS n FROM log2 WHERE {f3}"

@@ -126,10 +126,24 @@ class QuerylogPipeline:
         available_now: bool = False,
         processing_time: str = "5 seconds",
         max_files_per_trigger: int | None = None,
+        dedupe_horizon: str | None = None,
     ) -> StreamingQuery:
         raw = read_querylog_stream(
             self.spark, self.source_dir, max_files_per_trigger=max_files_per_trigger
         )
+        if dedupe_horizon is not None:
+            # Ingest-side dedup (at-least-once sources, re-spooled files):
+            # one row per raw line within the horizon, keyed on the line
+            # itself. Ingest-time watermark (the raw text carries no
+            # parsed event time yet) bounds the state store; the additive
+            # sinks downstream are epoch-idempotent but NOT re-delivery-
+            # idempotent, which is exactly what this guard closes.
+            raw = (
+                raw.withColumn("_ingest_ts", F.current_timestamp())
+                .withWatermark("_ingest_ts", dedupe_horizon)
+                .dropDuplicatesWithinWatermark(["value"])
+                .drop("_ingest_ts")
+            )
         parsed = parse_querylog_lines(raw)
         writer = (
             parsed.writeStream.foreachBatch(self.process_batch)
@@ -143,9 +157,9 @@ class QuerylogPipeline:
             writer = writer.trigger(processingTime=processing_time)
         return writer.start()
 
-    def run_available(self) -> None:
+    def run_available(self, dedupe_horizon: str | None = None) -> None:
         """Process everything currently in the source dir, then stop."""
-        q = self.start(available_now=True)
+        q = self.start(available_now=True, dedupe_horizon=dedupe_horizon)
         q.awaitTermination()
 
     # -- read API (SURVEY.md §3.3) -------------------------------------------

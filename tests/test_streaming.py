@@ -248,3 +248,25 @@ def test_stream_dedupe_drops_redelivered_events(tmp_path, spark):
     got = spark.read.parquet(str(out))
     assert got.count() == 40
     assert got.select("event_id").distinct().count() == 40
+
+
+def test_pipeline_ingest_dedupe_collapses_duplicate_lines(tmp_path, spark):
+    """With dedupe_horizon set, a file containing every line twice
+    produces the same fact rows and aggregate values as the deduped
+    input — re-spooled deliveries can no longer double-count into the
+    additive sinks."""
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    lines = [
+        _line(i, minute=i % 10, filtered=i % 3 == 0, qh=f"q{i % 4}.example.com",
+              ip=f"10.1.0.{i % 2}")
+        for i in range(20)
+    ]
+    (src / "a.jsonl").write_text("\n".join(lines + lines) + "\n")  # everything 2×
+
+    pipe = QuerylogPipeline(spark, str(src), str(out))
+    pipe.run_available(dedupe_horizon="1 hour")
+
+    assert pipe.read_log2().count() == 20
+    qt = {r.QT: r["count"] for r in pipe.read_aggregate("qt_stats").collect()}
+    assert qt == {"A": 20}
