@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="process available input and exit (availableNow)",
     )
     p.add_argument("--master", default=None, help="Spark master override")
+    p.add_argument(
+        "--dedupe-horizon", default=None, metavar="INTERVAL",
+        help="drop re-delivered identical lines within this ingest-time "
+        "horizon (e.g. '1 hour'); off by default",
+    )
     return p
 
 
@@ -54,9 +59,11 @@ def run(argv: list[str] | None = None) -> None:
     spark = get_spark(app_name="adguard-collector", master=args.master)
     pipe = QuerylogPipeline(spark, args.source, args.out)
     if args.once:
-        pipe.run_available()
+        pipe.run_available(dedupe_horizon=args.dedupe_horizon)
         return
-    query = pipe.start(processing_time=args.trigger)  # pragma: no cover
+    query = pipe.start(  # pragma: no cover
+        processing_time=args.trigger, dedupe_horizon=args.dedupe_horizon
+    )
     query.awaitTermination()  # pragma: no cover
 
 

@@ -228,6 +228,31 @@ def test_approx_hygiene_within_error_bounds(spark):
     assert r.lo <= r.p50 <= r.hi
 
 
+def test_quantized_topk_recall_vs_float_exact(fixture_emb):
+    """int8 quantization must be usable, not just stored: brute-force
+    top-k over the dequantized vectors recovers ≥8/10 of the float
+    exact top-10 (error bound amax/127 per component is far below the
+    fixture's neighbor gaps)."""
+    emb = fixture_emb
+    qvec = list(emb.filter(F.col("vec_id") == 0).head().embedding)
+
+    exact = {
+        r.vec_id
+        for r in similarity.topk_cosine(emb, qvec, k=10).collect()
+    }
+    deq = similarity.quantize_embeddings_int8(emb).select(
+        "vec_id",
+        similarity.dequantize_int8(
+            F.col("q_embedding"), F.col("q_scale_ppm")
+        ).alias("embedding"),
+    )
+    approx = {
+        r.vec_id
+        for r in similarity.topk_cosine(deq, qvec, k=10).collect()
+    }
+    assert len(exact & approx) >= 8
+
+
 def test_normalize_embeddings_unit_norm_and_cosine_invariance(spark):
     df = spark.createDataFrame(
         [(1, [3.0, 4.0]), (2, [0.0, 0.0]), (3, [-1.0, 2.0])],
