@@ -1255,6 +1255,20 @@ def q_dedup_clusters(spark, sf_dir):
     return comp.select("doc_id", F.col("component").cast("long").alias("component"))
 
 
+def q_near_dedup_clusters(spark, sf_dir):
+    """End-to-end NEAR-dedup under the hash gate: portable MinHash-LSH
+    candidate pairs as edges → hash-min connected components → min-id
+    cluster labels. This is the full production near-dedup recipe
+    (candidate-generate, cluster, pick representatives) with every
+    stage replayed by the DuckDB oracle (banded LSH + recursive CC)."""
+    from adguard2clickhouse_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, portable=True).select("doc_a", "doc_b")
+    comp = connected_components(docs.select("doc_id"), pairs)
+    return comp.select("doc_id", F.col("component").cast("long").alias("component"))
+
+
 def q_stream_pipeline(spark, sf_dir):
     """C1/C2/K2 end-to-end under the oracle gate: the reference's whole
     topology (collector.py:54-78 tail→parse→insert→MV cascade) as one
@@ -1367,6 +1381,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "x2_minhash_lsh": q_minhash_lsh,
         "x2_minhash_lsh_md5": q_minhash_lsh_md5,
+        "x2_near_dedup_clusters": q_near_dedup_clusters,
         "x2_simhash_pairs": q_simhash,
         "x2_simhash_md5": q_simhash_md5,
         "x2_winnow_fingerprints": q_winnow,
@@ -1590,10 +1605,12 @@ def _winnow_md5_oracle(k: int = 5, w: int = 4) -> str:
     )
 
 
-def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+def _minhash_md5_parts(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
     """DuckDB twin of dedup.minhash_lsh_pairs(portable=True): md5
     minhashes (first 60 bits as BIGINT), string band keys, band
-    equi-join, and the 16-way signature-agreement readback."""
+    equi-join, and the 16-way signature-agreement readback. Returns
+    (cte_body, final_select) so the cluster oracle can reuse the
+    candidate-pair CTEs as graph edges."""
     rpb = num_hashes // bands
     mh_defs = ", ".join(
         f"min(('0x' || substring(md5(s || '#{i}'), 1, 15))::BIGINT) AS mh_{i}"
@@ -1608,16 +1625,40 @@ def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
     agree = " + ".join(
         f"CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
     )
-    return (
-        f"WITH {_SHINGLE_CTE}, "
+    ctes = (
+        f"{_SHINGLE_CTE}, "
         f"sig AS (SELECT doc_id, {mh_defs} FROM sh GROUP BY doc_id), "
         f"bands AS ({band_rows}), "
         "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nb "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "
-        "AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+        "AND a.doc_id < b.doc_id GROUP BY 1, 2)"
+    )
+    final = (
         "SELECT da AS doc_a, db AS doc_b, CAST(nb AS BIGINT) AS n_bands_agree, "
         f"CAST(floor(({agree}) * 1000 / {num_hashes}) AS BIGINT) AS est_jaccard_permille "
         "FROM pairs JOIN sig x ON da = x.doc_id JOIN sig y ON db = y.doc_id"
+    )
+    return ctes, final
+
+
+def _minhash_md5_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    ctes, final = _minhash_md5_parts(num_hashes, bands)
+    return f"WITH {ctes} {final}"
+
+
+def _minhash_clusters_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of q_near_dedup_clusters: the md5 banded-LSH
+    candidate pairs as edges, transitive closure via recursive
+    reachability, min-id component labels."""
+    ctes, _ = _minhash_md5_parts(num_hashes, bands)
+    return (
+        f"WITH RECURSIVE {ctes}, "
+        "edges AS (SELECT da AS u, db AS v FROM pairs "
+        "UNION SELECT db, da FROM pairs), "
+        "reach(u, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) "
+        "SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component "
+        "FROM reach GROUP BY u"
     )
 
 
@@ -2055,6 +2096,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents) WHERE rnk <= 5"
         ),
         "x2_minhash_lsh_md5": _minhash_md5_oracle(),
+        "x2_near_dedup_clusters": _minhash_clusters_oracle(),
         "x2_simhash_md5": _simhash_md5_oracle(),
         "x2_winnow_md5": _winnow_md5_oracle(),
         "x10_curation_pipeline": _curation_pipeline_oracle(),
