@@ -505,6 +505,40 @@ def q_zorder_key(spark, sf_dir):
     )
 
 
+def q_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS with grouping_id — the general form
+    rollup/cube specialize. Sets: (status, priority), (status), ()."""
+    o = _t(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+        """,
+        o=o,
+    )
+
+
+def q_window_suite(spark, sf_dir):
+    """The wider window-function surface in one query: ntile quartiles,
+    percent_rank (permille-floored for exactness), first/last value
+    over a running frame, lead — all per nation over customer balances."""
+    c = _t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return c.select(
+        "c_custkey",
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1000).cast("long").alias("pct_rank_permille"),
+        F.first("c_custkey").over(wf).cast("long").alias("richest_key"),
+        F.lead("c_custkey").over(w).cast("long").alias("next_key"),
+    )
+
+
 def q_salted_join(spark, sf_dir):
     """Skew-safe salted equi-join (operators/skew.py) under the hash
     gate. The join key is event_type — a handful of hot values owning
@@ -1255,6 +1289,13 @@ def q_dedup_clusters(spark, sf_dir):
     return comp.select("doc_id", F.col("component").cast("long").alias("component"))
 
 
+def q_edit_distance(spark, sf_dir):
+    """Bucketed edit-distance dedup (title/URL-style blocking): the
+    quadratic levenshtein verify runs only within source buckets.
+    Spark's and DuckDB's levenshtein are both unit-cost — gated."""
+    return dedup.edit_distance_pairs(_t(spark, sf_dir, "documents"), "source")
+
+
 def q_near_dedup_clusters(spark, sf_dir):
     """End-to-end NEAR-dedup under the hash gate: portable MinHash-LSH
     candidate pairs as edges → hash-min connected components → min-id
@@ -1358,6 +1399,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_exists_subquery": q_exists_subquery,
         "x_salted_join": q_salted_join,
         "x_zorder_key": q_zorder_key,
+        "x_grouping_sets": q_grouping_sets,
+        "x_window_suite": q_window_suite,
         # events analytics
         "e_sessions": q_sessions,
         "e_pivot": q_pivot,
@@ -1382,6 +1425,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_lsh": q_minhash_lsh,
         "x2_minhash_lsh_md5": q_minhash_lsh_md5,
         "x2_near_dedup_clusters": q_near_dedup_clusters,
+        "x2_edit_distance": q_edit_distance,
         "x2_simhash_pairs": q_simhash,
         "x2_simhash_md5": q_simhash_md5,
         "x2_winnow_fingerprints": q_winnow,
@@ -1880,6 +1924,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY shard "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos FROM b"
         ),
+        "x_grouping_sets": (
+            "SELECT o_orderstatus, o_orderpriority, "
+            "CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents "
+            "FROM orders GROUP BY GROUPING SETS "
+            "((o_orderstatus, o_orderpriority), (o_orderstatus), ())"
+        ),
+        "x_window_suite": (
+            "SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation, "
+            "CAST(ntile(4) OVER w AS BIGINT) AS quartile, "
+            "CAST(floor(percent_rank() OVER w * 1000) AS BIGINT) AS pct_rank_permille, "
+            "CAST(first_value(c_custkey) OVER w AS BIGINT) AS richest_key, "
+            "CAST(lead(c_custkey) OVER w AS BIGINT) AS next_key "
+            "FROM customer "
+            "WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)"
+        ),
         "x_zorder_key": (
             "WITH d AS (SELECT o_orderkey, "
             "date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) & 1023 AS a, "
@@ -2097,6 +2158,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x2_minhash_lsh_md5": _minhash_md5_oracle(),
         "x2_near_dedup_clusters": _minhash_clusters_oracle(),
+        "x2_edit_distance": (
+            "WITH t AS (SELECT doc_id, source, substring(text, 1, 40) AS s "
+            "FROM documents) "
+            "SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, "
+            "CAST(levenshtein(a.s, b.s) AS BIGINT) AS edit_dist "
+            "FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id "
+            "WHERE levenshtein(a.s, b.s) <= 20"
+        ),
         "x2_simhash_md5": _simhash_md5_oracle(),
         "x2_winnow_md5": _winnow_md5_oracle(),
         "x10_curation_pipeline": _curation_pipeline_oracle(),

@@ -68,6 +68,41 @@ def fingerprint_dedup(
     return df.join(winners.select(id_col), on=id_col, how="left_semi")
 
 
+def edit_distance_pairs(
+    df: DataFrame,
+    bucket_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    prefix_len: int = 40,
+    max_dist: int = 20,
+) -> DataFrame:
+    """Edit-distance near-dup pairs, bucketed: levenshtein over a fixed
+    text prefix, compared only WITHIN ``bucket_col`` groups (source,
+    domain, cluster id…). The quadratic verify is confined to each
+    bucket — the standard shape for title/URL dedup where a cheap
+    blocking key exists; never an unbucketed all-pairs. Returns
+    (doc_a, doc_b, edit_dist)."""
+    t = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(bucket_col).alias("_b"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_s"),
+    )
+    a, b = t.alias("a"), t.alias("b")
+    dist = F.levenshtein(F.col("a._s"), F.col("b._s"))
+    return (
+        a.join(
+            b,
+            (F.col("a._b") == F.col("b._b")) & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            dist.cast("long").alias("edit_dist"),
+        )
+        .filter(F.col("edit_dist") <= max_dist)
+    )
+
+
 def corpus_fingerprints(df: DataFrame, text_col: str = "text") -> DataFrame:
     """The historical corpus reduced to its distinct 32-char digests —
     the only thing incremental dedup ever needs from 100 TB of history.
