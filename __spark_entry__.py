@@ -1160,6 +1160,16 @@ def q_curation_pipeline(spark, sf_dir):
     )
 
 
+def q_histogram(spark, sf_dir):
+    """Fixed-width histogram of event values — the one-shuffle binning
+    every metrics dashboard starts with."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.floor(F.col("value") / 10).cast("long").alias("bin"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/sketch.py) under the hash
     gate: customers holding > n/1000 of all orders. The sketch pass is
@@ -1457,6 +1467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_media_probe": q_media_probe,
         "x6_approx_stats": q_approx_stats,
         "x6_heavy_hitters": q_heavy_hitters,
+        "x6_histogram": q_histogram,
         "x6_exact_stats": q_exact_stats,
         # streaming topology end-to-end (SURVEY §2.8 C1/C2, §2.3 K2)
         "c1_stream_pipeline": q_stream_pipeline,
@@ -2222,6 +2233,10 @@ def oracle_sql() -> dict[str, str]:
             "WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt "
             "FROM orders GROUP BY 1), tot AS (SELECT count(*) AS n FROM orders) "
             "SELECT o_custkey, cnt FROM c, tot WHERE cnt * 1000 > n"
+        ),
+        "x6_histogram": (
+            "SELECT CAST(floor(value / 10) AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1"
         ),
         "p7_dns_parse_diverse": (
             "WITH e AS (SELECT event_id, "

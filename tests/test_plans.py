@@ -305,3 +305,38 @@ def test_zorder_key_matches_reference_interleave(spark):
     rows = grid.select("a", "b", zorder_key2("a", "b", bits=5).alias("z")).collect()
     assert all(r.z == ref(r.a, r.b, 5) for r in rows)
     assert len({r.z for r in rows}) == 1024  # bijective on the grid
+
+
+def test_compaction_rewrites_small_files_and_preserves_rows(spark, tmp_path_factory):
+    """32 per-epoch micro-files compact into a handful of target-sized
+    files with identical content; sort_col re-establishes in-file
+    ordering for min/max pruning."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.compaction import compact_parquet
+
+    base = tmp_path_factory.mktemp("compact")
+    src, out = str(base / "src"), str(base / "out")
+    df = spark.range(20_000).select(
+        F.col("id"), (F.col("id") % 97).alias("k")
+    )
+    df.repartition(32).write.parquet(src)  # the small-files problem
+
+    import glob
+
+    assert len(glob.glob(f"{src}/part-*.parquet")) == 32
+    n = compact_parquet(spark, src, out, target_file_bytes=200_000, sort_col="id")
+    files = glob.glob(f"{out}/part-*.parquet")
+    assert len(files) == n < 8
+
+    back = spark.read.parquet(out)
+    assert back.count() == 20_000
+    assert back.agg(F.sum("id")).head()[0] == df.agg(F.sum("id")).head()[0]
+    # in-file ordering: each file's ids are a contiguous sorted range
+    spans = (
+        back.select("id", F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.min("id").alias("lo"), F.max("id").alias("hi"), F.count("id").alias("c"))
+        .collect()
+    )
+    assert all(r.hi - r.lo + 1 == r.c for r in spans)
