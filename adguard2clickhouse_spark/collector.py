@@ -24,7 +24,6 @@ parquet summing sink serves the identical read API.
 from __future__ import annotations
 
 import argparse
-import os
 
 from adguard2clickhouse_spark.session import get_spark
 from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
