@@ -393,21 +393,15 @@ def minhash_signatures(
     interpreted per element; the explode+groupBy form stays inside
     WholeStageCodegen with map-side partial mins, so the shuffle
     carries one partial signature row per (doc × partition), not the
-    shingles. min() over a multiset ≡ min() over the set, so the
-    per-doc array_distinct is a pure row-count reduction (measured
-    ~8% here on synthetic text; larger on repetitive real corpora,
-    where within-doc shingle repetition multiplies the exploded rows
-    and the 16 per-row hashes for nothing).
+    shingles. min() over a multiset ≡ min() over the set — and the
+    shingle helper already dedupes per doc (array_distinct), so the
+    exploded row count is the per-doc distinct-shingle count, keeping
+    the 16 per-row hashes off within-doc repetition.
     """
     tok = (
         _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select(
-            "_id",
-            F.explode(
-                F.array_distinct(shingle_hashes_from_tokens(F.col("_toks"), n))
-            ).alias("_h"),
-        )
+        .select("_id", F.explode(shingle_hashes_from_tokens(F.col("_toks"), n)).alias("_h"))
     )
     return tok.groupBy("_id").agg(
         *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
@@ -435,12 +429,7 @@ def minhash_md5_signatures(
     tok = (
         _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select(
-            "_id",
-            F.explode(
-                F.array_distinct(shingles_from_tokens(F.col("_toks"), n))
-            ).alias("_s"),
-        )
+        .select("_id", F.explode(shingles_from_tokens(F.col("_toks"), n)).alias("_s"))
     )
     return tok.groupBy("_id").agg(
         *[
