@@ -1180,6 +1180,25 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey", k=1000)
 
 
+def q_frame_plan(spark, sf_dir):
+    """X5 frame-sampling plan under the hash gate: (media_id, frame_ts)
+    pairs computed purely from video metadata — the cheap pre-pass that
+    sizes the decode stage. Payloads are never touched, so the video
+    rows here are metadata-only synthetics (duration from doc_id); the
+    oracle replays the sequence arithmetic."""
+    vids = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.struct(
+            F.lit("video").alias("kind"),
+            F.lit("mp4").alias("format"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.lit(500) + (F.col("doc_id") * 7) % 4500).alias("duration_ms"),
+        ).alias("meta"),
+    )
+    return multimodal.frame_sample_plan(vids, every_ms=1000)
+
+
 def q_approx_stats(spark, sf_dir):
     """Rows-only: HLL distinct + approximate quantiles (ops hygiene at
     100 TB; approximate by definition, no exact oracle)."""
@@ -1465,6 +1484,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x10_curation_pipeline": q_curation_pipeline,
         "x5_media_features": q_media_features,
         "x5_media_probe": q_media_probe,
+        "x5_frame_plan": q_frame_plan,
         "x6_approx_stats": q_approx_stats,
         "x6_heavy_hitters": q_heavy_hitters,
         "x6_histogram": q_histogram,
@@ -2220,6 +2240,12 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN doc_id % 5 = 4 THEN CAST(8000 AS INT) END AS sample_rate, "
             "CASE WHEN doc_id % 5 = 4 THEN CAST(1 AS INT) END AS channels "
             "FROM documents"
+        ),
+        "x5_frame_plan": (
+            "WITH v AS (SELECT doc_id AS media_id, 500 + (doc_id * 7) % 4500 AS dur "
+            "FROM documents) "
+            "SELECT media_id, CAST(unnest(generate_series(0, greatest(dur - 1, 0), 1000)) "
+            "AS BIGINT) AS frame_ts_ms FROM v"
         ),
         "x6_exact_stats": (
             "SELECT count(*) AS n_rows, count(DISTINCT l_partkey) AS n_parts, "
