@@ -334,6 +334,56 @@ def q_q3_shipping(spark, sf_dir):
     )
 
 
+def q_q10_returns(spark, sf_dir):
+    """TPC-H Q10 shape: returned-item revenue per customer over a
+    quarter — fact filter → join orders → join customer/nation
+    (broadcast dims) → top 20. Integer cents; ties on custkey."""
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders via a grouped HAVING
+    subquery feeding a semi join — the classic two-pass aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("_q"))
+        .filter(F.col("_q") > 150)
+        .select("l_orderkey", F.floor(F.col("_q")).cast("long").alias("total_qty"))
+    )
+    return (
+        o.join(big, o.o_orderkey == big.l_orderkey)
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            _cents("o_totalprice").alias("total_cents"),
+            "total_qty",
+        )
+    )
+
+
 def q_q14_promo(spark, sf_dir):
     """TPC-H Q14 shape: broadcast dim join + conditional-ratio
     aggregate in integer cents (order-independent)."""
@@ -1413,7 +1463,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": q_q1_pricing,
         "q3_shipping_priority": q_q3_shipping,
         "q6_forecast_revenue": q_q6_revenue,
+        "q10_returned_items": q_q10_returns,
         "q14_promo_revenue": q_q14_promo,
+        "q18_large_orders": q_q18_large_orders,
         "x_join_revenue_by_nation": q_join_revenue,
         "x_topk_orders": q_topk_orders,
         "x_window_rank": q_window_rank,
@@ -1905,6 +1957,24 @@ def oracle_sql() -> dict[str, str]:
             "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01' "
             "AND l_shipdate > TIMESTAMP '1998-01-01' "
             "GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, o_orderkey LIMIT 10"
+        ),
+        "q10_returned_items": (
+            "SELECT c_custkey, c_name, n_name, "
+            "CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "WHERE l_returnflag = 'R' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "GROUP BY 1, 2, 3 ORDER BY revenue_cents DESC, c_custkey LIMIT 20"
+        ),
+        "q18_large_orders": (
+            "WITH big AS (SELECT l_orderkey, CAST(floor(sum(l_quantity)) AS BIGINT) "
+            "AS total_qty FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 150) "
+            "SELECT o_orderkey, o_orderdate, "
+            "CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, total_qty "
+            "FROM orders JOIN big ON o_orderkey = l_orderkey"
         ),
         "q14_promo_revenue": (
             "WITH j AS (SELECT CASE WHEN p_type = 'PROMO' THEN "
