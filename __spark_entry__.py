@@ -555,6 +555,26 @@ def q_zorder_key(spark, sf_dir):
     )
 
 
+def q_correlated_scalar(spark, sf_dir):
+    """Correlated scalar subqueries (Catalyst decorrelates to joins):
+    customers above their nation's average balance. The comparison is
+    pure integers — cents × group-count vs group-sum — so no float
+    fold-order risk at the boundary."""
+    c = _t(spark, sf_dir, "customer")
+    return spark.sql(
+        """
+        SELECT c.c_custkey
+        FROM {c} c
+        WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT)
+              * (SELECT count(*) FROM {c} c2
+                 WHERE c2.c_nationkey = c.c_nationkey)
+              > (SELECT sum(CAST(floor(c3.c_acctbal * 100) AS BIGINT))
+                 FROM {c} c3 WHERE c3.c_nationkey = c.c_nationkey)
+        """,
+        c=c,
+    )
+
+
 def q_grouping_sets(spark, sf_dir):
     """Arbitrary GROUPING SETS with grouping_id — the general form
     rollup/cube specialize. Sets: (status, priority), (status), ()."""
@@ -1481,6 +1501,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_salted_join": q_salted_join,
         "x_zorder_key": q_zorder_key,
         "x_grouping_sets": q_grouping_sets,
+        "x_correlated_scalar": q_correlated_scalar,
         "x_window_suite": q_window_suite,
         # events analytics
         "e_sessions": q_sessions,
@@ -2024,6 +2045,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, CAST(shard AS BIGINT) AS shard, "
             "CAST(row_number() OVER (PARTITION BY shard "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos FROM b"
+        ),
+        "x_correlated_scalar": (
+            "SELECT c.c_custkey FROM customer c "
+            "WHERE CAST(floor(c.c_acctbal * 100) AS BIGINT) "
+            "* (SELECT count(*) FROM customer c2 "
+            "WHERE c2.c_nationkey = c.c_nationkey) "
+            "> (SELECT sum(CAST(floor(c3.c_acctbal * 100) AS BIGINT)) "
+            "FROM customer c3 WHERE c3.c_nationkey = c.c_nationkey)"
         ),
         "x_grouping_sets": (
             "SELECT o_orderstatus, o_orderpriority, "
