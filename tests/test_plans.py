@@ -384,3 +384,31 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_shuffle_budgets_hold(spark):
+    """Every driver query's physical plan must stay within its recorded
+    Exchange (shuffle) budget — the per-query scale guard. A refactor
+    that silently adds a shuffle fails here long before it costs
+    wall-clock on a cluster. Regenerate tests/plan_budgets.json (see
+    its provenance in git) when a query's plan intentionally changes.
+    """
+    import json
+    import pathlib
+
+    budgets = json.loads(
+        (pathlib.Path(__file__).parent / "plan_budgets.json").read_text()
+    )
+    qs = entrymod.queries()
+    skip = {
+        "c1_stream_pipeline", "e_sessions_stream", "a6_stats2_stream",
+        "e_stream_interval_join",
+    }
+    missing = set(qs) - skip - set(budgets)
+    assert not missing, f"queries without a shuffle budget: {sorted(missing)}"
+    over = {}
+    for name, budget in budgets.items():
+        n = _physical(qs[name](spark, SF)).count("Exchange")
+        if n > budget:
+            over[name] = (n, budget)
+    assert not over, f"shuffle budget exceeded: {over}"
