@@ -1221,23 +1221,19 @@ def q_curation_pipeline(spark, sf_dir):
     stratified sample. Every stage is an individually-gated operator
     (x4_quality, x1_dedup, x4_pii_scrub, x7_stratified_sample); this
     query gates their COMPOSITION, which is what a user actually runs.
-    Narrow joins only: quality and dedup communicate via doc_id
-    semi-joins, the scrub is a projection, the sample is one
-    per-stratum window."""
+    The quality gate is a pure filter expression (text.quality_keep)
+    absorbed by the scan; dedup communicates via a doc_id semi-join;
+    the scrub is a projection computed in the same pass as the sample's
+    window."""
     from adguard2clickhouse_spark.operators.sampling import stratified_sample
-    from adguard2clickhouse_spark.operators.scrub import scrub_pii
+    from adguard2clickhouse_spark.operators.scrub import redacted_text
 
     docs = _t(spark, sf_dir, "documents")
-    kept = docs.join(
-        text.quality_features(docs).filter("quality_keep").select("doc_id"),
-        "doc_id",
-        "left_semi",
-    )
+    kept = docs.filter(text.quality_keep("text"))
     deduped = dedup.fingerprint_dedup(kept)
-    scrubbed = scrub_pii(deduped).select(
-        "doc_id", F.md5("redacted").alias("redacted_md5")
+    enriched = deduped.select(
+        "doc_id", "lang", "source", F.md5(redacted_text("text")).alias("redacted_md5")
     )
-    enriched = deduped.select("doc_id", "lang", "source").join(scrubbed, "doc_id")
     return stratified_sample(enriched, "lang", per_stratum=10).select(
         "doc_id", "lang", "source", "redacted_md5", "rnk"
     )

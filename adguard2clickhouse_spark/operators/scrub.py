@@ -47,6 +47,15 @@ def scrub_pii(
     return df.select(F.col(id_col), cur.alias("redacted"), *counts)
 
 
+def redacted_text(col: Column | str) -> Column:
+    """The redaction chain alone, as a column expression — compose it
+    into wider projections (no forced narrow select, no join-back)."""
+    cur: Column = F.col(col) if isinstance(col, str) else col
+    for _name, pattern, repl in PII_PATTERNS:
+        cur = F.regexp_replace(cur, pattern, repl)
+    return cur
+
+
 def pii_oracle_sql(source_expr: str, id_col: str = "doc_id") -> str:
     """DuckDB twin of :func:`scrub_pii` over ``source_expr`` (a SQL
     expression yielding the text). DuckDB's regexp_replace is

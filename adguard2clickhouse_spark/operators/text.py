@@ -68,6 +68,21 @@ def lang_id(col: Column | str) -> Column:
     return best_lang
 
 
+def quality_keep(col: Column | str) -> Column:
+    """The keep/drop verdict of `quality_features` as a standalone
+    column expression — filter with it directly (a pure projection the
+    scan absorbs) instead of joining back against the feature frame."""
+    t = F.col(col) if isinstance(col, str) else col
+    n_tok = token_count(t)
+    n_chars = F.length(t)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    return (
+        (n_tok >= 10)
+        & (n_chars >= 50)
+        & (F.floor((n_punct * 1000) / n_chars) < 200)
+    )
+
+
 def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Per-document quality features: lengths, token stats, punctuation
     and stopword ratios (×1000, integer — exact cross-engine compare),
