@@ -76,6 +76,19 @@ class SummingParquetSink:
     def applied(self, epoch_id: int) -> bool:
         return epoch_id in self._pointer()["epochs"]
 
+    def replace(self, full: DataFrame) -> None:
+        """Swap in a wholesale recomputation (backfill/repair): write the
+        new state as the next version and point at it atomically. The
+        applied-epoch history is preserved so a concurrent stream's
+        retried epoch is still recognized as folded-in."""
+        meta = self._pointer()
+        new_version = meta["version"] + 1
+        full.write.mode("overwrite").parquet(self._data_dir(new_version))
+        self._write_pointer({"version": new_version, "epochs": meta["epochs"]})
+        old = self._data_dir(meta["version"])
+        if meta["version"] and os.path.exists(old):
+            shutil.rmtree(old, ignore_errors=True)
+
     def apply_delta(self, delta: DataFrame, epoch_id: int | None = None) -> None:
         """Fold a delta frame into the table (idempotent per epoch_id)."""
         meta = self._pointer()

@@ -168,3 +168,21 @@ class QuerylogPipeline:
 
     def read_log2(self) -> DataFrame:
         return self.spark.read.parquet(self.log2_path)
+
+    # -- maintenance ---------------------------------------------------------
+    def rebuild_aggregates(self, names: list[str] | None = None) -> None:
+        """Backfill aggregate tables from the fact table — the recovery
+        path ClickHouse's insert-triggered MVs don't have (an MV created
+        late, a corrupted SummingMergeTree, a changed aggregate formula
+        all require manual INSERT SELECT surgery there; README.md:24-189
+        defines them insert-time-only). Here the fact table is the
+        source of truth: recompute any aggregate wholesale and swap it
+        in atomically via the sink's versioned pointer. Streaming can
+        keep appending — the next epoch folds onto the rebuilt base."""
+        log2 = self.read_log2().persist()
+        try:
+            for name in names or list(ALL_AGGREGATES):
+                sink = self.sinks[name]
+                sink.replace(ALL_AGGREGATES[name](log2))
+        finally:
+            log2.unpersist()

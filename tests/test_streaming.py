@@ -270,3 +270,27 @@ def test_pipeline_ingest_dedupe_collapses_duplicate_lines(tmp_path, spark):
     assert pipe.read_log2().count() == 20
     qt = {r.QT: r["count"] for r in pipe.read_aggregate("qt_stats").collect()}
     assert qt == {"A": 20}
+
+
+def test_rebuild_aggregates_recovers_corrupted_sink(run_dirs, spark):
+    """Backfill from the fact table: wipe an aggregate sink entirely,
+    rebuild, and the read API serves exactly the stream-built state —
+    the recovery path insert-triggered MVs lack."""
+    import os
+    import shutil
+
+    _, out, pipe, _ = run_dirs
+    # ground truth = the batch aggregate over the fact table (other
+    # tests may have folded synthetic deltas into the sink by now)
+    expect = sorted(
+        (r.QT, r["count"]) for r in agg.qt_stats(pipe.read_log2()).collect()
+    )
+    shutil.rmtree(str(out / "qt_stats"))
+    assert not (out / "qt_stats").exists()
+
+    os.makedirs(str(out / "qt_stats"), exist_ok=True)
+    pipe.rebuild_aggregates(["qt_stats", "clients_stats"])
+    after = sorted(
+        (r.QT, r["count"]) for r in pipe.read_aggregate("qt_stats").collect()
+    )
+    assert after == expect
