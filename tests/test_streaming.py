@@ -294,3 +294,40 @@ def test_rebuild_aggregates_recovers_corrupted_sink(run_dirs, spark):
         (r.QT, r["count"]) for r in pipe.read_aggregate("qt_stats").collect()
     )
     assert after == expect
+
+
+def test_progress_recorder_captures_batch_rates(tmp_path, spark):
+    """The listener must see every micro-batch's input row count —
+    the observability hook a production stream exports from."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.streaming.monitor import ProgressRecorder
+
+    src, out, ckpt = tmp_path / "src", tmp_path / "out", tmp_path / "ckpt"
+    src.mkdir()
+    rows = [{"v": i} for i in range(500)]
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        q = (
+            spark.readStream.schema("v BIGINT")
+            .json(str(src))
+            .withColumn("v2", F.col("v") * 2)
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        deadline = time.time() + 30
+        while rec.total_input_rows() < 500 and time.time() < deadline:
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+    assert rec.total_input_rows() == 500
+    assert all(r.duration_ms >= 0 for r in rec.records)
