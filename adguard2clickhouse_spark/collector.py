@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
         help="drop re-delivered identical lines within this ingest-time "
         "horizon (e.g. '1 hour'); off by default",
     )
+    p.add_argument(
+        "--rebuild", action="store_true",
+        help="backfill all aggregate tables from the log2 fact table, "
+        "then exit (recovery / late-added aggregates)",
+    )
     return p
 
 
@@ -57,6 +62,9 @@ def run(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="adguard-collector", master=args.master)
     pipe = QuerylogPipeline(spark, args.source, args.out)
+    if args.rebuild:
+        pipe.rebuild_aggregates()
+        return
     if args.once:
         pipe.run_available(dedupe_horizon=args.dedupe_horizon)
         return

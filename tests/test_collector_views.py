@@ -78,3 +78,21 @@ def test_views_from_log2_batch(spark, log2_df):
         F.count(F.lit(1)).alias("n")
     ).collect()}
     assert got == expect
+
+
+def test_collector_rebuild_recovers_sinks(spark, tmp_path):
+    """`--rebuild` backfills a destroyed aggregate table from log2 via
+    the same CLI surface an operator would use."""
+    import shutil
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    _write_querylog(src)
+    run(["--source", str(src), "--out", str(out), "--once", "--master", "local[4]"])
+
+    before = spark.read.parquet(
+        str(next((out / "qt_stats").glob("v*")))
+    ).collect()
+    shutil.rmtree(str(out / "qt_stats"))
+    run(["--source", str(src), "--out", str(out), "--rebuild", "--master", "local[4]"])
+    after = spark.read.parquet(str(next((out / "qt_stats").glob("v*")))).collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
