@@ -29,20 +29,29 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def zorder_key2(a: Column | str, b: Column | str, bits: int = 16) -> Column:
-    """Interleave the low ``bits`` of two non-negative ints: bit i of
-    ``a`` lands at position 2i, bit i of ``b`` at 2i+1. Bucketize
-    inputs first (modulo / epoch-day masking) so the low bits carry
-    the signal; 2·bits must stay < 63."""
-    if bits < 1 or 2 * bits > 62:
-        raise ValueError("bits must be in [1, 31]")
-    ca = (F.col(a) if isinstance(a, str) else a).cast("long")
-    cb = (F.col(b) if isinstance(b, str) else b).cast("long")
+def zorder_key(cols: list[Column | str], bits: int = 16) -> Column:
+    """Interleave the low ``bits`` of N non-negative ints: bit i of
+    column j lands at position N·i + j. Bucketize inputs first
+    (modulo / epoch-day masking) so the low bits carry the signal;
+    N·bits must stay < 63."""
+    n = len(cols)
+    if n < 2:
+        raise ValueError("zorder needs at least two columns")
+    if bits < 1 or n * bits > 62:
+        raise ValueError(f"bits must be in [1, {62 // n}] for {n} columns")
+    cs = [(F.col(c) if isinstance(c, str) else c).cast("long") for c in cols]
     key = F.lit(0).cast("long")
     for i in range(bits):
-        key = key + F.shiftright(ca, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i))
-        key = key + F.shiftright(cb, i).bitwiseAND(F.lit(1)) * F.lit(1 << (2 * i + 1))
+        for j, c in enumerate(cs):
+            key = key + F.shiftright(c, i).bitwiseAND(F.lit(1)) * F.lit(
+                1 << (n * i + j)
+            )
     return key
+
+
+def zorder_key2(a: Column | str, b: Column | str, bits: int = 16) -> Column:
+    """Two-column Morton key (the common case; see `zorder_key`)."""
+    return zorder_key([a, b], bits)
 
 
 def zorder_layout(

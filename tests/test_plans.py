@@ -421,3 +421,27 @@ def test_shuffle_budgets_hold(spark):
             nested[name] = True
     assert not over, f"shuffle budget exceeded: {over}"
     assert not nested, f"unexpected nested-loop/cartesian plan: {sorted(nested)}"
+
+
+def test_zorder_key_n_dimensional(spark):
+    """3-column Morton key matches the reference interleave and stays
+    bijective over the 8×8×8 grid."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.zorder import zorder_key
+
+    def ref(vals, bits):
+        out = 0
+        for i in range(bits):
+            for j, v in enumerate(vals):
+                out |= ((v >> i) & 1) << (len(vals) * i + j)
+        return out
+
+    g = spark.range(512).select(
+        (F.col("id") % 8).alias("a"),
+        (F.floor(F.col("id") / 8) % 8).alias("b"),
+        F.floor(F.col("id") / 64).alias("c"),
+    )
+    rows = g.select("a", "b", "c", zorder_key(["a", "b", "c"], bits=3).alias("z")).collect()
+    assert all(r.z == ref((r.a, r.b, r.c), 3) for r in rows)
+    assert len({r.z for r in rows}) == 512
