@@ -166,8 +166,16 @@ class QuerylogPipeline:
     def read_aggregate(self, name: str) -> DataFrame | None:
         return self.sinks[name].read(self.spark)
 
-    def read_log2(self) -> DataFrame:
-        return self.spark.read.parquet(self.log2_path)
+    def read_log2(self, merge_schema: bool = False) -> DataFrame:
+        """``merge_schema=True`` reconciles files written before and
+        after a column was added to the fact schema (parquet schema
+        evolution) — older rows surface the new column as null. Off by
+        default: the merged-footer listing costs a full file-footer
+        pass, which at 100 TB you pay only when evolution happened."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(self.log2_path)
 
     # -- maintenance ---------------------------------------------------------
     def rebuild_aggregates(self, names: list[str] | None = None) -> None:

@@ -331,3 +331,20 @@ def test_progress_recorder_captures_batch_rates(tmp_path, spark):
         spark.streams.removeListener(rec)
     assert rec.total_input_rows() == 500
     assert all(r.duration_ms >= 0 for r in rec.records)
+
+
+def test_read_log2_merges_evolved_schema(tmp_path, spark):
+    """A column added mid-stream must reconcile across old and new
+    fact files under merge_schema (older rows null-filled)."""
+    pipe = QuerylogPipeline(spark, str(tmp_path / "s"), str(tmp_path / "o"))
+    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS QH").write.parquet(
+        pipe.log2_path
+    )
+    spark.range(2).selectExpr(
+        "id", "CAST(id AS STRING) AS QH", "'edns' AS transport"
+    ).write.mode("append").parquet(pipe.log2_path)
+
+    merged = pipe.read_log2(merge_schema=True)
+    assert "transport" in merged.columns
+    assert merged.count() == 5
+    assert merged.filter("transport IS NULL").count() == 3
