@@ -55,6 +55,10 @@ def build_parser() -> argparse.ArgumentParser:
         help="backfill all aggregate tables from the log2 fact table, "
         "then exit (recovery / late-added aggregates)",
     )
+    p.add_argument(
+        "--report-progress", action="store_true",
+        help="print per-run ingest throughput (rows, batches) to stderr",
+    )
     return p
 
 
@@ -65,13 +69,35 @@ def run(argv: list[str] | None = None) -> None:
     if args.rebuild:
         pipe.rebuild_aggregates()
         return
-    if args.once:
-        pipe.run_available(dedupe_horizon=args.dedupe_horizon)
-        return
-    query = pipe.start(  # pragma: no cover
-        processing_time=args.trigger, dedupe_horizon=args.dedupe_horizon
-    )
-    query.awaitTermination()  # pragma: no cover
+
+    recorder = None
+    if args.report_progress:
+        from adguard2clickhouse_spark.streaming.monitor import ProgressRecorder
+
+        recorder = ProgressRecorder()
+        spark.streams.addListener(recorder)
+    try:
+        if args.once:
+            pipe.run_available(dedupe_horizon=args.dedupe_horizon)
+        else:
+            query = pipe.start(  # pragma: no cover
+                processing_time=args.trigger, dedupe_horizon=args.dedupe_horizon
+            )
+            query.awaitTermination()  # pragma: no cover
+    finally:
+        if recorder is not None:
+            import sys
+            import time
+
+            deadline = time.time() + 10  # progress events arrive async
+            while not recorder.records and time.time() < deadline:
+                time.sleep(0.2)
+            print(
+                f"progress: {recorder.total_input_rows()} rows in "
+                f"{len(recorder.records)} micro-batches",
+                file=sys.stderr,
+            )
+            spark.streams.removeListener(recorder)
 
 
 if __name__ == "__main__":  # pragma: no cover
