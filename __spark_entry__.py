@@ -1249,6 +1249,19 @@ def q_histogram(spark, sf_dir):
     )
 
 
+def q_chunking(spark, sf_dir):
+    """Context-window chunking under the hash gate: overlapping 64-token
+    windows at stride 48 with guaranteed tail coverage — a pure narrow
+    projection (zero shuffles); md5 of the chunk text keeps the driver
+    output compact."""
+    from adguard2clickhouse_spark.operators.chunking import chunk_documents
+
+    out = chunk_documents(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "chunk_start", "n_chunk_tokens", F.md5("chunk_text").alias("chunk_md5")
+    )
+
+
 def q_heavy_hitters(spark, sf_dir):
     """Misra-Gries heavy hitters (operators/sketch.py) under the hash
     gate: customers holding > n/1000 of all orders. The sketch pass is
@@ -1564,6 +1577,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x8_contamination": q_contamination,
         "x9_sequence_pack": q_sequence_pack,
         "x10_curation_pipeline": q_curation_pipeline,
+        "x11_chunking": q_chunking,
         "x5_media_features": q_media_features,
         "x5_media_probe": q_media_probe,
         "x5_frame_plan": q_frame_plan,
@@ -2308,6 +2322,16 @@ def oracle_sql() -> dict[str, str]:
         "x2_simhash_md5": _simhash_md5_oracle(),
         "x2_winnow_md5": _winnow_md5_oracle(),
         "x10_curation_pipeline": _curation_pipeline_oracle(),
+        "x11_chunking": (
+            "WITH t AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents), "
+            "s AS (SELECT doc_id, toks, greatest(len(toks) - 64 + 1, 1) AS last_s FROM t), "
+            "st AS (SELECT doc_id, toks, unnest(list_distinct("
+            "list_append(generate_series(1, last_s, 48), last_s))) AS chunk_start FROM s) "
+            "SELECT doc_id, CAST(chunk_start AS BIGINT) AS chunk_start, "
+            "CAST(least(64, len(toks) - chunk_start + 1) AS BIGINT) AS n_chunk_tokens, "
+            "md5(array_to_string(toks[chunk_start : chunk_start + 63], ' ')) AS chunk_md5 "
+            "FROM st"
+        ),
         "x3_lsh_topk_portable": _lsh_topk_portable_oracle(),
         "x2_embedding_dup_lsh_portable": _embedding_lsh_pairs_oracle(),
         "x4_span_scrub": _span_scrub_oracle(),

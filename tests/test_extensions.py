@@ -613,3 +613,33 @@ def test_minhash_portable_matches_fast_variant(fixture_docs):
         for r in dedup.minhash_lsh_pairs(fixture_docs, portable=True).collect()
     }
     assert fast and fast == portable
+
+
+def test_chunking_boundaries_and_tail_coverage(spark):
+    from adguard2clickhouse_spark.operators.chunking import chunk_documents
+
+    def words(n):
+        return " ".join(f"w{i}" for i in range(1, n + 1))
+
+    docs = spark.createDataFrame(
+        [(1, words(100)), (2, words(10)), (3, words(64)), (4, words(65))],
+        "doc_id LONG, text STRING",
+    )
+    got = {}
+    for r in chunk_documents(docs, chunk_tokens=64, stride=48).collect():
+        got.setdefault(r.doc_id, []).append(r)
+
+    # 100 tokens → windows at 1 and 37 (tail ends exactly at 100)
+    assert sorted((c.chunk_start, c.n_chunk_tokens) for c in got[1]) == [(1, 64), (37, 64)]
+    assert got[1][0].chunk_text.split()[0] == "w1"
+    # short doc → one short chunk
+    assert [(c.chunk_start, c.n_chunk_tokens) for c in got[2]] == [(1, 10)]
+    # exact fit → exactly one window, no duplicate tail
+    assert [(c.chunk_start, c.n_chunk_tokens) for c in got[3]] == [(1, 64)]
+    # one token over → tail window at start 2
+    assert sorted((c.chunk_start, c.n_chunk_tokens) for c in got[4]) == [(1, 64), (2, 64)]
+    # every token of doc 1 is inside some window
+    covered = set()
+    for c in got[1]:
+        covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
+    assert covered == set(range(1, 101))
