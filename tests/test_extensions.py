@@ -643,3 +643,42 @@ def test_chunking_boundaries_and_tail_coverage(spark):
     for c in got[1]:
         covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
     assert covered == set(range(1, 101))
+
+
+def test_chunking_invariants_randomized(spark):
+    """50 random lengths in one job: every token covered, starts
+    stride-aligned or the tail window, lengths capped at chunk_tokens,
+    and only a short document may produce a short chunk."""
+    import random
+
+    rng = random.Random(7)
+    chunk, stride = 16, 10
+    rows = [
+        (i, " ".join(f"t{j}" for j in range(rng.randint(1, 80))))
+        for i in range(50)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    from adguard2clickhouse_spark.operators.chunking import chunk_documents
+
+    by_doc: dict[int, list] = {}
+    for r in chunk_documents(docs, chunk_tokens=chunk, stride=stride).collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+
+    n_tokens = {i: len(t.split()) for i, t in rows}
+    for i, chunks in by_doc.items():
+        n = n_tokens[i]
+        covered = set()
+        for c in chunks:
+            assert 1 <= c.chunk_start <= max(n - chunk + 1, 1)
+            assert c.n_chunk_tokens == min(chunk, n - c.chunk_start + 1)
+            assert len(c.chunk_text.split()) == c.n_chunk_tokens
+            assert (
+                (c.chunk_start - 1) % stride == 0
+                or c.chunk_start == max(n - chunk + 1, 1)
+            )
+            covered.update(range(c.chunk_start, c.chunk_start + c.n_chunk_tokens))
+        assert covered == set(range(1, n + 1)), f"doc {i} gap"
+        # short chunks only when the doc itself is shorter than a window
+        if n >= chunk:
+            assert all(c.n_chunk_tokens == chunk for c in chunks)
+    assert set(by_doc) == set(range(50))
