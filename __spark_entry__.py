@@ -2482,7 +2482,12 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS blocked "
             "FROM log2 GROUP BY IP"
         ),
-        # x2_minhash_lsh, x2_simhash_pairs, x3_lsh_topk, x6_approx_stats:
-        # intentionally omitted — xxhash64 / HLL / approximate quantiles
-        # have no exact DuckDB twin (driver records rows-only checks).
+        # Intentionally omitted (driver records rows-only checks):
+        # x2_minhash_lsh, x2_simhash_pairs, x2_winnow_fingerprints,
+        # x2_embedding_dup_lsh, x3_lsh_topk, x3_ivf_topk — xxhash64 /
+        # numpy-kernel fast paths with no DuckDB twin; each has an
+        # oracle-gated portable twin (*_md5 / *_portable) proving the
+        # identical pipeline, plus a pytest recall gate vs its exact
+        # twin. x6_approx_stats — HLL/approx quantiles are
+        # engine-specific; bounded by the accuracy pytest instead.
     }
