@@ -1183,6 +1183,41 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, "lang", 5).select("doc_id", "lang", "rnk")
 
 
+def q_vocab(spark, sf_dir):
+    """X4 tokenization: frequency-ranked vocabulary with dense ids —
+    the first step of tokenizer training. Global top-N is
+    TakeOrderedAndProject; id assignment windows over the N survivors
+    only (operators/retrieval.py)."""
+    from adguard2clickhouse_spark.operators.retrieval import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), vocab_size=50)
+
+
+_TFIDF_QUERY = ["spark", "merge", "window", "vector", "scan"]
+
+
+def q_tfidf_search(spark, sf_dir):
+    """X4 retrieval: top-20 docs for a bag-of-words query under
+    integer tf·idf (floor(tf·10⁶/df), monotone in log-idf). The token
+    stream is filtered to the query terms before any aggregation, so
+    df and the score join touch |query| keys."""
+    from adguard2clickhouse_spark.operators.retrieval import tfidf_search
+
+    return tfidf_search(_t(spark, sf_dir, "documents"), _TFIDF_QUERY, k=20)
+
+
+def q_mixture(spark, sf_dir):
+    """X7 curation: temperature-scaled corpus mixture (T = 1/2 →
+    squared-count weights, exact integer arithmetic) drawn as an
+    md5-ranked per-language sample against the computed quotas
+    (operators/mixture.py)."""
+    from adguard2clickhouse_spark.operators.mixture import mixture_sample
+
+    return mixture_sample(
+        _t(spark, sf_dir, "documents"), strata_col="lang", budget=100
+    )
+
+
 def q_contamination(spark, sf_dir):
     """X8 curation: benchmark-contamination screen. Docs with
     doc_id % 20 == 0 stand in for the eval suite; a corpus document is
@@ -1571,8 +1606,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_common_ngrams": q_common_ngrams,
         "x4_span_scrub": q_span_scrub,
         "x4_source_report": q_source_report,
+        "x4_vocab": q_vocab,
+        "x4_tfidf_search": q_tfidf_search,
         "x7_hash_split": q_hash_split,
         "x7_stratified_sample": q_stratified_sample,
+        "x7_mixture_sample": q_mixture,
         "x7_det_shuffle": q_det_shuffle,
         "x8_contamination": q_contamination,
         "x9_sequence_pack": q_sequence_pack,
@@ -2308,6 +2346,36 @@ def oracle_sql() -> dict[str, str]:
             "CAST(row_number() OVER (PARTITION BY lang "
             "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk "
             "FROM documents) WHERE rnk <= 5"
+        ),
+        "x4_vocab": (
+            "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS token FROM documents), "
+            "c AS (SELECT token, count(*) AS cnt, count(DISTINCT doc_id) AS n_docs "
+            "FROM toks WHERE token <> '' GROUP BY 1) "
+            "SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, "
+            "CAST(cnt AS BIGINT) AS cnt, CAST(n_docs AS BIGINT) AS n_docs "
+            "FROM c ORDER BY cnt DESC, token LIMIT 50"
+        ),
+        "x4_tfidf_search": (
+            "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks "
+            f"WHERE term IN ({', '.join(repr(t) for t in _TFIDF_QUERY)}) GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), "
+            "s AS (SELECT tf.doc_id, "
+            "CAST(sum(CAST(floor(tf.tf * 1000000 / dfreq.df) AS BIGINT)) AS BIGINT) AS score, "
+            "CAST(count(*) AS BIGINT) AS n_hits "
+            "FROM tf JOIN dfreq USING (term) GROUP BY 1) "
+            "SELECT doc_id, score, n_hits, "
+            "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk "
+            "FROM s ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "x7_mixture_sample": (
+            "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), "
+            "q AS (SELECT lang, least("
+            "CAST(floor(n * n * 100 / (SELECT sum(n * n) FROM c)) AS BIGINT), n) AS quota FROM c), "
+            "r AS (SELECT doc_id, lang, CAST(row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk FROM documents) "
+            "SELECT r.doc_id, r.lang, r.rnk, CAST(q.quota AS BIGINT) AS quota "
+            "FROM r JOIN q USING (lang) WHERE rnk <= quota"
         ),
         "x2_minhash_lsh_md5": _minhash_md5_oracle(),
         "x2_near_dedup_clusters": _minhash_clusters_oracle(),

@@ -1,0 +1,115 @@
+"""Corpus vocabulary and term-based retrieval (brief §extensions:
+tokenizer-vocab construction and lexical search over the documents
+table).
+
+Vocabulary building is the first step of training any tokenizer: rank
+every token by corpus frequency and assign dense integer ids to the
+top-N. Retrieval scores documents against a query term set with
+tf·idf — here idf is the *integer* surrogate ``floor(tf·10⁶/df)``
+(monotone in the classic log-idf; see
+operators/text.py::distinctive_terms for why: transcendental
+functions are not bit-identical across engines, integer division is,
+so the whole ranking stays under the exact DuckDB oracle gate).
+
+Scale notes (100 TB corpus):
+- token counting is explode → partial-aggregated groupBy — map-side
+  combine keeps the shuffle at (token, count) pairs, never text;
+- the global top-N uses orderBy+limit, which Spark executes as
+  TakeOrderedAndProject (per-partition heap of N, then a merge of
+  per-partition heaps on the driver side of the exchange) — there is
+  no full global sort at any size;
+- id assignment (a row_number) runs on the N surviving rows only, so
+  the single-partition window is bounded by the vocab size, not the
+  corpus;
+- retrieval filters the exploded tokens to the query term set FIRST —
+  df (document frequency) is computed only for query terms, so the
+  join fan-in is |query| rows, broadcast by construction.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def build_vocab(
+    df: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 1000,
+) -> DataFrame:
+    """Top-``vocab_size`` tokens by corpus frequency with dense ids.
+
+    Returns (token, token_id, cnt, n_docs): ``token_id`` is the
+    0-based frequency rank (ties broken on the token string so the
+    assignment is total and deterministic), ``cnt`` the corpus
+    occurrence count, ``n_docs`` the document frequency.
+
+    The heavy part (explode + groupBy over every token occurrence)
+    shuffles only (token, partial-count); the window that assigns ids
+    sees ``vocab_size`` rows.
+    """
+    toks = df.select(
+        F.col("doc_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(vocab_size)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return top.select(
+        "token",
+        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+def tfidf_search(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` documents for a bag-of-words query, scored by
+    ``sum over query terms of floor(tf · 10⁶ / df)`` (integer tf·idf;
+    df = number of documents containing the term).
+
+    Returns (doc_id, score, n_hits, rnk): ``n_hits`` is how many
+    distinct query terms matched; ties break on doc_id.
+
+    Plan shape: the exploded token stream is filtered to the query
+    term set before any aggregation, so everything downstream —
+    per-doc tf, per-term df, the score join — operates on
+    |query_terms| distinct keys. The df relation is a handful of rows
+    and broadcasts; the final top-k is TakeOrderedAndProject.
+    """
+    terms = [t for t in query_terms if t]
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    ).filter(F.col("term").isin(list(terms)))
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .groupBy("_id")
+        .agg(
+            F.sum(F.floor((F.col("_tf") * 1_000_000) / F.col("_df")))
+            .cast("long")
+            .alias("score"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    w = Window.orderBy(F.desc("score"), F.asc("_id"))
+    return (
+        scored.orderBy(F.desc("score"), F.asc("_id"))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(F.col("_id").alias(id_col), "score", "n_hits", "rnk")
+    )

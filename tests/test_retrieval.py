@@ -1,0 +1,71 @@
+"""Vocabulary build, tf·idf retrieval and mixture planning
+(operators/retrieval.py, operators/mixture.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from adguard2clickhouse_spark.operators.mixture import (
+    mixture_quotas,
+    mixture_sample,
+)
+from adguard2clickhouse_spark.operators.retrieval import build_vocab, tfidf_search
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (0, "a a a b c", "en", "s0"),
+        (1, "a b b d", "en", "s0"),
+        (2, "a c d d d", "fr", "s1"),
+        (3, "e", "fr", "s1"),
+        (4, "a e e", "de", "s2"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+
+
+def test_vocab_dense_ids_and_order(corpus):
+    out = build_vocab(corpus, vocab_size=3).collect()
+    # a: 6 occurrences in 4 docs; d: 4 in 2; b: 3 in 2; e: 3 in 2; c: 2 in 2
+    assert [(r.token, r.token_id, r.cnt) for r in out] == [
+        ("a", 0, 6),
+        ("d", 1, 4),
+        ("b", 2, 3),  # tie with e at cnt=3 → token string breaks it
+    ]
+    assert [r.n_docs for r in out] == [4, 2, 2]
+
+
+def test_vocab_caps_at_distinct_tokens(corpus):
+    assert build_vocab(corpus, vocab_size=100).count() == 5
+
+
+def test_tfidf_scores_and_rank(corpus):
+    out = {r.doc_id: r for r in tfidf_search(corpus, ["a", "e"], k=10).collect()}
+    # df(a)=4, df(e)=2. doc0: tf(a)=3 → 750000. doc4: tf(a)=1,tf(e)=2 → 250000+1000000.
+    assert out[4].score == 1_250_000 and out[4].n_hits == 2
+    assert out[0].score == 750_000 and out[0].n_hits == 1
+    assert out[3].score == 500_000  # tf(e)=1 → floor(1e6/2)
+    ranks = sorted((r.rnk, r.doc_id) for r in out.values())
+    assert ranks[0] == (1, 4)  # highest score ranks first
+
+
+def test_tfidf_ignores_absent_terms(corpus):
+    out = tfidf_search(corpus, ["zzz"], k=10)
+    assert out.count() == 0
+
+
+def test_mixture_quotas_integer_weights(corpus):
+    q = {r.lang: r for r in mixture_quotas(corpus, "lang", budget=9).collect()}
+    # counts: en=2, fr=2, de=1 → squares 4, 4, 1, Σ=9
+    assert q["en"].weight_permille == 444 and q["de"].weight_permille == 111
+    # quota = floor(9·w/9) capped at n_docs: en → min(4,2)=2, de → min(1,1)=1
+    assert q["en"].quota == 2 and q["fr"].quota == 2 and q["de"].quota == 1
+
+
+def test_mixture_sample_respects_quota_and_determinism(corpus):
+    s1 = mixture_sample(corpus, "lang", budget=9)
+    got = s1.groupBy("lang").count().collect()
+    assert {r.lang: r["count"] for r in got} == {"en": 2, "fr": 2, "de": 1}
+    assert sorted(r.doc_id for r in s1.collect()) == sorted(
+        r.doc_id for r in mixture_sample(corpus.repartition(7), "lang", budget=9).collect()
+    )
