@@ -69,6 +69,10 @@ def get_spark(
         # The driver's events.parquet carries TIMESTAMP(NANOS) which the
         # Spark reader rejects; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Naive timestamp[us] parquet columns read as LTZ (UTC session),
+        # not TIMESTAMP_NTZ — one timestamp type everywhere, matching
+        # how the DuckDB oracle interprets the same bytes.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         # Broadcast threshold: small dims (region/nation/customer at
         # test SF) broadcast; at 100 TB the explicit broadcast() hints

@@ -55,6 +55,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Timestamp rendering must match the (UTC) DuckDB oracle regardless
     # of the host timezone of the caller's session. Runtime-settable.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # The generator writes naive timestamp[us] columns (isAdjustedToUTC
+    # = false). Spark would infer TIMESTAMP_NTZ, which unix_micros /
+    # to_utc_timestamp and window() reject or treat asymmetrically;
+    # DuckDB reads the same bytes as a plain timestamp. Reading them as
+    # LTZ under the UTC session timezone gives bit-identical instants
+    # and keeps every downstream operator on the one timestamp type.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # With nanosAsLong the column arrives as a long of nanoseconds —
     # convert to a real timestamp. Integer `div` keeps the truncation
