@@ -408,6 +408,155 @@ def q_q14_promo(spark, sf_dir):
     )
 
 
+def q_q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: priority counts over a quarter, gated by an
+    EXISTS on the fact table — a left-semi join on the order key with
+    the non-equi late-shipment predicate evaluated inside the join
+    (lineitem here has no commit/receipt dates, so "late" means
+    shipped after the order date). The semi join keeps only one
+    shuffle per side and never materializes the fact columns."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = o.join(
+        li,
+        (o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q_q5_local_suppliers(spark, sf_dir):
+    """TPC-H Q5 shape: revenue by nation where the customer and the
+    line's supplier share that nation, restricted to one region-year.
+    All four dims broadcast (region→nation pre-joined, customer and
+    supplier filtered through it); the only big-big join is
+    lineitem ⋈ orders on the order key. The c↔s same-nation condition
+    rides the two broadcast hash joins — no extra shuffle."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey", "n_name")
+    )
+    c = _t(spark, sf_dir, "customer").join(
+        F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey)
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy(F.desc("revenue_cents"), F.asc("n_name"))
+    )
+
+
+def q_q7_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: trade volume between two nations by ship year —
+    the supplier side keyed through lineitem, the customer side through
+    orders, with the cross-pair filter (n1→n2 or n2→n1) applied after
+    both broadcast dim joins. One big-big join (lineitem ⋈ orders);
+    everything else broadcasts."""
+    n = _t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+def q_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: revenue under three disjunctive brand/size/
+    quantity branches. The per-branch part predicates are pushed into
+    the broadcast build side as one OR (brand ∈ {…} ∧ size bounds), and
+    the branch-correlated quantity conditions evaluate post-join —
+    Catalyst keeps the whole thing a single BroadcastHashJoin with no
+    fact-side shuffle before the final 1-row fold."""
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    b1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    b2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    b3 = (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(b1 | b2 | b3)
+        .agg(
+            F.sum(
+                _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+            )
+            .cast("long")
+            .alias("revenue_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel (view → click → purchase): each stage
     counts users whose earliest qualifying event follows their previous
@@ -1539,10 +1688,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # relational extensions (§2.11)
         "q1_pricing_summary": q_q1_pricing,
         "q3_shipping_priority": q_q3_shipping,
+        "q4_order_priority": q_q4_order_priority,
+        "q5_local_suppliers": q_q5_local_suppliers,
         "q6_forecast_revenue": q_q6_revenue,
+        "q7_volume_shipping": q_q7_volume_shipping,
         "q10_returned_items": q_q10_returns,
         "q14_promo_revenue": q_q14_promo,
         "q18_large_orders": q_q18_large_orders,
+        "q19_disjunctive": q_q19_disjunctive,
         "x_join_revenue_by_nation": q_join_revenue,
         "x_topk_orders": q_topk_orders,
         "x_window_rank": q_window_rank,
@@ -2057,6 +2210,55 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, total_qty "
             "FROM orders JOIN big ON o_orderkey = l_orderkey"
+        ),
+        "q4_order_priority": (
+            "SELECT o_orderpriority, count(*) AS order_count FROM orders "
+            "WHERE o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1996-04-01' "
+            "AND EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate) "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "q5_local_suppliers": (
+            "SELECT n_name, "
+            "CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+            "JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN region ON n_regionkey = r_regionkey "
+            "WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY 1 ORDER BY revenue_cents DESC, n_name"
+        ),
+        "q7_volume_shipping": (
+            "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "CAST(year(l_shipdate) AS BIGINT) AS l_year, "
+            "CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) "
+            "AS BIGINT) AS revenue_cents "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "WHERE n1.n_name IN ('NATION_1', 'NATION_2') "
+            "AND n2.n_name IN ('NATION_1', 'NATION_2') "
+            "AND n1.n_name <> n2.n_name "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1998-01-01' "
+            "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "q19_disjunctive": (
+            "SELECT CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) "
+            "AS BIGINT)) AS BIGINT) AS revenue_cents, count(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30)"
         ),
         "q14_promo_revenue": (
             "WITH j AS (SELECT CASE WHEN p_type = 'PROMO' THEN "
