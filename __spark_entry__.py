@@ -1490,6 +1490,24 @@ def q_approx_stats(spark, sf_dir):
     )
 
 
+def q_hll_rollup(spark, sf_dir):
+    """Rows-only: per-day DataSketches-HLL distinct users plus the
+    cross-day union total (day NULL) from operators/sketch.hll_rollup —
+    the mergeable rollup where coarser granularities fold from the
+    day sketches without re-scanning raw data. Union-vs-direct register
+    consistency and the ≤5% error gate vs exact live in pytest
+    (DuckDB's HLL is a different implementation — no SQL twin)."""
+    from adguard2clickhouse_spark.operators.sketch import hll_rollup
+
+    ev = _t(spark, sf_dir, "events")
+    per_day, total = hll_rollup(
+        ev, key_col="user_id", group_col=F.to_date("ts").alias("day")
+    )
+    return per_day.unionByName(
+        total.select(F.lit(None).cast("date").alias("day"), "est_distinct")
+    )
+
+
 def q_exact_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
@@ -1775,6 +1793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_approx_stats": q_approx_stats,
         "x6_heavy_hitters": q_heavy_hitters,
         "x6_histogram": q_histogram,
+        "x6_hll_rollup": q_hll_rollup,
         "x6_exact_stats": q_exact_stats,
         # streaming topology end-to-end (SURVEY §2.8 C1/C2, §2.3 K2)
         "c1_stream_pipeline": q_stream_pipeline,
@@ -2760,4 +2779,7 @@ def oracle_sql() -> dict[str, str]:
         # identical pipeline, plus a pytest recall gate vs its exact
         # twin. x6_approx_stats — HLL/approx quantiles are
         # engine-specific; bounded by the accuracy pytest instead.
+        # x6_hll_rollup — DataSketches HLL sketches (per-day + union);
+        # union-vs-direct register consistency and the ≤5% error gate
+        # vs exact distinct live in tests/test_extensions.py.
     }

@@ -53,6 +53,42 @@ def _mg_batches(col: str, k: int):
     return gen
 
 
+def hll_rollup(
+    df: DataFrame,
+    key_col: str,
+    group_col,
+    lg_k: int = 14,
+    out_est: str = "est_distinct",
+):
+    """Per-group Apache DataSketches HLL distinct estimates PLUS the
+    cross-group union — the mergeable-rollup shape exact distinct can't
+    do. Returns ``(per_group, total)`` DataFrames.
+
+    Why this is the 100 TB distinct path: ``count_distinct`` shuffles
+    every distinct key once per grouping it appears in, and a
+    month-over-day rollup re-scans the raw data per granularity. An HLL
+    sketch is a fixed ≤ (2^lg_k)·6-bit register array with max-merge
+    semantics: partial aggregation combines sketches map-side (the
+    shuffle carries one sketch per group per task, not keys), and
+    coarser granularities fold FROM THE SKETCHES via ``hll_union_agg``
+    without touching the raw table again. Registers are identical
+    whether built whole or unioned from partitions, so the rollup is
+    exactly consistent with a direct sketch of the union — asserted in
+    tests (est error gate vs exact lives there too; DuckDB's HLL is a
+    different implementation, hence rows-only at the driver).
+    """
+    grouped = df.groupBy(group_col).agg(
+        F.hll_sketch_agg(key_col, F.lit(lg_k)).alias("_sk")
+    )
+    per_group = grouped.withColumn(
+        out_est, F.hll_sketch_estimate("_sk")
+    ).drop("_sk")
+    total = grouped.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("_sk", F.lit(False))).alias(out_est)
+    )
+    return per_group, total
+
+
 def heavy_hitters(
     df: DataFrame, col: str, k: int = 1000, out_count: str = "cnt"
 ) -> DataFrame:

@@ -228,6 +228,36 @@ def test_approx_hygiene_within_error_bounds(spark):
     assert r.lo <= r.p50 <= r.hi
 
 
+def test_hll_rollup_mergeable_and_accurate(spark):
+    """The x6_hll_rollup contract: (a) every per-day sketch estimate
+    within 5% of the exact per-day distinct; (b) the union-of-day-
+    sketches total IDENTICAL to a direct sketch over all rows (HLL
+    registers are max-merged, so partitioned build ≡ whole build — the
+    property that makes the rollup trustworthy without re-scanning);
+    (c) the total within 5% of the exact global distinct."""
+    from adguard2clickhouse_spark.operators.sketch import hll_rollup
+    from adguard2clickhouse_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    day = F.to_date("ts").alias("day")
+    per_day, total = hll_rollup(ev, key_col="user_id", group_col=day)
+
+    exact_days = {
+        r.day: r.n
+        for r in ev.groupBy(day).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for r in per_day.collect():
+        assert abs(r.est_distinct - exact_days[r.day]) <= 0.05 * exact_days[r.day]
+
+    direct = ev.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id", F.lit(14))).alias("e")
+    ).head().e
+    tot = total.head().est_distinct
+    assert tot == direct, "union of day sketches must equal the direct sketch"
+    exact_total = ev.agg(F.countDistinct("user_id").alias("n")).head().n
+    assert abs(tot - exact_total) <= 0.05 * exact_total
+
+
 def test_quantized_topk_recall_vs_float_exact(fixture_emb):
     """int8 quantization must be usable, not just stored: brute-force
     top-k over the dequantized vectors recovers ≥8/10 of the float
