@@ -213,6 +213,53 @@ def test_windowed_state_store_matches_batch_for_final_windows(tmp_path, spark):
     assert all(ip != "10.0.0.9" for ip, *_ in got)
 
 
+def test_stream_static_enrichment_matches_batch_join(tmp_path, spark):
+    """enrich_stream: a file stream joined per-micro-batch against a
+    broadcast static dim equals the batch join on the same data, and
+    unmatched keys survive (left join) — the stateless lookup path."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.streaming.joins import enrich_stream
+
+    src = tmp_path / "src"
+    out = tmp_path / "out"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+    rows = [{"event_id": i, "client": f"c{i % 7}", "v": i} for i in range(60)]
+    # two files → at least two micro-batches with maxFilesPerTrigger=1
+    (src / "a.json").write_text("\n".join(json.dumps(r) for r in rows[:30]))
+    (src / "b.json").write_text("\n".join(json.dumps(r) for r in rows[30:]))
+    dim = spark.createDataFrame(
+        [(f"c{i}", f"org{i % 3}") for i in range(5)],  # c5, c6 unmatched
+        "client STRING, org STRING",
+    )
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, client STRING, v BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .json(str(src))
+    )
+    q = (
+        enrich_stream(stream, dim, "client")
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(ckpt))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(str(out))
+    batch = spark.read.json(str(src)).join(dim, "client", "left")
+    assert got.count() == 60
+    assert (
+        sorted((r.event_id, r.org) for r in got.collect())
+        == sorted((r.event_id, r.org) for r in batch.collect())
+    )
+    n_unmatched = got.filter(F.col("org").isNull()).count()
+    assert n_unmatched == batch.filter(F.col("org").isNull()).count()
+    assert n_unmatched > 0
+
+
 def test_stream_dedupe_drops_redelivered_events(tmp_path, spark):
     """dropDuplicatesWithinWatermark keeps one row per event_id among
     in-horizon re-deliveries — the ingest guard that makes
