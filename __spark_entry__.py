@@ -1323,6 +1323,16 @@ def q_top_bigrams(spark, sf_dir):
     )
 
 
+def q_bpe_pairs(spark, sf_dir):
+    """X4 tokenization: first-iteration BPE pair statistics — adjacent
+    character pairs weighted by word frequency, computed over DISTINCT
+    words (operators/text.py::bpe_pair_counts) so the explode is
+    O(vocab), not O(corpus tokens). Top-50 pairs, ties on the pair."""
+    from adguard2clickhouse_spark.operators.text import bpe_pair_counts
+
+    return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
+
+
 def q_stratified_sample(spark, sf_dir):
     """X7 curation: exactly-k-per-language deterministic sample (md5
     rank inside each stratum) — reproducible corpus-mix rebalancing."""
@@ -1774,6 +1784,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_pii_scrub": q_pii_scrub,
         "x4_repetition": q_repetition,
         "x4_top_bigrams": q_top_bigrams,
+        "x4_bpe_pairs": q_bpe_pairs,
         "x4_common_ngrams": q_common_ngrams,
         "x4_span_scrub": q_span_scrub,
         "x4_source_report": q_source_report,
@@ -2561,6 +2572,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT ngram, CAST(count(*) AS BIGINT) AS cnt, "
             "CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
             "FROM bi GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 20"
+        ),
+        "x4_bpe_pairs": (
+            "WITH toks AS (SELECT unnest(str_split(text, ' ')) AS w FROM documents), "
+            "wf AS (SELECT w, count(*) AS f FROM toks WHERE w <> '' GROUP BY 1), "
+            "pr AS (SELECT substring(w, CAST(unnest(generate_series(1, length(w) - 1)) "
+            "AS INT), 2) AS pair, f FROM wf WHERE length(w) >= 2) "
+            "SELECT pair, CAST(sum(f) AS BIGINT) AS weight FROM pr "
+            "GROUP BY 1 ORDER BY weight DESC, pair LIMIT 50"
         ),
         "x7_stratified_sample": (
             "SELECT doc_id, lang, rnk FROM (SELECT doc_id, lang, "

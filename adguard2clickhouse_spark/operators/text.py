@@ -172,6 +172,44 @@ def distinctive_terms(
     )
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """Adjacent character-pair frequencies weighted by word frequency —
+    the statistic a BPE tokenizer trainer computes every merge
+    iteration (most-frequent pair wins the merge).
+
+    Scale shape — the classic BPE trick, distributed: aggregate the
+    corpus to DISTINCT words with counts FIRST (one shuffle keyed on
+    the word), then explode each distinct word's ≤ len-1 pairs weighted
+    by its count. Pair statistics cost O(vocabulary), not O(corpus
+    tokens) — at 100 TB the vocab is millions of rows while the corpus
+    is trillions of tokens, so the explode runs on the small relation.
+    Returns the ``top_n`` (pair, weight) rows, ties on the pair string.
+    """
+    words = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    wf = words.groupBy("w").agg(F.count(F.lit(1)).alias("f"))
+    pairs = wf.filter(F.length("w") >= 2).select(
+        "f",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("f").cast("long").alias("weight"))
+        .orderBy(F.desc("weight"), F.asc("pair"))
+        .limit(top_n)
+    )
+
+
 def common_ngram_density(
     df: DataFrame,
     text_col: str = "text",

@@ -86,6 +86,23 @@ def test_corpus_ngram_counts_order_and_ties(spark):
     ]
 
 
+def test_bpe_pair_counts_weighted_by_word_frequency(spark):
+    """'abab' ×3 and 'ab' ×1: pair weights fold the WORD frequency, not
+    document counts — ab = 3·2+1 = 7, ba = 3; single-char words
+    contribute nothing; ties break on the pair string."""
+    from adguard2clickhouse_spark.operators.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(0, "abab abab ab x"), (1, "abab cd")], "doc_id LONG, text STRING"
+    )
+    rows = bpe_pair_counts(df, top_n=10).collect()
+    assert [(r.pair, r.weight) for r in rows] == [
+        ("ab", 7),   # abab has 'ab' at pos 1 and 3 → 2 per occurrence ×3, +1 from 'ab'
+        ("ba", 3),
+        ("cd", 1),
+    ]
+
+
 def test_stratified_sample_exact_k_and_stable(spark):
     df = spark.createDataFrame(
         [(i, "en" if i % 3 else "de") for i in range(60)], "doc_id LONG, lang STRING"
