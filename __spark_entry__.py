@@ -1333,6 +1333,24 @@ def q_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(_t(spark, sf_dir, "documents"), top_n=50)
 
 
+def q_bpe_train(spark, sf_dir):
+    """X4 tokenization, rows-only: 8 iterations of distributed BPE
+    merge training (operators/retrieval.py::bpe_train) — per-iteration
+    pair stats on the distinct-word relation, 1-row argmax to the
+    driver, JVM fold merge. The merge table is returned as rows;
+    exact equivalence to the scan-index reference algorithm (merge
+    sequence AND final symbolization) is pinned in pytest — a stronger
+    check than a SQL twin, which cannot express the iteration."""
+    from adguard2clickhouse_spark.operators.retrieval import bpe_train
+
+    merges, _ = bpe_train(
+        _t(spark, sf_dir, "documents"), n_merges=8, max_vocab_words=2000
+    )
+    return spark.createDataFrame(
+        merges, "step LONG, left STRING, right STRING, weight LONG"
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """X7 curation: exactly-k-per-language deterministic sample (md5
     rank inside each stratum) — reproducible corpus-mix rebalancing."""
@@ -1785,6 +1803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_repetition": q_repetition,
         "x4_top_bigrams": q_top_bigrams,
         "x4_bpe_pairs": q_bpe_pairs,
+        "x4_bpe_train": q_bpe_train,
         "x4_common_ngrams": q_common_ngrams,
         "x4_span_scrub": q_span_scrub,
         "x4_source_report": q_source_report,
@@ -2801,4 +2820,7 @@ def oracle_sql() -> dict[str, str]:
         # x6_hll_rollup — DataSketches HLL sketches (per-day + union);
         # union-vs-direct register consistency and the ≤5% error gate
         # vs exact distinct live in tests/test_extensions.py.
+        # x4_bpe_train — iterative merge loop SQL cannot express;
+        # pinned exactly (merge table + final symbolization) against a
+        # reference implementation in tests/test_retrieval.py.
     }

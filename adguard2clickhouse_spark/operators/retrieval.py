@@ -69,6 +69,90 @@ def build_vocab(
     )
 
 
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 15,
+    max_vocab_words: int = 5000,
+):
+    """Sennrich-style BPE merge training, distributed.
+
+    Returns ``(merges, symbols)``: ``merges`` is a list of
+    ``(step, left, right, weight)`` tuples — the learned merge table in
+    order — and ``symbols`` the final per-word symbol arrays.
+
+    Distribution shape: the corpus collapses once to distinct words ×
+    counts (the only corpus-sized shuffle; capped at the
+    ``max_vocab_words`` most frequent words — standard practice, the
+    tail can't win a merge). Every iteration then runs on the vocab
+    relation only: adjacent-pair counts (explode + groupBy, overlapping
+    pairs counted like the reference algorithm), a 1-row argmax collect
+    (the driver decision, same place the IVF k-means pulls centroids),
+    and the merge applied as a JVM higher-order ``aggregate`` fold —
+    greedy left-to-right non-overlapping, equivalent to the scan-index
+    reference because a merged symbol ``left||right`` can never equal
+    ``left`` again within the same pass. No Python touches row data;
+    lineage is truncated per iteration so plans stay O(1).
+    """
+    wf = (
+        df.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.desc("f"), F.asc("w"))
+        .limit(max_vocab_words)
+    )
+    syms = wf.select(
+        "f",
+        F.transform(
+            F.sequence(F.lit(1), F.length("w")),
+            lambda i: F.col("w").substr(i, F.lit(1)),
+        ).alias("s"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(n_merges):
+        pairs = syms.select(
+            "f",
+            F.explode(
+                F.zip_with(
+                    F.expr("slice(s, 1, size(s) - 1)"),
+                    F.expr("slice(s, 2, size(s) - 1)"),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("f").cast("long").alias("wt"))
+            .orderBy(F.desc("wt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, wt = top[0].l, top[0].r, top[0].wt
+        merges.append((step, l, r, int(wt)))
+        lc, rc = F.lit(l), F.lit(r)
+        fold = F.aggregate(
+            "s",
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == lc)
+                & (x == rc),
+                F.concat(
+                    F.slice(acc, F.lit(1), F.size(acc) - 1),
+                    F.array(F.concat(lc, rc)),
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = syms.withColumn("s", fold).localCheckpoint(eager=True)
+        syms.unpersist()
+        syms = nxt
+    return merges, syms
+
+
 def tfidf_search(
     df: DataFrame,
     query_terms: Sequence[str],

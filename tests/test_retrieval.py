@@ -69,3 +69,63 @@ def test_mixture_sample_respects_quota_and_determinism(corpus):
     assert sorted(r.doc_id for r in s1.collect()) == sorted(
         r.doc_id for r in mixture_sample(corpus.repartition(7), "lang", budget=9).collect()
     )
+
+
+def _ref_bpe(word_freqs: dict[str, int], n_merges: int):
+    """Reference Sennrich BPE: overlapping pair stats, argmax with
+    lexicographic (left, right) tie-break, greedy left-to-right
+    non-overlapping merge application."""
+    vocab = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for step in range(n_merges):
+        stats: dict[tuple[str, str], int] = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                stats[p] = stats.get(p, 0) + f
+        if not stats:
+            break
+        wt = max(stats.values())
+        l, r = min(p for p, v in stats.items() if v == wt)
+        merges.append((step, l, r, wt))
+        new_vocab = {}
+        for syms, f in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new_vocab[tuple(out)] = f
+        vocab = new_vocab
+    return merges, vocab
+
+
+def test_bpe_train_matches_reference(spark):
+    """The distributed merge loop reproduces the scan-index reference
+    algorithm exactly — merge table AND final symbolization — on a
+    corpus with repeated morphology ('low/lower/lowest ...') where
+    overlap counting and tie-breaks both matter."""
+    from adguard2clickhouse_spark.operators.retrieval import bpe_train
+
+    texts = [
+        "low low low lower lower lowest",
+        "new newer newest new new",
+        "wide wider widest low new",
+        "aaa aa aaa",  # overlapping pairs: 'aaa' counts (a,a) twice
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    freqs: dict[str, int] = {}
+    for t in texts:
+        for w in t.split(" "):
+            freqs[w] = freqs.get(w, 0) + 1
+
+    got_merges, got_syms = bpe_train(df, n_merges=12)
+    ref_merges, ref_vocab = _ref_bpe(freqs, 12)
+    assert got_merges == ref_merges
+    got_final = {tuple(r.s): r.f for r in got_syms.collect()}
+    assert got_final == ref_vocab
