@@ -825,6 +825,26 @@ def q_sessions(spark, sf_dir):
     )
 
 
+def q_sessions_native(spark, sf_dir):
+    """Sessionization via Spark's NATIVE session_window — merge-if-
+    within-gap (boundary: delta == gap merges, verified), one shuffle
+    on user_id, per-session bounds and event counts. Hash-gated
+    against the relational gaps-and-islands twin with exact integer
+    microsecond deltas (epoch_us) so a boundary-exact event cannot
+    diverge between engines — proving the built-in operator equals
+    the lag/cumsum shape e_sessions and the stateful stream use."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+
+
 def q_sessions_stream(spark, sf_dir):
     """The custom stateful streaming operator under the hash gate:
     applyInPandasWithState gap-sessionization (streaming/sessions.py)
@@ -1351,6 +1371,31 @@ def q_bpe_train(spark, sf_dir):
     )
 
 
+# Fixed merge table for x4_bpe_encode: common-English pairs in learned
+# order. Fixing it keeps the query a pure scan (no training loop) —
+# the train→encode consistency is pinned in tests/test_retrieval.py.
+_BPE_MERGES = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("e", "r"), ("o", "n"), ("r", "e"),
+]
+
+
+def q_bpe_encode(spark, sf_dir):
+    """X4 tokenization, rows-only: encode every document with a fixed
+    BPE merge table (operators/retrieval.py::bpe_apply) — one per-row
+    expression, zero shuffles. Returns token count and the first-10-
+    token head per document; exact equality to the reference encoder
+    is pinned in pytest (the iterative fold has no SQL twin)."""
+    from adguard2clickhouse_spark.operators.retrieval import bpe_apply
+
+    out = bpe_apply(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    return out.select(
+        "doc_id",
+        F.size("bpe_tokens").cast("long").alias("n_bpe"),
+        F.concat_ws("|", F.slice("bpe_tokens", 1, 10)).alias("head10"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir):
     """X7 curation: exactly-k-per-language deterministic sample (md5
     rank inside each stratum) — reproducible corpus-mix rebalancing."""
@@ -1761,6 +1806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_window_suite": q_window_suite,
         # events analytics
         "e_sessions": q_sessions,
+        "e_sessions_native": q_sessions_native,
         "e_pivot": q_pivot,
         "e_asof_join": q_asof_join,
         "e_range_join": q_range_join,
@@ -1804,6 +1850,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_top_bigrams": q_top_bigrams,
         "x4_bpe_pairs": q_bpe_pairs,
         "x4_bpe_train": q_bpe_train,
+        "x4_bpe_encode": q_bpe_encode,
         "x4_common_ngrams": q_common_ngrams,
         "x4_span_scrub": q_span_scrub,
         "x4_source_report": q_source_report,
@@ -2410,6 +2457,17 @@ def oracle_sql() -> dict[str, str]:
             "THEN 1 ELSE 0 END AS is_new FROM o) "
             "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM m GROUP BY user_id"
         ),
+        "e_sessions_native": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "m AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM o), "
+            "g AS (SELECT user_id, ts, sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS grp FROM m) "
+            "SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, grp"
+        ),
         "e_pivot": (
             "SELECT user_id, "
             "count(*) FILTER (WHERE event_type = 'click') AS n_click, "
@@ -2823,4 +2881,7 @@ def oracle_sql() -> dict[str, str]:
         # x4_bpe_train — iterative merge loop SQL cannot express;
         # pinned exactly (merge table + final symbolization) against a
         # reference implementation in tests/test_retrieval.py.
+        # x4_bpe_encode — the fold-merge encode has no safe SQL twin
+        # (string replace can't respect symbol boundaries); pinned
+        # exactly against the reference encoder in pytest.
     }

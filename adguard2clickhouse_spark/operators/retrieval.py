@@ -69,6 +69,62 @@ def build_vocab(
     )
 
 
+def _merge_fold(s, left: str, right: str):
+    """One BPE merge applied to a symbol-array column as a JVM
+    higher-order fold — greedy left-to-right non-overlapping (a merged
+    symbol ``left||right`` can never equal ``left``, so it cannot
+    re-match as the left part within the same pass)."""
+    lc, rc = F.lit(left), F.lit(right)
+    return F.aggregate(
+        s,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == lc)
+            & (x == rc),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.concat(lc, rc)),
+            ),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_apply(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Encode texts with a learned merge table: whitespace-split,
+    char-split each word, then apply every merge in learned order.
+
+    The entire encode is ONE per-row expression — zero shuffles, zero
+    Python; it composes with chunking/packing downstream exactly like
+    any other projected column. At 100 TB this is the property that
+    matters: tokenization cost scales with the scan, adds no exchange,
+    and pipelines inside whole-stage codegen's parent stage."""
+    words = F.filter(
+        F.split(F.col(text_col), " "), lambda w: w != F.lit("")
+    )
+    sym = F.transform(
+        words,
+        lambda w: F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: w.substr(i, F.lit(1)),
+        ),
+    )
+    def apply_one(col, left: str, right: str):
+        # separate function: pyspark inspects lambda arity, so the
+        # merge pair must bind via closure, not default args
+        return F.transform(col, lambda s: _merge_fold(s, left, right))
+
+    for left, right in merges:
+        sym = apply_one(sym, left, right)
+    return df.select(F.col(id_col), F.flatten(sym).alias(out_col))
+
+
 def bpe_train(
     df: DataFrame,
     text_col: str = "text",
@@ -133,21 +189,9 @@ def bpe_train(
             break
         l, r, wt = top[0].l, top[0].r, top[0].wt
         merges.append((step, l, r, int(wt)))
-        lc, rc = F.lit(l), F.lit(r)
-        fold = F.aggregate(
-            "s",
-            F.array().cast("array<string>"),
-            lambda acc, x: F.when(
-                (F.size(acc) > 0)
-                & (F.element_at(acc, -1) == lc)
-                & (x == rc),
-                F.concat(
-                    F.slice(acc, F.lit(1), F.size(acc) - 1),
-                    F.array(F.concat(lc, rc)),
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        nxt = syms.withColumn("s", fold).localCheckpoint(eager=True)
+        nxt = syms.withColumn(
+            "s", _merge_fold(F.col("s"), l, r)
+        ).localCheckpoint(eager=True)
         syms.unpersist()
         syms = nxt
     return merges, syms

@@ -129,3 +129,60 @@ def test_bpe_train_matches_reference(spark):
     assert got_merges == ref_merges
     got_final = {tuple(r.s): r.f for r in got_syms.collect()}
     assert got_final == ref_vocab
+
+
+def _ref_encode(text: str, merges) -> list[str]:
+    toks: list[str] = []
+    for w in text.split(" "):
+        if not w:
+            continue
+        syms = list(w)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        toks.extend(syms)
+    return toks
+
+
+def test_bpe_apply_matches_reference_encoder(spark):
+    from adguard2clickhouse_spark.operators.retrieval import bpe_apply
+
+    merges = [("t", "h"), ("th", "e"), ("e", "r"), ("a", "a")]
+    texts = [
+        "the thermal aaaa berth  other",  # double space → empty token dropped
+        "x theee aa a",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.bpe_tokens for r in bpe_apply(df, merges).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _ref_encode(t, merges), t
+
+
+def test_bpe_train_then_apply_reproduces_training_symbols(spark):
+    """Encoding the training corpus with the learned merge table must
+    reproduce the final training symbolization word for word — the
+    consistency that makes a stored merge table sufficient to tokenize
+    new data identically."""
+    from adguard2clickhouse_spark.operators.retrieval import bpe_apply, bpe_train
+
+    texts = ["low lower lowest", "new newer newest", "low new lower"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    merges, syms = bpe_train(df, n_merges=6)
+    table = [(l, r) for _, l, r, _ in merges]
+    trained = {"".join(r.s): list(r.s) for r in syms.collect()}
+    for w, expect in trained.items():
+        got = bpe_apply(
+            spark.createDataFrame([(0, w)], "doc_id long, text string"), table
+        ).head().bpe_tokens
+        assert got == expect, w
