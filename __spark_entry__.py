@@ -1685,6 +1685,24 @@ def q_dedup_clusters(spark, sf_dir):
     return comp.select("doc_id", F.col("component").cast("long").alias("component"))
 
 
+def q_pagerank(spark, sf_dir):
+    """Rows-only: PageRank over the exact-Jaccard near-dup graph
+    (operators/graph.py::pagerank) — connectivity-based importance for
+    picking cluster representatives. One shuffle per power iteration;
+    dangling mass via a broadcast 1-row aggregate. The textbook-
+    reference equality (1e-12) and rank-conservation live in pytest;
+    ranks are floats, so no SQL twin. Permille ranks returned for
+    stable display."""
+    from adguard2clickhouse_spark.operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    pr = pagerank(docs.select("doc_id"), pairs, n_iters=6)
+    return pr.select(
+        "doc_id", F.floor(F.col("rank") * 1_000_000).cast("long").alias("rank_ppm")
+    )
+
+
 def q_edit_distance(spark, sf_dir):
     """Bucketed edit-distance dedup (title/URL-style blocking): the
     quadratic levenshtein verify runs only within source buckets.
@@ -1820,6 +1838,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
         "x1_dedup_clusters": q_dedup_clusters,
+        "x12_pagerank": q_pagerank,
         "x1_incremental_dedup": q_incremental_dedup,
         "x4_token_stats": q_token_stats,
         "x4_quality": q_quality,
@@ -2884,4 +2903,7 @@ def oracle_sql() -> dict[str, str]:
         # x4_bpe_encode — the fold-merge encode has no safe SQL twin
         # (string replace can't respect symbol boundaries); pinned
         # exactly against the reference encoder in pytest.
+        # x12_pagerank — iterative float power iteration; pinned to the
+        # textbook reference at 1e-12 (with rank conservation) in
+        # pytest.
     }

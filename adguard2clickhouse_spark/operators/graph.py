@@ -95,3 +95,79 @@ def dedup_keep_representatives(
     comp = connected_components(df.select(id_col), pairs, id_col, src_col, dst_col)
     keep = comp.filter(F.col(id_col) == F.col("component")).select(id_col)
     return df.join(keep, id_col, "left_semi")
+
+
+def pagerank(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "doc_a",
+    dst_col: str = "doc_b",
+    damping: float = 0.85,
+    n_iters: int = 10,
+) -> DataFrame:
+    """(id, rank) after ``n_iters`` power iterations — importance
+    weighting over a link/similarity graph (e.g. rank documents inside
+    near-dup clusters by connectivity before choosing representatives).
+
+    Classic formulation with dangling-mass redistribution: each round
+    every node sends rank/out_degree along its out-edges; nodes with no
+    out-edges spread their rank uniformly; then
+    ``rank' = (1-d)/N + d·(received + dangling/N)``. Total rank stays
+    1.0 every round (asserted in tests).
+
+    Scale shape per round: ONE shuffle — the (dst, contribution)
+    groupBy; the rank-weighted edge join shuffles only (node, rank)
+    pairs against the pre-partitioned edge list; the dangling mass is a
+    1-row aggregate broadcast back via cross join. Fixed iteration
+    count keeps the loop free of per-round driver probes (unlike
+    connected_components, where convergence IS the contract);
+    localCheckpoint truncates lineage each round.
+    """
+    spark = nodes.sparkSession
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+
+    ids = nodes.select(F.col(id_col).alias("_u")).distinct()
+    n = ids.count()
+    ed = (
+        edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
+        .distinct()
+        .persist()
+    )
+    deg = ed.groupBy("_u").agg(F.count(F.lit(1)).alias("_deg"))
+    # out-degree stapled to the node list once; 0 marks dangling
+    base = ids.join(deg, "_u", "left").select(
+        "_u", F.coalesce("_deg", F.lit(0)).alias("_deg")
+    ).localCheckpoint(eager=True)
+
+    ranks = base.select("_u", "_deg", F.lit(1.0 / n).alias("_r"))
+    try:
+        for _ in range(n_iters):
+            dangling = (
+                ranks.filter(F.col("_deg") == 0)
+                .agg(F.coalesce(F.sum("_r"), F.lit(0.0)).alias("_dm"))
+            )
+            recv = (
+                ed.join(ranks.filter(F.col("_deg") > 0), "_u")
+                .select(F.col("_v").alias("_u"), (F.col("_r") / F.col("_deg")).alias("_c"))
+                .groupBy("_u")
+                .agg(F.sum("_c").alias("_recv"))
+            )
+            ranks = (
+                base.join(recv, "_u", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "_u",
+                    "_deg",
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping)
+                        * (F.coalesce("_recv", F.lit(0.0)) + F.col("_dm") / n)
+                    ).alias("_r"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        return ranks.select(F.col("_u").alias(id_col), F.col("_r").alias("rank"))
+    finally:
+        ed.unpersist()

@@ -253,3 +253,40 @@ def test_asof_join_property_vs_brute_force(spark):
             assert got[i] == expect, (i, k, s, cand)
 
     _check()
+
+
+def _ref_pagerank(n_nodes, edges, damping=0.85, n_iters=10):
+    """Pure-Python power iteration with dangling-mass redistribution —
+    the textbook formulation the distributed loop must reproduce."""
+    out = {}
+    for u, v in edges:
+        out.setdefault(u, set()).add(v)
+    r = {u: 1.0 / n_nodes for u in range(n_nodes)}
+    for _ in range(n_iters):
+        dm = sum(r[u] for u in range(n_nodes) if not out.get(u))
+        recv = {u: 0.0 for u in range(n_nodes)}
+        for u, vs in out.items():
+            for v in vs:
+                recv[v] += r[u] / len(vs)
+        r = {
+            u: (1.0 - damping) / n_nodes
+            + damping * (recv[u] + dm / n_nodes)
+            for u in range(n_nodes)
+        }
+    return r
+
+
+def test_pagerank_matches_reference_power_iteration(spark):
+    """Hub-and-chain graph with a dangling node and a duplicate edge:
+    ranks match the textbook reference to 1e-12 and sum to 1.0."""
+    from adguard2clickhouse_spark.operators.graph import pagerank
+
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (3, 2), (0, 1)]  # (0,1) duplicated
+    n = 5  # node 4 is fully isolated (dangling)
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id LONG")
+    edf = spark.createDataFrame(edges, "doc_a LONG, doc_b LONG")
+    got = {r.doc_id: r.rank for r in pagerank(nodes, edf).collect()}
+    ref = _ref_pagerank(n, set(edges))
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for u in range(n):
+        assert abs(got[u] - ref[u]) < 1e-12, (u, got[u], ref[u])
