@@ -1294,6 +1294,30 @@ def q_distinctive_terms(spark, sf_dir):
     return text.distinctive_terms(docs, k=3)
 
 
+# Common-dialect (Spark SQL ∩ DuckDB) HTML synthesis for x4_html_clean:
+# the corpus is plain text, so markup is wrapped around it by the SAME
+# expression on both engines — the gate then proves the strip/decode
+# chain itself, not that clean text passes through clean.
+_HTML_SYNTH = (
+    "'<html><!-- ' || lang || ' --><head><script type=\"text/js\">var s=\"' || "
+    "source || '\";</script><style>p{color:red}</style></head><body><p>' || "
+    "text || '</p><br/>&amp; &lt;tail&gt;&nbsp;©</body></html>'"
+)
+
+
+def q_html_clean(spark, sf_dir):
+    """X4 curation: HTML stripping (script/style/comment blocks → tags
+    → one-pass entity decode → whitespace collapse) as pure regexp
+    built-ins (operators/scrub.py::clean_html), plus markup density
+    (n_tags). Synthesis and cleaning both replayed in DuckDB."""
+    from adguard2clickhouse_spark.operators.scrub import clean_html
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_HTML_SYNTH).alias("html")
+    )
+    return clean_html(docs)
+
+
 def q_pii_scrub(spark, sf_dir):
     """X4 curation: sequential regex PII redaction (email → SSN → IPv4
     → phone). The corpus has no PII, so the text is augmented with
@@ -1865,6 +1889,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_doc_profile": q_doc_profile,
         "x4_distinctive_terms": q_distinctive_terms,
         "x4_pii_scrub": q_pii_scrub,
+        "x4_html_clean": q_html_clean,
         "x4_repetition": q_repetition,
         "x4_top_bigrams": q_top_bigrams,
         "x4_bpe_pairs": q_bpe_pairs,
@@ -2162,6 +2187,8 @@ scored AS (
 
 
 def oracle_sql() -> dict[str, str]:
+    from adguard2clickhouse_spark.operators.scrub import html_oracle_sql
+
     ipv4 = IPV4_RE
     ipv6 = IPV6_RE
     f3 = (
@@ -2633,6 +2660,10 @@ def oracle_sql() -> dict[str, str]:
         # The augmented-text expression is the verbatim SQL twin of
         # q_pii_scrub's Spark concat; pii_oracle_sql replays the same
         # pattern sequence with DuckDB's 'g' flag (global replace).
+        "x4_html_clean": (
+            f"WITH aug AS (SELECT doc_id, {_HTML_SYNTH} AS html FROM documents) "
+            f"SELECT {html_oracle_sql('html')} FROM aug"
+        ),
         "x4_pii_scrub": (
             "WITH aug AS (SELECT doc_id, text || ' reach me at user' || "
             "CAST(doc_id AS VARCHAR) || '@mail-' || CAST(doc_id AS VARCHAR) || "

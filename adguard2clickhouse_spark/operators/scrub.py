@@ -73,3 +73,74 @@ def pii_oracle_sql(source_expr: str, id_col: str = "doc_id") -> str:
         cur = f"regexp_replace({cur}, '{pat_sql}', '{repl}', 'g')"
     cols = ",\n  ".join([id_col, f"{cur} AS redacted"] + count_cols)
     return cols
+
+
+# HTML cleaning for web-corpus curation. Same Java-regex ∩ RE2 subset
+# discipline as PII_PATTERNS; applied strictly in order. Containers
+# with executable/styling payloads go first (content removed wholesale),
+# then tags, then a fixed entity table, then whitespace normalization.
+# Entity decode runs ONCE after tag stripping and is deliberately
+# non-recursive: '&amp;lt;' decodes to '&lt;', never to '<' — the
+# single-pass contract that keeps decoded text from re-entering the
+# tag stripper (double-decode injection).
+HTML_STRIP_PATTERNS: list[tuple[str, str]] = [
+    (r"(?s)<script[^>]*>.*?</script>", " "),
+    (r"(?s)<style[^>]*>.*?</style>", " "),
+    (r"(?s)<!--.*?-->", " "),
+    (r"<[^>]+>", " "),
+]
+
+HTML_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),  # last: earlier decodes must not create new '&xx;' forms
+]
+
+
+def strip_html(col: Column | str) -> Column:
+    """Cleaned text from HTML-ish input as one column expression:
+    script/style/comment blocks dropped, tags replaced by spaces, the
+    fixed entity table decoded once, whitespace collapsed and trimmed.
+    Pure regexp/replace built-ins — codegen, no UDF, no shuffle."""
+    cur: Column = F.col(col) if isinstance(col, str) else col
+    for pattern, repl in HTML_STRIP_PATTERNS:
+        cur = F.regexp_replace(cur, pattern, repl)
+    for ent, ch in HTML_ENTITIES:
+        cur = F.replace(cur, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(cur, r"[ \t\r\n]+", " "))
+
+
+def clean_html(
+    df: DataFrame, text_col: str = "html", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, text_clean, n_tags): cleaned text plus the tag count on the
+    ORIGINAL input (markup density — a curation quality signal)."""
+    return df.select(
+        F.col(id_col),
+        strip_html(text_col).alias("text_clean"),
+        F.regexp_count(F.col(text_col), F.lit(r"<[^>]+>"))
+        .cast("long")
+        .alias("n_tags"),
+    )
+
+
+def html_oracle_sql(source_expr: str, id_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`clean_html` over ``source_expr`` — the
+    select-list columns replaying the exact pattern sequence (RE2 on
+    both engines; DuckDB needs the 'g'/'s' flags spelled out)."""
+    cur = source_expr
+    for pattern, repl in HTML_STRIP_PATTERNS:
+        flags = "'gs'" if pattern.startswith("(?s)") else "'g'"
+        pat_sql = pattern.removeprefix("(?s)").replace("'", "''")
+        cur = f"regexp_replace({cur}, '{pat_sql}', '{repl}', {flags})"
+    for ent, ch in HTML_ENTITIES:
+        ch_sql = ch.replace("'", "''")
+        cur = f"replace({cur}, '{ent}', '{ch_sql}')"
+    cleaned = f"trim(regexp_replace({cur}, '[ \\t\\r\\n]+', ' ', 'g'))"
+    n_tags = (
+        f"CAST(len(regexp_extract_all({source_expr}, '<[^>]+>')) AS BIGINT)"
+    )
+    return f"{id_col}, {cleaned} AS text_clean, {n_tags} AS n_tags"

@@ -243,3 +243,24 @@ def test_packing_efficiency_report(spark):
     df = spark.createDataFrame(rows, "lang STRING, doc_id LONG, n_tokens LONG")
     rep = packing_efficiency(pack_greedy(df, 256), 256).head()
     assert rep.n_bins == 5 and rep.fill_permille == 1000
+
+
+def test_clean_html_strips_decodes_once_and_counts_tags(spark):
+    """Script/style payloads vanish wholesale, tags become spaces (no
+    word joining), entities decode exactly once ('&amp;lt;' → '&lt;',
+    never '<'), and n_tags counts markup density on the raw input."""
+    from adguard2clickhouse_spark.operators.scrub import clean_html
+
+    html = (
+        '<html><!-- c --><script>var x = "<p>hidden</p>";</script>'
+        "<style>p{}</style><p>a</p><div>b</div> &amp;lt;evil&amp;gt; "
+        "&quot;q&#39; &nbsp;end</html>"
+    )
+    df = spark.createDataFrame([(0, html)], "doc_id LONG, html STRING")
+    r = clean_html(df).head()
+    assert r.text_clean == "a b &lt;evil&gt; \"q' end"
+    # raw-input markup density counts every <...> span, including the
+    # comment and the two tag-shaped strings INSIDE the script payload:
+    # html, comment, script pair, inner p pair, style pair, p pair,
+    # div pair, /html = 13
+    assert r.n_tags == 13
