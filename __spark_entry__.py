@@ -557,6 +557,55 @@ def q_q19_disjunctive(spark, sf_dir):
     )
 
 
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue per supplier, then the
+    supplier(s) achieving the maximum — a reused aggregate joined
+    against its own 1-row max (broadcast), never a window over the
+    whole relation or a second scan of the fact table."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))))
+        .cast("long")
+        .alias("total_revenue_cents")
+    )
+    mx = rev.agg(F.max("total_revenue_cents").alias("_mx"))
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue_cents") == F.col("_mx"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_cents")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: revenue lost to small-quantity orders — the
+    correlated per-part average decorrelated into a pre-aggregate
+    joined back on the part key. The avg threshold is exact across
+    engines: quantities are integer-valued doubles, so their sums are
+    exact (< 2^53) in any order and avg/0.2·avg round identically."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
+    thresh = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("_qlim")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(thresh.withColumnRenamed("l_partkey", "_pk"), li.l_partkey == F.col("_pk"))
+        .filter(F.col("l_quantity") < F.col("_qlim"))
+        .agg(
+            F.floor(F.sum(_cents("l_extendedprice")) / 7)
+            .cast("long")
+            .alias("avg_yearly_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel (view → click → purchase): each stage
     counts users whose earliest qualifying event follows their previous
@@ -1827,6 +1876,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q7_volume_shipping": q_q7_volume_shipping,
         "q10_returned_items": q_q10_returns,
         "q14_promo_revenue": q_q14_promo,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_quantity": q_q17_small_quantity,
         "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive": q_q19_disjunctive,
         "x_join_revenue_by_nation": q_join_revenue,
@@ -2390,6 +2441,26 @@ def oracle_sql() -> dict[str, str]:
             "AND l_shipdate >= TIMESTAMP '1996-01-01' "
             "AND l_shipdate < TIMESTAMP '1998-01-01' "
             "GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"
+        ),
+        "q15_top_supplier": (
+            "WITH rev AS (SELECT l_suppkey, "
+            "CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT)) "
+            "AS BIGINT) AS total_revenue_cents FROM lineitem "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1) "
+            "SELECT s_suppkey, s_name, total_revenue_cents "
+            "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev) "
+            "ORDER BY s_suppkey"
+        ),
+        "q17_small_quantity": (
+            "WITH th AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qlim "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT CAST(floor(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) / 7) "
+            "AS BIGINT) AS avg_yearly_cents, count(*) AS n_lines "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN th ON l_partkey = pk "
+            "WHERE p_brand = 'Brand#23' AND l_quantity < qlim"
         ),
         "q19_disjunctive": (
             "SELECT CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) "
