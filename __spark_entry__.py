@@ -1654,6 +1654,25 @@ def q_hll_rollup(spark, sf_dir):
     )
 
 
+def q_footer_stats(spark, sf_dir):
+    """X6 ops hygiene: n_rows + min/max answered from parquet FOOTER
+    statistics — the V2 source pushes the aggregate into the scan
+    (PushedAggregation, plan-gated in tests/test_plans.py), so no data
+    page is decoded. The listing-speed freshness/reconciliation check
+    at 100 TB. Values are exact, hence the DuckDB oracle."""
+    import os
+
+    from adguard2clickhouse_spark.plans.stats import parquet_stats
+
+    return parquet_stats(
+        spark,
+        os.path.join(sf_dir, "lineitem.parquet"),
+        # footer-friendly types only: ONE timestamp column would
+        # silently degrade the whole aggregate to a data scan
+        ["l_orderkey", "l_partkey"],
+    )
+
+
 def q_exact_stats(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return li.agg(
@@ -1966,6 +1985,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x6_heavy_hitters": q_heavy_hitters,
         "x6_histogram": q_histogram,
         "x6_hll_rollup": q_hll_rollup,
+        "x6_footer_stats": q_footer_stats,
         "x6_exact_stats": q_exact_stats,
         # streaming topology end-to-end (SURVEY §2.8 C1/C2, §2.3 K2)
         "c1_stream_pipeline": q_stream_pipeline,
@@ -2897,6 +2917,12 @@ def oracle_sql() -> dict[str, str]:
             "WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt "
             "FROM orders GROUP BY 1), tot AS (SELECT count(*) AS n FROM orders) "
             "SELECT o_custkey, cnt FROM c, tot WHERE cnt * 1000 > n"
+        ),
+        "x6_footer_stats": (
+            "SELECT count(*) AS n_rows, "
+            "min(l_orderkey) AS min_l_orderkey, max(l_orderkey) AS max_l_orderkey, "
+            "min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey "
+            "FROM lineitem"
         ),
         "x6_histogram": (
             "SELECT CAST(floor(value / 10) AS BIGINT) AS bin, "

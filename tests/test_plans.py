@@ -445,3 +445,29 @@ def test_zorder_key_n_dimensional(spark):
     rows = g.select("a", "b", "c", zorder_key(["a", "b", "c"], bits=3).alias("z")).collect()
     assert all(r.z == ref((r.a, r.b, r.c), 3) for r in rows)
     assert len({r.z for r in rows}) == 512
+
+
+def test_footer_stats_aggregate_pushes_into_scan(spark):
+    """parquet_stats must plan as PushedAggregation on a V2 BatchScan —
+    min/max/count answered from footer statistics, no data pages — and
+    the conf flip must not leak: the session's source list is restored
+    and a subsequent plain read still plans V1 (FileScan)."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.stats import parquet_stats
+
+    saved = spark.conf.get("spark.sql.sources.useV1SourceList")
+    df = parquet_stats(
+        spark, SF + "/lineitem.parquet", ["l_orderkey", "l_partkey"]
+    )
+    plan = _physical(df)
+    assert "PushedAggregation: [COUNT(*)" in plan
+    assert spark.conf.get("spark.sql.sources.useV1SourceList") == saved
+    control = spark.read.parquet(SF + "/lineitem.parquet").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    assert "PushedAggregation" not in _physical(control)
+    # values are exact regardless of path
+    r = df.head()
+    c = spark.read.parquet(SF + "/lineitem.parquet").count()
+    assert r.n_rows == c
