@@ -2890,13 +2890,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x5_media_probe": (
             "SELECT doc_id AS media_id, "
-            "CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
-            "WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' ELSE 'wav' END AS format, "
-            "CASE WHEN doc_id % 5 < 4 THEN CAST(1 + doc_id % 300 AS INT) END AS width, "
-            "CASE WHEN doc_id % 5 < 4 THEN CAST(1 + doc_id % 200 AS INT) END AS height, "
-            "CASE WHEN doc_id % 5 = 4 THEN CAST(10 + doc_id % 490 AS BIGINT) END AS duration_ms, "
-            "CASE WHEN doc_id % 5 = 4 THEN CAST(8000 AS INT) END AS sample_rate, "
-            "CASE WHEN doc_id % 5 = 4 THEN CAST(1 AS INT) END AS channels "
+            "CASE doc_id % 7 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' "
+            "WHEN 2 THEN 'gif' WHEN 3 THEN 'bmp' WHEN 4 THEN 'wav' "
+            "WHEN 5 THEN 'flac' ELSE 'mp3' END AS format, "
+            "CASE WHEN doc_id % 7 < 4 THEN CAST(1 + doc_id % 300 AS INT) END AS width, "
+            "CASE WHEN doc_id % 7 < 4 THEN CAST(1 + doc_id % 200 AS INT) END AS height, "
+            "CASE WHEN doc_id % 7 IN (4, 5) THEN CAST(10 + doc_id % 490 AS BIGINT) "
+            "WHEN doc_id % 7 = 6 THEN CAST(floor((1 + doc_id % 25) * 417 * 8 / 128) AS BIGINT) "
+            "END AS duration_ms, "
+            "CASE doc_id % 7 WHEN 4 THEN CAST(8000 AS INT) WHEN 5 THEN CAST(16000 AS INT) "
+            "WHEN 6 THEN CAST(44100 AS INT) END AS sample_rate, "
+            "CASE doc_id % 7 WHEN 4 THEN CAST(1 AS INT) "
+            "WHEN 5 THEN CAST(1 + doc_id % 2 AS INT) "
+            "WHEN 6 THEN CAST(2 AS INT) END AS channels "
             "FROM documents"
         ),
         "x5_frame_plan": (

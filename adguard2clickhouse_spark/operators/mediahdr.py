@@ -3,7 +3,8 @@
 Real decoding of the *container* layer — magic bytes, dimensions,
 audio duration — implemented from the public file-format specs (PNG
 ISO 15948 §5.3/11.2.2, JPEG ITU-T.81 §B.2.2, GIF89a spec §17-18,
-BMP BITMAPINFOHEADER, RIFF/WAVE). No Pillow/soundfile needed: these
+BMP BITMAPINFOHEADER, RIFF/WAVE, FLAC STREAMINFO, MPEG-1 Layer III
+frame headers incl. ID3v2 skip). No Pillow/soundfile needed: these
 are fixed-offset/segment-walk header reads, so an Arrow batch of
 payloads is sniffed at memory-bandwidth speed and only the pixel /
 sample *content* decode stays behind the library stub
@@ -110,7 +111,74 @@ def _sniff_wav(data: bytes) -> dict | None:
     }
 
 
-_SNIFFERS = (_sniff_png, _sniff_jpeg, _sniff_gif, _sniff_bmp, _sniff_wav)
+def _sniff_flac(data: bytes) -> dict | None:
+    # 'fLaC' magic, then metadata blocks: 1-byte (last<<7 | type) +
+    # be24 length. STREAMINFO (type 0) must come first; its body packs
+    # sample_rate(20) channels-1(3) bps-1(5) total_samples(36) as one
+    # big-endian 64-bit field at body offsets 10..18.
+    if len(data) < 8 + 34 or data[:4] != b"fLaC" or (data[4] & 0x7F) != 0:
+        return None
+    body = data[8 : 8 + 34]
+    u = int.from_bytes(body[10:18], "big")
+    sr = u >> 44
+    if sr == 0:
+        return None
+    channels = ((u >> 41) & 0x7) + 1
+    total = u & ((1 << 36) - 1)
+    return {
+        **_UNKNOWN,
+        "format": "flac",
+        "duration_ms": total * 1000 // sr,
+        "sample_rate": sr,
+        "channels": channels,
+    }
+
+
+# MPEG-1 Layer III tables (ISO 11172-3): bitrate kbps by index, sample
+# rate by index. Index 0 ("free") and 15 are invalid for our purposes.
+_MP3_BITRATES = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def _sniff_mp3(data: bytes) -> dict | None:
+    # Optional ID3v2 prefix: 'ID3' ver(2) flags(1) syncsafe size(4).
+    off = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        size = 0
+        for b in data[6:10]:
+            size = (size << 7) | (b & 0x7F)
+        off = 10 + size
+    if len(data) < off + 4:
+        return None
+    h = int.from_bytes(data[off : off + 4], "big")
+    # sync(11)=all ones, version(2)=11 (MPEG-1), layer(2)=01 (III)
+    if (h >> 21) != 0x7FF or ((h >> 19) & 3) != 3 or ((h >> 17) & 3) != 1:
+        return None
+    br_idx = (h >> 12) & 0xF
+    sr_idx = (h >> 10) & 3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return None
+    bitrate = _MP3_BITRATES[br_idx]
+    mode = (h >> 6) & 3
+    # CBR estimate over the audio bytes: ms = bytes·8 / kbps
+    return {
+        **_UNKNOWN,
+        "format": "mp3",
+        "duration_ms": (len(data) - off) * 8 // bitrate,
+        "sample_rate": _MP3_RATES[sr_idx],
+        "channels": 1 if mode == 3 else 2,
+    }
+
+
+_SNIFFERS = (
+    _sniff_png,
+    _sniff_jpeg,
+    _sniff_gif,
+    _sniff_bmp,
+    _sniff_wav,
+    _sniff_flac,
+    _sniff_mp3,
+)
 
 
 def sniff_header(data: bytes | None) -> dict:
@@ -168,3 +236,35 @@ def build_wav(duration_ms: int, sample_rate: int = 8000, channels: int = 1) -> b
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", data_size) + b"\x80" * data_size
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def build_flac(total_samples: int, sample_rate: int = 16000, channels: int = 1) -> bytes:
+    """Minimal valid FLAC: magic + last-flag STREAMINFO with the real
+    packed rate/channels/bps/total-samples field (zero min/max block
+    and frame sizes, zero md5 — legal and irrelevant to sniffing)."""
+    u = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((16 - 1) << 36)
+        | (total_samples & ((1 << 36) - 1))
+    )
+    body = b"\x00" * 10 + u.to_bytes(8, "big") + b"\x00" * 16
+    return b"fLaC" + bytes([0x80]) + len(body).to_bytes(3, "big") + body
+
+
+def build_mp3(
+    n_frames: int, bitrate_kbps: int = 128, sample_rate: int = 44100,
+    channels: int = 2,
+) -> bytes:
+    """Minimal CBR MPEG-1 Layer III stream: n identical zero-payload
+    frames (header sync/version/layer/bitrate/rate/mode all real)."""
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    sr_idx = _MP3_RATES.index(sample_rate)
+    mode = 3 if channels == 1 else 0
+    h = (
+        (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)  # sync, MPEG-1, L3, no CRC
+        | (br_idx << 12) | (sr_idx << 10) | (mode << 6)
+    )
+    frame_len = 144 * bitrate_kbps * 1000 // sample_rate
+    frame = h.to_bytes(4, "big") + b"\x00" * (frame_len - 4)
+    return frame * n_frames

@@ -205,9 +205,10 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
 def media_fixture_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
     """Deterministic real-bytes media corpus keyed by an id column.
 
-    Round-robins id → {png, jpeg, gif, bmp, wav} with header fields
-    derived arithmetically from the id (width = 1 + id % 300, height =
-    1 + id % 200, wav duration_ms = 10 + id % 490), built as genuinely
+    Round-robins id → {png, jpeg, gif, bmp, wav, flac, mp3} with header
+    fields derived arithmetically from the id (width = 1 + id % 300,
+    height = 1 + id % 200, wav/flac duration_ms = 10 + id % 490, mp3
+    n_frames = 1 + id % 25 at 128 kbps/44.1 kHz), built as genuinely
     valid files by operators.mediahdr — so any oracle can recompute the
     expected probe output from the id alone while the engine sees real
     containers. MEDIA_SCHEMA out.
@@ -220,7 +221,7 @@ def media_fixture_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
             for i in pdf[id_col]:
                 i = int(i)
                 w, h, dur = 1 + i % 300, 1 + i % 200, 10 + i % 490
-                kind_i = i % 5
+                kind_i = i % 7
                 if kind_i == 0:
                     payload, kind, fmt = mediahdr.build_png(w, h), "image", "png"
                 elif kind_i == 1:
@@ -229,8 +230,21 @@ def media_fixture_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
                     payload, kind, fmt = mediahdr.build_gif(w, h), "image", "gif"
                 elif kind_i == 3:
                     payload, kind, fmt = mediahdr.build_bmp(w, h), "image", "bmp"
-                else:
+                elif kind_i == 4:
                     payload, kind, fmt = mediahdr.build_wav(dur), "audio", "wav"
+                    w = h = None
+                elif kind_i == 5:
+                    payload = mediahdr.build_flac(
+                        dur * 16, sample_rate=16000, channels=1 + i % 2
+                    )
+                    kind, fmt = "audio", "flac"
+                    w = h = None
+                else:
+                    n_frames = 1 + i % 25
+                    payload = mediahdr.build_mp3(n_frames)
+                    kind, fmt = "audio", "mp3"
+                    # CBR: 417-byte frames at 128 kbps → ms = bytes·8/128
+                    dur = n_frames * 417 * 8 // 128
                     w = h = None
                 rows.append(
                     (

@@ -216,8 +216,40 @@ def test_media_fixture_matches_probe(spark):
     probed = {r.media_id: r for r in multimodal.probe_media(media).collect()}
     for i in range(50):
         r = probed[i]
-        if i % 5 == 4:
-            assert r.format == "wav" and r.duration_ms == 10 + i % 490
-        else:
-            assert r.format == ["png", "jpeg", "gif", "bmp"][i % 5]
+        k = i % 7
+        if k < 4:
+            assert r.format == ["png", "jpeg", "gif", "bmp"][k]
             assert (r.width, r.height) == (1 + i % 300, 1 + i % 200)
+        elif k == 4:
+            assert r.format == "wav" and r.duration_ms == 10 + i % 490
+            assert (r.sample_rate, r.channels) == (8000, 1)
+        elif k == 5:
+            assert r.format == "flac" and r.duration_ms == 10 + i % 490
+            assert (r.sample_rate, r.channels) == (16000, 1 + i % 2)
+        else:
+            assert r.format == "mp3"
+            assert r.duration_ms == (1 + i % 25) * 417 * 8 // 128
+            assert (r.sample_rate, r.channels) == (44100, 2)
+
+
+def test_flac_mp3_sniffers_roundtrip_and_reject(spark):
+    """FLAC STREAMINFO and MPEG-1 L3 headers round-trip through their
+    builders (incl. an ID3v2-prefixed mp3); truncated and desynced
+    payloads return format=None instead of raising."""
+    from adguard2clickhouse_spark.operators import mediahdr as m
+
+    f = m.sniff_header(m.build_flac(48000 * 2, sample_rate=48000, channels=2))
+    assert (f["format"], f["duration_ms"], f["sample_rate"], f["channels"]) == (
+        "flac", 2000, 48000, 2,
+    )
+    raw = m.build_mp3(7, bitrate_kbps=192, sample_rate=32000, channels=1)
+    p = m.sniff_header(raw)
+    assert (p["format"], p["sample_rate"], p["channels"]) == ("mp3", 32000, 1)
+    assert p["duration_ms"] == len(raw) * 8 // 192
+    # ID3v2 prefix skipped, duration counts only audio bytes
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x06tag pad" * 1  # syncsafe size 6
+    t = m.sniff_header(tagged[:10] + b"x" * 6 + raw)
+    assert t["format"] == "mp3" and t["duration_ms"] == len(raw) * 8 // 192
+    assert m.sniff_header(b"fLaC\x00\x00")["format"] is None
+    assert m.sniff_header(b"\xff\xfb")["format"] is None  # truncated mp3
+    assert m.sniff_header(m.build_flac(100)[:20])["format"] is None
