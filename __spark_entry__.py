@@ -1204,6 +1204,20 @@ def q_knn_join(spark, sf_dir):
     )
 
 
+def q_hard_negatives(spark, sf_dir):
+    """X3 training-data mining: top-3 most-similar DIFFERENT-label
+    vectors per query — the hard negatives contrastive training feeds
+    on (operators/similarity.py::hard_negatives). Same broadcast+rank
+    plan as knn, label mismatch filtered before ranking; exact cosine
+    ties on neighbor_id keep the ranking hash-gateable."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    res = similarity.hard_negatives(emb, queries=queries, k=3)
+    return res.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rnk")
+    )
+
+
 def q_lsh_topk(spark, sf_dir):
     """Rows-only (approximate recall by construction); the exact-gated
     single-table twin is x3_lsh_topk_portable."""
@@ -1952,6 +1966,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_embedding_dup_lsh_portable": q_embedding_dup_lsh_portable,
         "x3_topk_cosine": q_topk_cosine,
         "x3_knn_join": q_knn_join,
+        "x3_hard_negatives": q_hard_negatives,
         "x3_lsh_topk": q_lsh_topk,
         "x3_lsh_topk_portable": q_lsh_topk_portable,
         "x3_ivf_topk": q_ivf_topk,
@@ -2713,6 +2728,18 @@ def oracle_sql() -> dict[str, str]:
             "/ (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) "
             "* sqrt(list_dot_product(q.qv, q.qv))) AS sim "
             "FROM embeddings e, qs q) "
+            "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, "
+            "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk "
+            "FROM scored) WHERE rnk <= 3"
+        ),
+        "x3_hard_negatives": (
+            "WITH qs AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv, "
+            "label AS ql FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT q.query_id, e.vec_id AS neighbor_id, "
+            "list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv) "
+            "/ (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) "
+            "* sqrt(list_dot_product(q.qv, q.qv))) AS sim "
+            "FROM embeddings e, qs q WHERE e.label <> q.ql) "
             "SELECT query_id, neighbor_id, rnk FROM (SELECT query_id, neighbor_id, "
             "CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS BIGINT) AS rnk "
             "FROM scored) WHERE rnk <= 3"

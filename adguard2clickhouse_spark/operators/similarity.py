@@ -149,6 +149,59 @@ def knn_join(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    queries: DataFrame | None = None,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> DataFrame:
+    """Top-k most-similar rows with a DIFFERENT label per query — the
+    hard-negative mining step of contrastive/embedding training (the
+    negatives that are hardest to separate are the ones worth
+    training on).
+
+    Same plan as knn_join — broadcast query side, one rank window per
+    query partition — with the label-mismatch filter applied BEFORE
+    ranking, so the top-k are genuine negatives rather than a filtered
+    suffix of the overall neighbor list. At corpus scale the same
+    LSH/IVF candidate generation composes in front (filter candidates,
+    then this exact rank within them).
+    """
+    from pyspark.sql.window import Window
+
+    src = df if queries is None else queries
+    q = src.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_qv"),
+        F.col(label_col).alias("_ql"),
+    )
+    c = df.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("_cv"),
+        F.col(label_col).alias("_cl"),
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("_ql") != F.col("_cl"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("_qv"), F.col("_cv")).alias("cosine_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "cosine_sim")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH (scale path)
 # ---------------------------------------------------------------------------

@@ -408,7 +408,10 @@ def test_shuffle_budgets_hold(spark):
     assert not missing, f"queries without a shuffle budget: {sorted(missing)}"
     # Nested-loop allowlist: the explicit all-pairs oracle baseline, the
     # broadcast-tiny-query-side kNN, and heavy-hitters' 1-row total.
-    nl_allowed = {"x2_embedding_dup", "x3_knn_join", "x6_heavy_hitters"}
+    nl_allowed = {
+        "x2_embedding_dup", "x3_knn_join", "x6_heavy_hitters",
+        "x3_hard_negatives",  # same broadcast-tiny-query-side shape as knn
+    }
     over, nested = {}, {}
     for name, budget in budgets.items():
         plan = _physical(qs[name](spark, SF))
