@@ -1502,6 +1502,18 @@ def q_vocab(spark, sf_dir):
     return build_vocab(_t(spark, sf_dir, "documents"), vocab_size=50)
 
 
+def q_oov_rate(spark, sf_dir):
+    """X4 tokenization: per-source vocabulary coverage — token volume,
+    OOV count, OOV permille against a top-200 corpus vocab
+    (operators/retrieval.py::oov_rate). Tokens explode once,
+    broadcast-left-join the vocab, one per-source aggregate."""
+    from adguard2clickhouse_spark.operators.retrieval import build_vocab, oov_rate
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, vocab_size=200)
+    return oov_rate(docs, vocab)
+
+
 _TFIDF_QUERY = ["spark", "merge", "window", "vector", "scan"]
 
 
@@ -1979,6 +1991,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_top_bigrams": q_top_bigrams,
         "x4_bpe_pairs": q_bpe_pairs,
         "x4_bpe_train": q_bpe_train,
+        "x4_oov_rate": q_oov_rate,
         "x4_bpe_encode": q_bpe_encode,
         "x4_common_ngrams": q_common_ngrams,
         "x4_span_scrub": q_span_scrub,
@@ -2839,6 +2852,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, "
             "CAST(cnt AS BIGINT) AS cnt, CAST(n_docs AS BIGINT) AS n_docs "
             "FROM c ORDER BY cnt DESC, token LIMIT 50"
+        ),
+        "x4_oov_rate": (
+            "WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS token "
+            "FROM documents), t AS (SELECT source, token FROM toks WHERE token <> ''), "
+            "c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1), "
+            "v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 200) "
+            "SELECT t.source, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov, "
+            "CAST(floor(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 1000 "
+            "/ count(*)) AS BIGINT) AS oov_permille "
+            "FROM t LEFT JOIN v ON t.token = v.token GROUP BY 1"
         ),
         "x4_tfidf_search": (
             "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), "

@@ -69,6 +69,50 @@ def build_vocab(
     )
 
 
+def oov_rate(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Vocabulary coverage per group: token volume, out-of-vocabulary
+    token count, and OOV permille — the report that tells you whether
+    a tokenizer's vocab actually covers a source before you commit to
+    it at training scale.
+
+    Plan: tokens explode once, broadcast-left-join the vocab (a vocab
+    is ≤ a few million rows — broadcast by construction), then a
+    per-group aggregate. The corpus shuffles only (group, partial
+    counts); the text never moves.
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(F.split(F.col(text_col), " ")).alias("token"),
+    ).filter(F.col("token") != "")
+    joined = toks.join(
+        F.broadcast(vocab.select("token", F.lit(1).alias("_in"))),
+        "token",
+        "left",
+    )
+    return (
+        joined.groupBy("_g")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .select(
+            F.col("_g").alias(group_col),
+            "n_tokens",
+            "n_oov",
+            F.floor(F.col("n_oov") * 1000 / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_permille"),
+        )
+    )
+
+
 def _merge_fold(s, left: str, right: str):
     """One BPE merge applied to a symbol-array column as a JVM
     higher-order fold — greedy left-to-right non-overlapping (a merged

@@ -186,3 +186,17 @@ def test_bpe_train_then_apply_reproduces_training_symbols(spark):
             spark.createDataFrame([(0, w)], "doc_id long, text string"), table
         ).head().bpe_tokens
         assert got == expect, w
+
+
+def test_oov_rate_counts_against_vocab(spark):
+    from adguard2clickhouse_spark.operators.retrieval import oov_rate
+
+    docs = spark.createDataFrame(
+        [(0, "a a b zz", "s0"), (1, "a  b", "s1"), (2, "qq rr", "s1")],
+        "doc_id long, text string, source string",
+    )
+    vocab = spark.createDataFrame([("a",), ("b",)], "token string")
+    out = {r.source: r for r in oov_rate(docs, vocab).collect()}
+    assert (out["s0"].n_tokens, out["s0"].n_oov, out["s0"].oov_permille) == (4, 1, 250)
+    # empty tokens from the double space are dropped
+    assert (out["s1"].n_tokens, out["s1"].n_oov, out["s1"].oov_permille) == (4, 2, 500)
