@@ -163,6 +163,23 @@ def q_p1_json(spark, sf_dir):
     )
 
 
+def q_p1_variant(spark, sf_dir):
+    """P1 via Spark 4's VARIANT type: parse_json keeps the whole
+    semi-structured value in the binary variant encoding (no declared
+    schema, no string re-scan per field) and variant_get extracts the
+    typed path. The schema-on-read answer for evolving props payloads
+    — same aggregate, same oracle shape as the from_json twin, so the
+    gate proves the two parse paths agree."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.variant_get(F.parse_json("props"), "$.k", "int").alias("k")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # Relational extensions (§2.11 categories: joins, windows, set ops,
 # rollup/cube, distinct agg, top-k, subqueries)
@@ -1910,6 +1927,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_latency_stats": q_a9_latency,
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
+        "p1_variant_key_stats": q_p1_variant,
         "p7_dns_parse": q_p7_dns_parse,
         "p7_dns_parse_diverse": q_p7_dns_parse_diverse,
         # relational extensions (§2.11)
@@ -2337,6 +2355,10 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT count(*) AS n FROM log2 WHERE {f3}"
         ),
         "p1_json_key_stats": (
+            "SELECT TRY_CAST(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS INT) AS k, "
+            'count(*) AS "count" FROM events GROUP BY 1'
+        ),
+        "p1_variant_key_stats": (
             "SELECT TRY_CAST(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS INT) AS k, "
             'count(*) AS "count" FROM events GROUP BY 1'
         ),

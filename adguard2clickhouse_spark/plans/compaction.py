@@ -51,3 +51,26 @@ def compact_parquet(
         out = df.repartitionByRange(n, F.col(sort_col)).sortWithinPartitions(sort_col)
     out.write.mode("overwrite").parquet(out_path)
     return n
+
+
+def overwrite_partitions(
+    df: DataFrame, path: str, partition_cols: list[str]
+) -> None:
+    """Idempotent partition-level backfill: rewrite ONLY the partitions
+    present in ``df``, leaving every other partition untouched (dynamic
+    partition overwrite). This is the re-run primitive for daily
+    pipelines at 100 TB — re-processing one bad day replaces one
+    directory, not the table; Spark's default (static) overwrite mode
+    would truncate everything first.
+
+    The conf flips around the write only and is restored afterwards —
+    callers' own writes keep their session semantics.
+    """
+    spark = df.sparkSession
+    conf = "spark.sql.sources.partitionOverwriteMode"
+    saved = spark.conf.get(conf)
+    spark.conf.set(conf, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+    finally:
+        spark.conf.set(conf, saved)

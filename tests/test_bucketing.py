@@ -88,3 +88,29 @@ def test_unbucketed_join_does_exchange(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert "Exchange" in plan
+
+
+def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
+    """overwrite_partitions rewrites the partitions present in the
+    batch and leaves the rest intact — the idempotent daily-backfill
+    contract. Control: a plain static overwrite truncates the table."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.compaction import overwrite_partitions
+
+    path = str(tmp_path / "t")
+    base = spark.createDataFrame(
+        [("d1", 1), ("d1", 2), ("d2", 3), ("d3", 4)], "day STRING, v LONG"
+    )
+    base.write.partitionBy("day").parquet(path)
+
+    saved = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    fix = spark.createDataFrame([("d2", 30), ("d2", 31)], "day STRING, v LONG")
+    overwrite_partitions(fix, path, ["day"])
+    got = {(r.day, r.v) for r in spark.read.parquet(path).collect()}
+    assert got == {("d1", 1), ("d1", 2), ("d2", 30), ("d2", 31), ("d3", 4)}
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == saved
+
+    fix2 = spark.createDataFrame([("d3", 40)], "day STRING, v LONG")
+    fix2.write.mode("overwrite").partitionBy("day").parquet(path)  # static control
+    assert {(r.day, r.v) for r in spark.read.parquet(path).collect()} == {("d3", 40)}
