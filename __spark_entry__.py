@@ -1061,6 +1061,52 @@ def q_pivot(spark, sf_dir):
     )
 
 
+def q_unpivot(spark, sf_dir):
+    """§2.11: UNPIVOT (melt) — the pivot inverse, long-form metrics
+    from wide columns via the native unpivot operator (a generate, no
+    shuffle until the final aggregate)."""
+    ev = _t(spark, sf_dir, "events")
+    kinds = ["click", "view", "signup", "purchase", "error"]
+    wide = ev.groupBy("user_id").pivot("event_type", kinds).agg(
+        F.count(F.lit(1))
+    )
+    wide = wide.select(
+        "user_id",
+        *[F.coalesce(F.col(k), F.lit(0)).cast("long").alias(k) for k in kinds],
+    )
+    long = wide.unpivot("user_id", kinds, "event_type", "n")
+    return (
+        long.groupBy("event_type")
+        .agg(
+            F.sum("n").cast("long").alias("total"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+    )
+
+
+def q_lateral_topk(spark, sf_dir):
+    """§2.11: correlated LATERAL subquery — top-2 customers by account
+    balance per nation, the per-group-top-k shape expressed as SQL
+    LATERAL (Catalyst decorrelates it into the same window/rank plan
+    a hand-written query would use)."""
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_acctbal_cents
+        FROM _lat_nation n,
+        LATERAL (
+          SELECT c_custkey,
+                 CAST(floor(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents
+          FROM _lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey
+          LIMIT 2
+        ) t
+        """
+    )
+
+
 # ---------------------------------------------------------------------------
 # Extension operators: dedup / text / similarity / multimodal
 # ---------------------------------------------------------------------------
@@ -1964,6 +2010,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_sessions": q_sessions,
         "e_sessions_native": q_sessions_native,
         "e_pivot": q_pivot,
+        "e_unpivot": q_unpivot,
+        "x_lateral_topk": q_lateral_topk,
         "e_asof_join": q_asof_join,
         "e_range_join": q_range_join,
         "e_sessions_stream": q_sessions_stream,
@@ -2643,6 +2691,26 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT user_id, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 "
             "THEN 1 ELSE 0 END AS is_new FROM o) "
             "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM m GROUP BY user_id"
+        ),
+        "e_unpivot": (
+            "WITH w AS (SELECT user_id, "
+            "count(*) FILTER (WHERE event_type = 'click') AS click, "
+            "count(*) FILTER (WHERE event_type = 'view') AS view, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+            "count(*) FILTER (WHERE event_type = 'error') AS error "
+            "FROM events GROUP BY user_id), "
+            "l AS (SELECT user_id, event_type, n FROM w "
+            "UNPIVOT (n FOR event_type IN (click, view, signup, purchase, error))) "
+            "SELECT event_type, CAST(sum(n) AS BIGINT) AS total, "
+            "CAST(count(*) AS BIGINT) AS n_users FROM l GROUP BY 1"
+        ),
+        "x_lateral_topk": (
+            "SELECT n.n_name, t.c_custkey, t.c_acctbal_cents "
+            "FROM nation n, LATERAL ("
+            "SELECT c_custkey, CAST(floor(c_acctbal * 100) AS BIGINT) AS c_acctbal_cents "
+            "FROM customer WHERE c_nationkey = n.n_nationkey "
+            "ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"
         ),
         "e_sessions_native": (
             "WITH o AS (SELECT user_id, ts, event_id, "

@@ -395,3 +395,20 @@ def test_read_log2_merges_evolved_schema(tmp_path, spark):
     assert "transport" in merged.columns
     assert merged.count() == 5
     assert merged.filter("transport IS NULL").count() == 3
+
+
+def test_audit_observation_piggybacks_on_write(tmp_path, spark):
+    """audit_observation's metrics come from the SAME job as the
+    consuming write — row and null counts correct with no second scan
+    of the source."""
+    from adguard2clickhouse_spark.streaming.monitor import audit_observation
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c"), (4, None), (5, "e")],
+        "id LONG, v STRING",
+    )
+    observed, obs = audit_observation(df, ["v", "id"])
+    observed.write.parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got == {"n_rows": 5, "nulls_v": 2, "nulls_id": 0}
+    assert spark.read.parquet(str(tmp_path / "out")).count() == 5
