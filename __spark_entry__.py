@@ -1002,6 +1002,48 @@ def q_stats2_stream(spark, sf_dir):
     return spark.read.parquet(out).select("IP", "date_time", "blocked", "visited")
 
 
+def q_sessions_native_stream(spark, sf_dir):
+    """Native session_window in STREAMING append mode under the hash
+    gate: watermarked gap sessions over the events stream, availableNow
+    — emits exactly the sessions finalized by the end-of-run watermark.
+    The oracle replays the gaps-and-islands sessions and the cutoff:
+    watermark = floor_ms(max ts) − 1 h (Spark tracks event-time stats
+    in milliseconds), a session finalizes when its window end
+    (last event + gap) is ≤ the watermark. Complements e_sessions_native
+    (batch) and e_sessions_stream (applyInPandasWithState)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    tmp = tempfile.mkdtemp(prefix="sess_native_stream_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
+    q = (
+        agg.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out).select(
+        "user_id", "session_start", "session_end", "n_events"
+    )
+
+
 def q_stream_interval_join(spark, sf_dir):
     """Stream-stream interval join under the hash gate: click→purchase
     attribution (purchase within 30 min of the same user's click),
@@ -2015,6 +2057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_asof_join": q_asof_join,
         "e_range_join": q_range_join,
         "e_sessions_stream": q_sessions_stream,
+        "e_sessions_native_stream": q_sessions_native_stream,
         "a6_stats2_stream": q_stats2_stream,
         "e_stream_interval_join": q_stream_interval_join,
         "e_funnel": q_funnel,
@@ -2691,6 +2734,21 @@ def oracle_sql() -> dict[str, str]:
             "m AS (SELECT user_id, CASE WHEN prev IS NULL OR epoch(ts) - epoch(prev) > 1800 "
             "THEN 1 ELSE 0 END AS is_new FROM o) "
             "SELECT user_id, CAST(sum(is_new) AS BIGINT) AS n_sessions FROM m GROUP BY user_id"
+        ),
+        "e_sessions_native_stream": (
+            "WITH o AS (SELECT user_id, ts, event_id, "
+            "lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), "
+            "m AS (SELECT user_id, ts, event_id, "
+            "CASE WHEN prev IS NULL OR epoch_us(ts) - epoch_us(prev) > 1800000000 "
+            "THEN 1 ELSE 0 END AS is_new FROM o), "
+            "g AS (SELECT user_id, ts, sum(is_new) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS grp FROM m), "
+            "s AS (SELECT user_id, min(ts) AS session_start, max(ts) AS session_end, "
+            "CAST(count(*) AS BIGINT) AS n_events FROM g GROUP BY user_id, grp), "
+            "cut AS (SELECT (epoch_us(max(ts)) // 1000) * 1000 - 3600000000 AS wm_us "
+            "FROM events) "
+            "SELECT user_id, session_start, session_end, n_events FROM s, cut "
+            "WHERE epoch_us(session_end) + 1800000000 <= wm_us"
         ),
         "e_unpivot": (
             "WITH w AS (SELECT user_id, "

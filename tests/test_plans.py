@@ -402,7 +402,7 @@ def test_shuffle_budgets_hold(spark):
     qs = entrymod.queries()
     skip = {
         "c1_stream_pipeline", "e_sessions_stream", "a6_stats2_stream",
-        "e_stream_interval_join",
+        "e_stream_interval_join", "e_sessions_native_stream",
     }
     missing = set(qs) - skip - set(budgets)
     assert not missing, f"queries without a shuffle budget: {sorted(missing)}"
