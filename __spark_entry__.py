@@ -1103,6 +1103,28 @@ def q_pivot(spark, sf_dir):
     )
 
 
+def q_window_range_frame(spark, sf_dir):
+    """§2.11: time-RANGE window frame — each event's trailing-1-hour
+    per-user activity (count + value sum in integer permille). The
+    frame is expressed over exact integer microseconds (unix_micros)
+    so the interval arithmetic is engine-portable; Spark plans one
+    hash exchange + sort, the same as any other window."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        F.sum(F.floor(F.col("value") * 1000).cast("long"))
+        .over(w)
+        .alias("value_permille_1h"),
+    )
+
+
 def q_unpivot(spark, sf_dir):
     """§2.11: UNPIVOT (melt) — the pivot inverse, long-form metrics
     from wide columns via the native unpivot operator (a generate, no
@@ -2053,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_sessions_native": q_sessions_native,
         "e_pivot": q_pivot,
         "e_unpivot": q_unpivot,
+        "x_window_range_frame": q_window_range_frame,
         "x_lateral_topk": q_lateral_topk,
         "e_asof_join": q_asof_join,
         "e_range_join": q_range_join,
@@ -2749,6 +2772,14 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, session_start, session_end, n_events FROM s, cut "
             "WHERE epoch_us(session_end) + 1800000000 <= wm_us"
+        ),
+        "x_window_range_frame": (
+            "SELECT event_id, user_id, "
+            "CAST(count(*) OVER w AS BIGINT) AS n_trailing_1h, "
+            "CAST(sum(CAST(floor(value * 1000) AS BIGINT)) OVER w AS BIGINT) "
+            "AS value_permille_1h FROM events "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) "
+            "RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)"
         ),
         "e_unpivot": (
             "WITH w AS (SELECT user_id, "
