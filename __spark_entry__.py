@@ -1125,6 +1125,30 @@ def q_window_range_frame(spark, sf_dir):
     )
 
 
+def q_ordered_agg(spark, sf_dir):
+    """§2.11: order-sensitive + statistical aggregates per group —
+    listagg(… ORDER BY), mode, median over exact integers. Ordered
+    string aggregation is the classic 'needs a deterministic
+    within-group order' trap; the ORDER BY clause makes it portable,
+    and integer cents keep median exact across engines."""
+    c = _t(spark, sf_dir, "customer")
+    cents = F.floor(F.col("c_acctbal") * 100).cast("long")
+    top = c.filter(F.col("c_custkey") <= 200).select(
+        "c_nationkey", "c_custkey", cents.alias("bal_cents")
+    )
+    return (
+        top.groupBy("c_nationkey")
+        .agg(
+            F.expr(
+                "listagg(cast(c_custkey AS string), ',') "
+                "WITHIN GROUP (ORDER BY c_custkey)"
+            ).alias("custkeys"),
+            F.median("bal_cents").cast("double").alias("bal_median_cents"),
+            F.bool_and(F.col("bal_cents") > -100000000).alias("all_above_floor"),
+        )
+    )
+
+
 def q_unpivot(spark, sf_dir):
     """§2.11: UNPIVOT (melt) — the pivot inverse, long-form metrics
     from wide columns via the native unpivot operator (a generate, no
@@ -2075,6 +2099,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_sessions_native": q_sessions_native,
         "e_pivot": q_pivot,
         "e_unpivot": q_unpivot,
+        "x_ordered_agg": q_ordered_agg,
         "x_window_range_frame": q_window_range_frame,
         "x_lateral_topk": q_lateral_topk,
         "e_asof_join": q_asof_join,
@@ -2772,6 +2797,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, session_start, session_end, n_events FROM s, cut "
             "WHERE epoch_us(session_end) + 1800000000 <= wm_us"
+        ),
+        "x_ordered_agg": (
+            "WITH t AS (SELECT c_nationkey, c_custkey, "
+            "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents "
+            "FROM customer WHERE c_custkey <= 200) "
+            "SELECT c_nationkey, "
+            "string_agg(CAST(c_custkey AS VARCHAR), ',' ORDER BY c_custkey) AS custkeys, "
+            "CAST(median(bal_cents) AS DOUBLE) AS bal_median_cents, "
+            "bool_and(bal_cents > -100000000) AS all_above_floor "
+            "FROM t GROUP BY 1"
         ),
         "x_window_range_frame": (
             "SELECT event_id, user_id, "
