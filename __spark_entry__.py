@@ -1125,6 +1125,51 @@ def q_window_range_frame(spark, sf_dir):
     )
 
 
+def q_cdc_snapshot(spark, sf_dir):
+    """Changelog application (CDC upsert/delete → snapshot): events as
+    a change stream per user — 'purchase' rows act as deletes, all
+    others as upserts carrying value — reduced to latest-wins by
+    (ts, event_id) with one window, delete-latest keys dropped. The
+    MERGE INTO shape every lakehouse table maintenance job runs,
+    expressed as rank-and-filter (one shuffle on the key)."""
+    ev = _t(spark, sf_dir, "events")
+    ch = ev.select(
+        (F.col("user_id") % 100).alias("key"),
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("value") * 1000).cast("long").alias("val_permille"),
+        "ts",
+        "event_id",
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("ts"), F.desc("event_id"))
+    latest = ch.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1)
+    return latest.filter(F.col("op") == "U").select("key", "val_permille")
+
+
+def q_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build: each user's event_type
+    changes become effective-dated rows [valid_from, valid_to) via one
+    lag+lead pass — consecutive duplicates collapse first (true SCD2
+    only versions actual changes), the open row carries NULL valid_to.
+    One shuffle on the user key; the history table every warehouse
+    derives from change feeds."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changed = (
+        ev.withColumn("_prev", F.lag("event_type").over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col("event_type")))
+        .drop("_prev")
+    )
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return changed.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    )
+
+
 def q_ordered_agg(spark, sf_dir):
     """§2.11: order-sensitive + statistical aggregates per group —
     listagg(… ORDER BY), mode, median over exact integers. Ordered
@@ -2100,6 +2145,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_pivot": q_pivot,
         "e_unpivot": q_unpivot,
         "x_ordered_agg": q_ordered_agg,
+        "x_cdc_snapshot": q_cdc_snapshot,
+        "x_scd2": q_scd2,
         "x_window_range_frame": q_window_range_frame,
         "x_lateral_topk": q_lateral_topk,
         "e_asof_join": q_asof_join,
@@ -2797,6 +2844,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, session_start, session_end, n_events FROM s, cut "
             "WHERE epoch_us(session_end) + 1800000000 <= wm_us"
+        ),
+        "x_cdc_snapshot": (
+            "WITH ch AS (SELECT user_id % 100 AS key, "
+            "CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op, "
+            "CAST(floor(value * 1000) AS BIGINT) AS val_permille, ts, event_id "
+            "FROM events), "
+            "r AS (SELECT *, row_number() OVER (PARTITION BY key "
+            "ORDER BY ts DESC, event_id DESC) AS rn FROM ch) "
+            "SELECT key, val_permille FROM r WHERE rn = 1 AND op = 'U'"
+        ),
+        "x_scd2": (
+            "WITH o AS (SELECT user_id, event_type, ts, event_id, "
+            "lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev "
+            "FROM events), "
+            "c AS (SELECT user_id, event_type, ts, event_id FROM o "
+            "WHERE prev IS NULL OR prev <> event_type) "
+            "SELECT user_id, event_type AS state, ts AS valid_from, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to "
+            "FROM c"
         ),
         "x_ordered_agg": (
             "WITH t AS (SELECT c_nationkey, c_custkey, "
