@@ -121,6 +121,35 @@ def q_f3(spark, sf_dir):
     )
 
 
+def q_a10_domain_hierarchy(spark, sf_dir):
+    """A7 generalized: counts at EVERY domain-suffix level (the
+    ClickHouse cutToFirstSignificantSubdomain family, done for all
+    depths at once) — each real-domain QH explodes into its ≤ depth
+    suffixes ('a.b.com' → 'com', 'b.com', 'a.b.com'), then one
+    groupBy. The hierarchy rollup DNS analytics actually navigates;
+    fan-out is bounded by label count, the shuffle carries (suffix,
+    partial count)."""
+    log2 = log2_from_events(spark, sf_dir)
+    labels = F.split(F.col("QH"), r"\.")
+    sufs = F.transform(
+        F.sequence(F.lit(1), F.size(labels)),
+        lambda i: F.array_join(
+            F.slice(labels, F.size(labels) - i + 1, i), "."
+        ),
+    )
+    return (
+        log2.filter(agg._real_domain("QH"))
+        .select(F.explode(sufs).alias("suffix"))
+        .groupBy("suffix")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .select(
+            "suffix",
+            F.size(F.split("suffix", r"\.")).cast("long").alias("depth"),
+            "count",
+        )
+    )
+
+
 def q_p7_dns_parse(spark, sf_dir):
     """P6-P10: the Arrow DNS wire parser at volume, oracle-checked.
 
@@ -2104,6 +2133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_tld_stats": q_a7,
         "a8_upstream_stats": q_a8,
         "a9_latency_stats": q_a9_latency,
+        "a10_domain_hierarchy": q_a10_domain_hierarchy,
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
         "p1_variant_key_stats": q_p1_variant,
@@ -2529,6 +2559,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_upstream_stats": oracle_cte(
             'SELECT Upstream, count(*) AS "count" FROM log2 GROUP BY Upstream'
+        ),
+        "a10_domain_hierarchy": oracle_cte(
+            f", lab AS (SELECT str_split(QH, '.') AS l FROM log2 WHERE {f3}), "
+            "e AS (SELECT l, CAST(unnest(generate_series(1, len(l))) AS INT) AS i FROM lab), "
+            "s AS (SELECT array_to_string(l[len(l) - i + 1 : len(l)], '.') AS suffix FROM e) "
+            "SELECT suffix, CAST(len(str_split(suffix, '.')) AS BIGINT) AS depth, "
+            'count(*) AS "count" FROM s GROUP BY suffix'
         ),
         "a9_latency_stats": oracle_cte(
             "SELECT Upstream, CAST(count(*) AS BIGINT) AS n, "
