@@ -1574,6 +1574,39 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", hash_bucket("doc_id").alias("bucket"), "split")
 
 
+def q_shard_export(spark, sf_dir):
+    """X7 export under the hash gate: md5-split documents are written
+    through the REAL shard sink (repartitioned by id-hash, split-
+    partitioned, record-capped files) and the result is the read-back
+    manifest folded per split — counts and id ranges of what a loader
+    will actually see on disk, not writer intent. The oracle recomputes
+    the split assignment arithmetically; a hash match proves the
+    write→list→read-back loop loses and duplicates nothing."""
+    import tempfile
+
+    from adguard2clickhouse_spark.operators.sampling import with_split
+    from adguard2clickhouse_spark.sinks.shards import (
+        shard_manifest,
+        write_training_shards,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    out = with_split(docs, "doc_id", val_permille=50, test_permille=50)
+    tmp = tempfile.mkdtemp(prefix="shards_")
+    write_training_shards(
+        out, tmp, n_shards_per_split=4, max_records_per_file=64
+    )
+    m = shard_manifest(spark, tmp)
+    return (
+        m.groupBy("split")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_records"),
+            F.min("min_id").cast("long").alias("min_id"),
+            F.max("max_id").cast("long").alias("max_id"),
+        )
+    )
+
+
 def q_distinctive_terms(spark, sf_dir):
     """X4: idf-weighted distinctive terms, integer-exact (score =
     floor(tf·10⁶/df), monotone in log-idf) so the full ranking sits
@@ -2233,6 +2266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_vocab": q_vocab,
         "x4_tfidf_search": q_tfidf_search,
         "x7_hash_split": q_hash_split,
+        "x7_shard_export": q_shard_export,
         "x7_stratified_sample": q_stratified_sample,
         "x7_mixture_sample": q_mixture,
         "x7_det_shuffle": q_det_shuffle,
@@ -3094,6 +3128,16 @@ def oracle_sql() -> dict[str, str]:
             "WITH b AS (SELECT doc_id, CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS INT) AS bucket FROM documents) "
             "SELECT doc_id, bucket, CASE WHEN bucket < 500 THEN 'val' "
             "WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split FROM b"
+        ),
+        "x7_shard_export": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS INT) "
+            "AS bucket FROM documents), "
+            "s AS (SELECT doc_id, CASE WHEN bucket < 500 THEN 'val' "
+            "WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split FROM b) "
+            "SELECT split, CAST(count(*) AS BIGINT) AS n_records, "
+            "CAST(min(doc_id) AS BIGINT) AS min_id, CAST(max(doc_id) AS BIGINT) AS max_id "
+            "FROM s GROUP BY 1"
         ),
         "x4_distinctive_terms": (
             "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents), "
