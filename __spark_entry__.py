@@ -1154,6 +1154,30 @@ def q_window_range_frame(spark, sf_dir):
     )
 
 
+_TS_QUERY_PAA = [500, 1500, 2500, 1500, 500, 100]
+
+
+def q_ts_similarity(spark, sf_dir):
+    """X13 time-series similarity (operators/timeseries.py): each
+    (user, day) densifies to a 24-hour integer activity profile, PAA
+    reduces it to 6 blocks, and the top-5 nearest user-days to a fixed
+    query shape rank by exact squared Euclidean — integer math end to
+    end, TakeOrderedAndProject. The PAA-then-verify skeleton is the
+    same candidate-generation shape the dedup/ANN operators use."""
+    from adguard2clickhouse_spark.operators.timeseries import (
+        hourly_profiles,
+        paa,
+        ts_topk,
+    )
+
+    prof = paa(hourly_profiles(_t(spark, sf_dir, "events")), segments=6)
+    out = ts_topk(prof, _TS_QUERY_PAA, k=5)
+    # day as string: pandas renders Spark DATE and DuckDB DATE
+    # differently ('2024-01-17' vs midnight Timestamp) — stringify for
+    # the canonical compare
+    return out.select("key", F.col("day").cast("string").alias("day"), "dist2")
+
+
 def q_cdc_snapshot(spark, sf_dir):
     """Changelog application (CDC upsert/delete → snapshot): events as
     a change stream per user — 'purchase' rows act as deletes, all
@@ -2209,6 +2233,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_unpivot": q_unpivot,
         "x_ordered_agg": q_ordered_agg,
         "x_cdc_snapshot": q_cdc_snapshot,
+        "x13_ts_similarity": q_ts_similarity,
         "x_scd2": q_scd2,
         "x_window_range_frame": q_window_range_frame,
         "x_lateral_topk": q_lateral_topk,
@@ -2915,6 +2940,25 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, session_start, session_end, n_events FROM s, cut "
             "WHERE epoch_us(session_end) + 1800000000 <= wm_us"
+        ),
+        "x13_ts_similarity": (
+            "WITH hourly AS (SELECT user_id AS key, CAST(ts AS DATE) AS day, "
+            "hour(ts) AS h, CAST(floor(sum(value) * 1000) AS BIGINT) AS v "
+            "FROM events GROUP BY 1, 2, 3), "
+            "kd AS (SELECT DISTINCT key, day FROM hourly), "
+            "hh AS (SELECT CAST(unnest(range(0, 24)) AS INT) AS h), "
+            "dense AS (SELECT kd.key, kd.day, hh.h, coalesce(hourly.v, 0) AS v "
+            "FROM kd CROSS JOIN hh LEFT JOIN hourly "
+            "ON hourly.key = kd.key AND hourly.day = kd.day AND hourly.h = hh.h), "
+            "blocks AS (SELECT key, day, h // 4 AS seg, "
+            "CAST(floor(sum(v) / 4.0) AS BIGINT) AS b "
+            "FROM dense GROUP BY 1, 2, 3), "
+            "q AS (SELECT * FROM (VALUES (0, 500), (1, 1500), (2, 2500), "
+            "(3, 1500), (4, 500), (5, 100)) t(seg, qb)), "
+            "d AS (SELECT key, day, CAST(sum((b - qb) * (b - qb)) AS BIGINT) AS dist2 "
+            "FROM blocks JOIN q USING (seg) GROUP BY 1, 2) "
+            "SELECT key, CAST(day AS VARCHAR) AS day, dist2 FROM d "
+            "ORDER BY dist2, day, key LIMIT 5"
         ),
         "x_cdc_snapshot": (
             "WITH ch AS (SELECT user_id % 100 AS key, "

@@ -712,3 +712,33 @@ def test_chunking_invariants_randomized(spark):
         if n >= chunk:
             assert all(c.n_chunk_tokens == chunk for c in chunks)
     assert set(by_doc) == set(range(50))
+
+
+def test_timeseries_profiles_paa_and_topk(spark):
+    """24-slot densification (missing hours are real zeros), integer
+    PAA with FLOOR semantics on a negative block, and exact top-k by
+    squared Euclidean with (day, key) tie-breaks."""
+    from adguard2clickhouse_spark.operators.timeseries import (
+        hourly_profiles, paa, ts_topk,
+    )
+
+    rows = [
+        (1, "2024-01-01 00:30:00", 2.0),   # hour 0 → 2000
+        (1, "2024-01-01 00:45:00", 1.0),   # hour 0 again → 3000 total
+        (1, "2024-01-01 05:10:00", -1.5),  # hour 5 → -1500 (negative block)
+        (2, "2024-01-01 12:00:00", 4.0),   # hour 12 → 4000
+    ]
+    df = spark.createDataFrame(rows, "user_id LONG, ts STRING, value DOUBLE") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    prof = {r.key: r.profile for r in hourly_profiles(df).collect()}
+    assert prof[1][0] == 3000 and prof[1][5] == -1500
+    assert sum(1 for v in prof[1] if v == 0) == 22
+    assert prof[2][12] == 4000
+
+    p = {r.key: r.profile for r in paa(hourly_profiles(df), segments=6).collect()}
+    assert p[1][0] == 3000 // 4    # block 0 = hours 0-3
+    assert p[1][1] == -1500 // 4   # block 1 = hours 4-7: floor(-375.0)
+    assert p[2][3] == 4000 // 4    # block 3 = hours 12-15
+
+    top = ts_topk(paa(hourly_profiles(df), segments=6), [0, 0, 0, 0, 0, 0], k=2).collect()
+    assert [r.key for r in top] == [1, 2]  # user1's profile is nearer zero
