@@ -1178,6 +1178,31 @@ def q_ts_similarity(spark, sf_dir):
     return out.select("key", F.col("day").cast("string").alias("day"), "dist2")
 
 
+def q_mad_outliers(spark, sf_dir):
+    """X13 robust anomaly detection: events whose value deviates from
+    their user's median by more than 3× the median absolute deviation.
+    Median/MAD instead of mean/stddev on purpose — robust to the very
+    outliers being hunted, and exact across engines (integer permille
+    inputs; medians interpolate on .5 which doubles represent exactly,
+    where stddev's sqrt would be a hash hazard). Two aggregate+join
+    rounds on the user key; no window over raw floats."""
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 1000).cast("long").alias("v"),
+    )
+    med = ev.groupBy("user_id").agg(F.median("v").alias("_m"))
+    dev = ev.join(med, "user_id").withColumn(
+        "_ad", F.abs(F.col("v") - F.col("_m"))
+    )
+    mad = dev.groupBy("user_id").agg(F.median("_ad").alias("_mad"))
+    return (
+        dev.join(mad, "user_id")
+        .filter(F.col("_ad") > 3 * F.col("_mad"))
+        .select("event_id", "user_id", "v")
+    )
+
+
 def q_cdc_snapshot(spark, sf_dir):
     """Changelog application (CDC upsert/delete → snapshot): events as
     a change stream per user — 'purchase' rows act as deletes, all
@@ -2234,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ordered_agg": q_ordered_agg,
         "x_cdc_snapshot": q_cdc_snapshot,
         "x13_ts_similarity": q_ts_similarity,
+        "x13_mad_outliers": q_mad_outliers,
         "x_scd2": q_scd2,
         "x_window_range_frame": q_window_range_frame,
         "x_lateral_topk": q_lateral_topk,
@@ -2940,6 +2966,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM events) "
             "SELECT user_id, session_start, session_end, n_events FROM s, cut "
             "WHERE epoch_us(session_end) + 1800000000 <= wm_us"
+        ),
+        "x13_mad_outliers": (
+            "WITH e AS (SELECT event_id, user_id, "
+            "CAST(floor(value * 1000) AS BIGINT) AS v FROM events), "
+            "m AS (SELECT user_id, median(v) AS md FROM e GROUP BY 1), "
+            "d AS (SELECT e.event_id, e.user_id, e.v, abs(e.v - m.md) AS ad "
+            "FROM e JOIN m USING (user_id)), "
+            "mm AS (SELECT user_id, median(ad) AS mad FROM d GROUP BY 1) "
+            "SELECT event_id, user_id, v FROM d JOIN mm USING (user_id) "
+            "WHERE ad > 3 * mad"
         ),
         "x13_ts_similarity": (
             "WITH hourly AS (SELECT user_id AS key, CAST(ts AS DATE) AS day, "
