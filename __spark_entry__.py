@@ -121,6 +121,30 @@ def q_f3(spark, sf_dir):
     )
 
 
+def q_a11_sliding_windows(spark, sf_dir):
+    """A6 generalized to SLIDING windows: 10-minute windows hopping
+    every 5 minutes — every event lands in exactly 2 overlapping
+    buckets, the smoothing shape dashboards use. Spark's window()
+    generates the per-event window set JVM-side; the oracle replays
+    the hop arithmetic (two floor-aligned starts per event) in exact
+    integer microseconds."""
+    log2 = log2_from_events(spark, sf_dir)
+    return (
+        log2.groupBy(
+            "IP", F.window("date_time", "10 minutes", "5 minutes").alias("_w")
+        )
+        .agg(
+            F.sum(F.when(F.col("IsFiltered"), 1).otherwise(0))
+            .cast("long")
+            .alias("blocked"),
+            F.sum(F.when(~F.col("IsFiltered"), 1).otherwise(0))
+            .cast("long")
+            .alias("visited"),
+        )
+        .select("IP", F.col("_w.start").alias("window_start"), "blocked", "visited")
+    )
+
+
 def q_a10_domain_hierarchy(spark, sf_dir):
     """A7 generalized: counts at EVERY domain-suffix level (the
     ClickHouse cutToFirstSignificantSubdomain family, done for all
@@ -2216,6 +2240,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a8_upstream_stats": q_a8,
         "a9_latency_stats": q_a9_latency,
         "a10_domain_hierarchy": q_a10_domain_hierarchy,
+        "a11_sliding_windows": q_a11_sliding_windows,
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
         "p1_variant_key_stats": q_p1_variant,
@@ -2644,6 +2669,16 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_upstream_stats": oracle_cte(
             'SELECT Upstream, count(*) AS "count" FROM log2 GROUP BY Upstream'
+        ),
+        "a11_sliding_windows": oracle_cte(
+            ", w AS (SELECT IP, IsFiltered, "
+            "(epoch_us(date_time) // 300000000) * 300000000 AS h1 FROM log2), "
+            "e AS (SELECT IP, IsFiltered, "
+            "unnest([h1, h1 - 300000000]) AS ws FROM w) "
+            "SELECT IP, make_timestamp(ws) AS window_start, "
+            "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS blocked, "
+            "CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS visited "
+            "FROM e GROUP BY 1, 2"
         ),
         "a10_domain_hierarchy": oracle_cte(
             f", lab AS (SELECT str_split(QH, '.') AS l FROM log2 WHERE {f3}), "
