@@ -130,6 +130,8 @@ def pagerank(
 
     ids = nodes.select(F.col(id_col).alias("_u")).distinct()
     n = ids.count()
+    if n == 0:
+        raise ValueError("pagerank needs a non-empty node set")
     ed = (
         edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
         .distinct()
