@@ -102,7 +102,11 @@ def ts_topk(
         lambda acc, v: acc + v,
     )
     return (
-        profiles.select("key", "day", dist.alias("dist2"))
+        # zip_with pads a length mismatch with nulls, which would turn
+        # dist2 NULL and sort differently per engine — exclude such
+        # rows explicitly rather than ranking garbage
+        profiles.filter(F.size(F.col(col)) == len(query))
+        .select("key", "day", dist.alias("dist2"))
         .orderBy(F.asc("dist2"), F.asc("day"), F.asc("key"))
         .limit(k)
     )
