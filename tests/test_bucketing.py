@@ -114,3 +114,58 @@ def test_dynamic_partition_overwrite_replaces_only_touched(spark, tmp_path):
     fix2 = spark.createDataFrame([("d3", 40)], "day STRING, v LONG")
     fix2.write.mode("overwrite").partitionBy("day").parquet(path)  # static control
     assert {(r.day, r.v) for r in spark.read.parquet(path).collect()} == {("d3", 40)}
+
+
+def test_delete_rows_rewrites_only_affected_partitions(spark, tmp_path):
+    """Right-to-be-forgotten: user 5's rows vanish, partitions without
+    user 5 keep their files BYTE-IDENTICAL (no rewrite), and everyone
+    else's rows survive everywhere."""
+    import hashlib
+    import pathlib
+
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.retention import delete_rows
+
+    path = str(tmp_path / "facts")
+    rows = [(d, u, i) for i, (d, u) in enumerate(
+        (d, u) for d in ("d1", "d2", "d3") for u in (1, 5, 9)
+    )]
+    rows = [r for r in rows if not (r[0] == "d2" and r[1] == 5)]  # d2 has no user5
+    spark.createDataFrame(rows, "day STRING, user_id LONG, v LONG") \
+        .repartition(1).write.partitionBy("day").parquet(path)
+
+    def digest(day):
+        files = sorted(pathlib.Path(path, f"day={day}").glob("*.parquet"))
+        h = hashlib.sha256()
+        for f in files:
+            h.update(f.read_bytes())
+        return h.hexdigest()
+
+    before_d2 = digest("d2")
+    affected = delete_rows(spark, path, F.col("user_id") == 5, "day")
+    assert sorted(affected) == ["d1", "d3"]
+    assert digest("d2") == before_d2  # untouched partition: same bytes
+    got = {(r.day, r.user_id) for r in spark.read.parquet(path).collect()}
+    assert all(u != 5 for _, u in got)
+    assert got == {(d, u) for d, u, _ in rows if u != 5}
+
+
+def test_expire_partitions_drops_directories_without_scan(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.retention import expire_partitions
+
+    path = str(tmp_path / "facts")
+    rows = [(f"2024-01-{d:02d}", i) for d in (1, 5, 20) for i in range(3)]
+    spark.createDataFrame(rows, "day STRING, v LONG") \
+        .write.partitionBy("day").parquet(path)
+    dropped = expire_partitions(
+        spark, path, "day", F.col("day") >= "2024-01-10"
+    )
+    assert sorted(dropped) == ["2024-01-01", "2024-01-05"]
+    left = {
+        str(r.day)
+        for r in spark.read.parquet(path).select("day").distinct().collect()
+    }
+    assert left == {"2024-01-20"}
