@@ -335,6 +335,42 @@ def q_except(spark, sf_dir):
     return c.subtract(s)  # set EXCEPT semantics (not exceptAll)
 
 
+def q_except_all(spark, sf_dir):
+    """§2.11 set ops, MULTISET semantics: EXCEPT ALL keeps surplus
+    duplicates (a nation with 30 customers and 4 suppliers surfaces
+    26 times) — the bag-difference reconciliation shape, distinct from
+    x_except's set semantics. Aggregated to (nationkey, n) so the
+    result is order-free."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return (
+        c.exceptAll(s)
+        .groupBy("nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_null_safe_join(spark, sf_dir):
+    """§2.11: null-safe equality join (<=>) — NULL keys MATCH EACH
+    OTHER instead of silently dropping, the semantic corner that loses
+    rows in naive reconciliation joins. Key is NULL for every third
+    event; counts per joined key prove the NULL bucket pairs up
+    (DuckDB twin: IS NOT DISTINCT FROM)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.when(F.col("event_id") % 3 != 0, F.col("user_id") % 50)
+    a = ev.filter(F.col("event_id") % 2 == 0).select(k.alias("ka"))
+    b = ev.filter(F.col("event_id") % 2 == 1).select(k.alias("kb"))
+    return (
+        a.join(b, a.ka.eqNullSafe(b.kb))
+        .groupBy(F.coalesce("ka", F.lit(-1)).alias("key"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
 def q_anti_join(spark, sf_dir):
     """Customers with no order above $300k (left anti join)."""
     c = _t(spark, sf_dir, "customer")
@@ -2268,6 +2304,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_distinct_agg": q_distinct_agg,
         "x_intersect": q_intersect,
         "x_except": q_except,
+        "x_except_all": q_except_all,
+        "x_null_safe_join": q_null_safe_join,
         "x_anti_join": q_anti_join,
         "x_semi_join": q_semi_join,
         "x_exists_subquery": q_exists_subquery,
@@ -2766,6 +2804,19 @@ def oracle_sql() -> dict[str, str]:
         "x_intersect": (
             "SELECT c_nationkey AS nationkey FROM customer "
             "INTERSECT SELECT s_nationkey FROM supplier"
+        ),
+        "x_except_all": (
+            "WITH d AS (SELECT c_nationkey AS nationkey FROM customer "
+            "EXCEPT ALL SELECT s_nationkey FROM supplier) "
+            "SELECT nationkey, CAST(count(*) AS BIGINT) AS n FROM d GROUP BY 1"
+        ),
+        "x_null_safe_join": (
+            "WITH a AS (SELECT CASE WHEN event_id % 3 <> 0 THEN user_id % 50 END AS ka "
+            "FROM events WHERE event_id % 2 = 0), "
+            "b AS (SELECT CASE WHEN event_id % 3 <> 0 THEN user_id % 50 END AS kb "
+            "FROM events WHERE event_id % 2 = 1) "
+            "SELECT coalesce(ka, -1) AS key, CAST(count(*) AS BIGINT) AS n_pairs "
+            "FROM a JOIN b ON a.ka IS NOT DISTINCT FROM b.kb GROUP BY 1"
         ),
         "x_except": (
             "SELECT c_nationkey AS nationkey FROM customer "
