@@ -174,6 +174,35 @@ def q_a10_domain_hierarchy(spark, sf_dir):
     )
 
 
+def q_q1_decimal(spark, sf_dir):
+    """Q1's money math on the DECIMAL path: prices and discounts cast
+    to fixed-point before any arithmetic, so sums are exact by TYPE
+    rather than by the integer-cents trick the other money queries use
+    — both disciplines belong in an engine, and this one survives
+    multiplication chains without manual scaling. Exactness makes the
+    fold order-independent, hence hash-gateable."""
+    li = _t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(price).alias("sum_price"),
+            F.sum(price * (F.lit(1).cast("decimal(18,2)") - disc)).alias(
+                "sum_disc_price"
+            ),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            F.col("sum_price").cast("string").alias("sum_price"),
+            F.col("sum_disc_price").cast("string").alias("sum_disc_price"),
+            "n",
+        )
+    )
+
+
 def q_p7_dns_parse(spark, sf_dir):
     """P6-P10: the Arrow DNS wire parser at volume, oracle-checked.
 
@@ -2284,6 +2313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_dns_parse_diverse": q_p7_dns_parse_diverse,
         # relational extensions (§2.11)
         "q1_pricing_summary": q_q1_pricing,
+        "q1_pricing_decimal": q_q1_decimal,
         "q3_shipping_priority": q_q3_shipping,
         "q4_order_priority": q_q4_order_priority,
         "q5_local_suppliers": q_q5_local_suppliers,
@@ -2867,6 +2897,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_orderkey, o_orderdate, "
             "CAST(floor(o_totalprice * 100) AS BIGINT) AS total_cents, total_qty "
             "FROM orders JOIN big ON o_orderkey = l_orderkey"
+        ),
+        "q1_pricing_decimal": (
+            "WITH t AS (SELECT l_returnflag, l_linestatus, "
+            "CAST(l_extendedprice AS DECIMAL(18,2)) AS p, "
+            "CAST(l_discount AS DECIMAL(18,2)) AS d FROM lineitem) "
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(p) AS VARCHAR) AS sum_price, "
+            "CAST(sum(p * (CAST(1 AS DECIMAL(18,2)) - d)) AS VARCHAR) AS sum_disc_price, "
+            "count(*) AS n FROM t GROUP BY 1, 2"
         ),
         "q4_order_priority": (
             "SELECT o_orderpriority, count(*) AS order_count FROM orders "
