@@ -1745,6 +1745,18 @@ def q_shard_export(spark, sf_dir):
     )
 
 
+def q_kfold(spark, sf_dir):
+    """X7: leakage-safe k-fold assignment — fold is a pure md5
+    function of the id (operators/sampling.py::with_fold), so no
+    repartition/re-ingest can migrate a document across folds. Returns
+    the assignment plus per-fold sizes via a grouping-sets-free
+    union-less shape: one row per doc with its fold."""
+    from adguard2clickhouse_spark.operators.sampling import with_fold
+
+    docs = _t(spark, sf_dir, "documents")
+    return with_fold(docs, k=5).select("doc_id", "fold")
+
+
 def q_distinctive_terms(spark, sf_dir):
     """X4: idf-weighted distinctive terms, integer-exact (score =
     floor(tf·10⁶/df), monotone in log-idf) so the full ranking sits
@@ -2411,6 +2423,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_tfidf_search": q_tfidf_search,
         "x7_hash_split": q_hash_split,
         "x7_shard_export": q_shard_export,
+        "x7_kfold": q_kfold,
         "x7_stratified_sample": q_stratified_sample,
         "x7_mixture_sample": q_mixture,
         "x7_det_shuffle": q_det_shuffle,
@@ -3333,6 +3346,10 @@ def oracle_sql() -> dict[str, str]:
             "WITH b AS (SELECT doc_id, CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS INT) AS bucket FROM documents) "
             "SELECT doc_id, bucket, CASE WHEN bucket < 500 THEN 'val' "
             "WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split FROM b"
+        ),
+        "x7_kfold": (
+            "SELECT doc_id, CAST((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+            "::BIGINT) % 10000 % 5 AS INT) AS fold FROM documents"
         ),
         "x7_shard_export": (
             "WITH b AS (SELECT doc_id, "

@@ -115,3 +115,23 @@ def deterministic_shuffle(
     return df.withColumn(
         shard_col, hash_bucket(id_col, n_shards).cast("long")
     ).withColumn(pos_col, F.row_number().over(w).cast("long"))
+
+
+def with_fold(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 5,
+    fold_col: str = "fold",
+) -> DataFrame:
+    """K-fold cross-validation assignment: fold = md5-bucket(id) mod k.
+
+    Hash-derived like with_split, and for the same reason — the fold of
+    a document is a pure function of its id, so re-ingestion, joins, or
+    repartitioning can never migrate a document across folds (the
+    leakage that silently invalidates cross-validation). Fold i's
+    training set is simply ``fold != i``: one predicate, no sampling
+    state to store or ship.
+    """
+    return df.withColumn(
+        fold_col, F.pmod(hash_bucket(id_col), F.lit(k)).cast("int")
+    )
