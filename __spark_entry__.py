@@ -1910,6 +1910,44 @@ def q_vocab(spark, sf_dir):
     return build_vocab(_t(spark, sf_dir, "documents"), vocab_size=50)
 
 
+_VOCAB_CURVE_POINTS = [5, 10, 20, 30]
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """X4 tokenization: the vocab-sizing curve — corpus-token coverage
+    (permille) of the top-N vocabulary at several N. Token counting is
+    the usual explode+groupBy; the cumulative sum windows over the
+    DISTINCT-token relation only (bounded by vocab size, not corpus —
+    same discipline as build_vocab's id window), then the fixed N
+    thresholds read the running total."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = counts.select(
+        F.row_number().over(w).alias("rnk"),
+        F.sum("cnt").over(
+            Window.orderBy(F.desc("cnt"), F.asc("token")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        ).alias("cum"),
+    )
+    total = toks.agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        ranked.filter(F.col("rnk").isin(_VOCAB_CURVE_POINTS))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("rnk").cast("long").alias("n_vocab"),
+            F.col("cum").cast("long").alias("cum_tokens"),
+            F.floor(F.col("cum") * 1000 / F.col("_n"))
+            .cast("long")
+            .alias("coverage_permille"),
+        )
+    )
+
+
 def q_oov_rate(spark, sf_dir):
     """X4 tokenization: per-source vocabulary coverage — token volume,
     OOV count, OOV permille against a top-200 corpus vocab
@@ -2415,6 +2453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_bpe_pairs": q_bpe_pairs,
         "x4_bpe_train": q_bpe_train,
         "x4_oov_rate": q_oov_rate,
+        "x4_vocab_coverage": q_vocab_coverage,
         "x4_bpe_encode": q_bpe_encode,
         "x4_common_ngrams": q_common_ngrams,
         "x4_span_scrub": q_span_scrub,
@@ -3435,6 +3474,18 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(row_number() OVER (ORDER BY cnt DESC, token) - 1 AS BIGINT) AS token_id, "
             "CAST(cnt AS BIGINT) AS cnt, CAST(n_docs AS BIGINT) AS n_docs "
             "FROM c ORDER BY cnt DESC, token LIMIT 50"
+        ),
+        "x4_vocab_coverage": (
+            "WITH toks AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents), "
+            "t AS (SELECT token FROM toks WHERE token <> ''), "
+            "c AS (SELECT token, count(*) AS cnt FROM t GROUP BY 1), "
+            "r AS (SELECT row_number() OVER (ORDER BY cnt DESC, token) AS rnk, "
+            "sum(cnt) OVER (ORDER BY cnt DESC, token "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum FROM c), "
+            "n AS (SELECT count(*) AS total FROM t) "
+            "SELECT CAST(rnk AS BIGINT) AS n_vocab, CAST(cum AS BIGINT) AS cum_tokens, "
+            "CAST(floor(cum * 1000 / total) AS BIGINT) AS coverage_permille "
+            "FROM r, n WHERE rnk IN (5, 10, 20, 30)"
         ),
         "x4_oov_rate": (
             "WITH toks AS (SELECT source, unnest(str_split(text, ' ')) AS token "
