@@ -411,6 +411,7 @@ def test_shuffle_budgets_hold(spark):
     nl_allowed = {
         "x2_embedding_dup", "x3_knn_join", "x6_heavy_hitters",
         "x3_hard_negatives",  # same broadcast-tiny-query-side shape as knn
+        "x4_vocab_coverage",  # 1-row broadcast total, like heavy-hitters
     }
     over, nested = {}, {}
     for name, budget in budgets.items():
