@@ -1459,6 +1459,20 @@ def q_lang_id(spark, sf_dir):
     return docs.select("doc_id", text.lang_id("text").alias("lang_guess"))
 
 
+def q_ngram_containment(spark, sf_dir):
+    """X2 asymmetric near-dup: smaller-side shingle containment ≥ 0.5
+    (operators/dedup.py::ngram_containment_pairs) — excerpt/subset
+    detection symmetric Jaccard misses. Exact integer permille."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_containment_pairs(docs, n=3, threshold=0.5)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        "containment_permille",
+    )
+
+
 def q_ngram_jaccard(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
@@ -2425,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_quality": q_quality,
         "x4_lang_id": q_lang_id,
         "x2_ngram_jaccard": q_ngram_jaccard,
+        "x2_ngram_containment": q_ngram_containment,
         "x2_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "x2_minhash_lsh": q_minhash_lsh,
         "x2_minhash_lsh_md5": q_minhash_lsh_md5,
@@ -3294,6 +3309,15 @@ def oracle_sql() -> dict[str, str]:
             "WHEN fr > en AND fr > de AND fr > 0 THEN 'fr' "
             "WHEN de > en AND de > 0 THEN 'de' "
             "WHEN en > 0 THEN 'en' ELSE 'und' END AS lang_guess FROM h"
+        ),
+        "x2_ngram_containment": (
+            f"WITH {_SHINGLE_CTE}, "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
+            "CAST(floor(c * 1000 / least(x.n, y.n)) AS BIGINT) AS containment_permille "
+            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000 >= 500 * least(x.n, y.n)"
         ),
         "x2_ngram_jaccard": (
             f"WITH {_SHINGLE_CTE}, "

@@ -683,3 +683,40 @@ def simhash_near_pairs(
     finally:
         chunks.unpersist()
     return out
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.9,
+    max_df: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup: pairs where the smaller document's shingle
+    set is ≥ ``threshold`` contained in the pair's intersection —
+    excerpt/quote/subset detection, which symmetric Jaccard misses
+    entirely (a paragraph quoted inside a book has Jaccard ≈ 0 but
+    containment 1.0).
+
+    Same inverted-index skeleton and costs as ngram_jaccard_pairs
+    (reused with the threshold disabled); only the final predicate
+    differs: common·1000 ≥ t·1000·min(|A|,|B|), reported as an exact
+    integer permille. Returns (doc_a, doc_b, common, size_a, size_b,
+    containment_permille).
+    """
+    pairs = ngram_jaccard_pairs(
+        df, text_col=text_col, id_col=id_col, n=n,
+        threshold=0.0, max_df=max_df,
+    )
+    thr = int(threshold * 1000)
+    small = F.least(F.col("size_a"), F.col("size_b"))
+    return (
+        pairs.filter(F.col("common") * 1000 >= F.lit(thr) * small)
+        .select(
+            "doc_a", "doc_b", "common", "size_a", "size_b",
+            F.floor(F.col("common") * 1000 / small)
+            .cast("long")
+            .alias("containment_permille"),
+        )
+    )

@@ -264,3 +264,25 @@ def test_clean_html_strips_decodes_once_and_counts_tags(spark):
     # html, comment, script pair, inner p pair, style pair, p pair,
     # div pair, /html = 13
     assert r.n_tags == 13
+
+
+def test_containment_catches_excerpt_jaccard_misses(spark):
+    """A short doc fully contained in a long one: containment flags it
+    at 1000 permille while the symmetric Jaccard is far below any
+    dedup threshold — the asymmetric predicate's whole point."""
+    from adguard2clickhouse_spark.operators.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    long_doc = " ".join(f"w{i}" for i in range(60))
+    excerpt = " ".join(f"w{i}" for i in range(20, 28))  # 8 tokens inside
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, excerpt), (3, "totally different words here now")],
+        "doc_id LONG, text STRING",
+    )
+    cont = {(r.doc_a, r.doc_b): r.containment_permille
+            for r in ngram_containment_pairs(df, threshold=0.9).collect()}
+    assert cont == {(1, 2): 1000}
+    jac = ngram_jaccard_pairs(df, threshold=0.2).collect()
+    assert jac == []  # symmetric similarity never sees the excerpt
