@@ -38,12 +38,10 @@ def connected_components(
     returning silently-wrong partial labels.
     """
     # Iterative rounds mean many small shuffles; AQE coalescing
-    # right-sizes them (runtime-settable — foreign sessions included,
-    # same discipline as sources/tables.py).
-    spark = nodes.sparkSession
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-
+    # right-sizes them. AQE is on by default since Spark 3.2 and set
+    # explicitly in get_spark(); we do NOT flip it on a session we
+    # don't own — a caller who disabled it keeps it disabled (the loop
+    # is correct either way, just more small tasks without AQE).
     sym = (
         edges.select(F.col(src_col).alias("_u"), F.col(dst_col).alias("_v"))
         .unionByName(
@@ -124,10 +122,7 @@ def pagerank(
     connected_components, where convergence IS the contract);
     localCheckpoint truncates lineage each round.
     """
-    spark = nodes.sparkSession
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
-
+    # AQE left to the session owner (see connected_components note).
     ids = nodes.select(F.col(id_col).alias("_u")).distinct()
     n = ids.count()
     if n == 0:

@@ -98,20 +98,55 @@ def probe_media(media: DataFrame) -> DataFrame:
     return media.mapInPandas(run, PROBE_SCHEMA)
 
 
+try:  # optional dependency — decode becomes real when present
+    from PIL import Image as _PILImage  # type: ignore
+
+    HAVE_PIL = True
+except ImportError:  # pragma: no cover - container has no Pillow
+    _PILImage = None
+    HAVE_PIL = False
+
+
 def decode_media(payload: bytes, kind: str, fmt: str):
     """Pixel/sample-content decode integration point.
 
     The *container* layer (magic bytes, dimensions, durations) is fully
-    implemented in operators.mediahdr / probe_media. Decoding the
-    compressed content itself (IDAT inflate+unfilter, JPEG entropy
-    decode, video codecs) requires Pillow/soundfile/pyav, which this
-    container does not ship — STUBBED as a hard error so fake pixels
-    are never mistaken for real ones.
+    implemented in operators.mediahdr / probe_media. For the content
+    itself:
+
+    - **images, with Pillow importable on the executor**: a REAL decode
+      — returns an ``np.uint8`` RGB array of shape (height, width, 3).
+      (mediahdr's fixture files are valid containers, so they decode.)
+    - **everything else** (audio/video content; images without Pillow):
+      a hard ``NotImplementedError`` so fake pixels are never mistaken
+      for real ones. soundfile/pyav integration plugs in the same way.
     """
+    if kind == "image" and HAVE_PIL:
+        import io
+
+        with _PILImage.open(io.BytesIO(payload)) as im:
+            return np.asarray(im.convert("RGB"))
     raise NotImplementedError(
         "content decoding requires Pillow/soundfile/pyav on executors; "
         "header metadata is available via probe_media (real, no stub)"
     )
+
+
+def _pixel_features(pixels: "np.ndarray") -> list[float]:
+    """FEATURE_DIM floats from a real RGB array: per-channel mean/std
+    (6), aspect+log-area (2), and an 8-bin grayscale histogram —
+    deterministic, scale-bounded, comparable across images."""
+    px = pixels.astype(np.float32) / 255.0
+    h, w = px.shape[0], px.shape[1]
+    means = px.reshape(-1, 3).mean(axis=0)
+    stds = px.reshape(-1, 3).std(axis=0)
+    gray = px.reshape(-1, 3).mean(axis=1)
+    hist, _ = np.histogram(gray, bins=8, range=(0.0, 1.0))
+    hist = hist.astype(np.float32) / max(1, gray.size)
+    geom = np.asarray([w / max(1, h), np.log1p(float(w) * h) / 20.0], dtype=np.float32)
+    out = np.concatenate([means, stds, geom, hist]).astype(np.float32)
+    assert out.size == FEATURE_DIM
+    return out.tolist()
 
 
 def _stub_features(payload: bytes) -> list[float]:
@@ -129,6 +164,11 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
     mapInPandas: payload column is consumed inside the Arrow batch and
     never re-emitted — output rows are ~100 bytes regardless of media
     size, so the downstream shuffle is cheap.
+
+    ``stub=False`` demands real content decoding: with Pillow on the
+    executors, image features come from actual pixels
+    (:func:`_pixel_features`); anything undecodable raises rather than
+    silently falling back to the fake features.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -137,8 +177,10 @@ def extract_features(media: DataFrame, stub: bool = True) -> DataFrame:
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
                 data = bytes(payload) if payload is not None else b""
                 if not stub:
-                    decode_media(data, meta["kind"], meta["format"])  # raises
-                feats.append(_stub_features(data))
+                    pixels = decode_media(data, meta["kind"], meta["format"])
+                    feats.append(_pixel_features(pixels))
+                else:
+                    feats.append(_stub_features(data))
                 shas.append(hashlib.sha256(data).hexdigest())
                 sizes.append(len(data))
             yield pd.DataFrame(
@@ -158,24 +200,32 @@ def resize_media(media: DataFrame, width: int, height: int, stub: bool = True) -
     """Resize pass: same MEDIA_SCHEMA out, target dimensions in meta.
 
     The Spark-side contract is the point (payload stays inside the
-    Arrow batch, schema preserved so passes compose); the pixel work is
-    the stub — real decode+resample plugs into decode_media. The stub
-    passes payload bytes through untouched and rewrites meta, which is
-    enough to test partitioning, batch shapes, and downstream feature
-    extraction end-to-end.
+    Arrow batch, schema preserved so passes compose). The stub passes
+    payload bytes through untouched and rewrites meta, which is enough
+    to test partitioning, batch shapes, and downstream feature
+    extraction end-to-end. ``stub=False`` performs a REAL
+    decode→resample→re-encode (PNG out) when Pillow is importable on
+    the executors, and raises otherwise — never fake pixels.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = []
+            metas, payloads = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                data = bytes(payload) if payload is not None else b""
                 if not stub:
-                    decode_media(
-                        bytes(payload) if payload is not None else b"",
-                        meta["kind"], meta["format"],
-                    )  # raises: real resampling not available here
+                    pixels = decode_media(data, meta["kind"], meta["format"])
+                    import io
+
+                    im = _PILImage.fromarray(pixels).resize((width, height))
+                    buf = io.BytesIO()
+                    im.save(buf, format="PNG")
+                    data = buf.getvalue()
+                    meta = {**meta, "format": "png"}
+                payloads.append(data)
                 metas.append({**meta, "width": width, "height": height})
             out = pdf.copy()
+            out["payload"] = payloads
             out["meta"] = metas
             yield out
 

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import scoped_conf
+
 
 def plan_compaction(
     spark: SparkSession, path: str, target_file_bytes: int = 128 * 1024 * 1024
@@ -67,10 +69,7 @@ def overwrite_partitions(
     callers' own writes keep their session semantics.
     """
     spark = df.sparkSession
-    conf = "spark.sql.sources.partitionOverwriteMode"
-    saved = spark.conf.get(conf)
-    spark.conf.set(conf, "dynamic")
-    try:
+    with scoped_conf(
+        spark, {"spark.sql.sources.partitionOverwriteMode": "dynamic"}
+    ):
         df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
-    finally:
-        spark.conf.set(conf, saved)

@@ -32,7 +32,16 @@ def delete_rows(
     """Remove rows matching ``predicate`` from the parquet table at
     ``path`` (partitioned by ``partition_col``), rewriting ONLY the
     partitions that contain matches. Returns the affected partition
-    values (empty list → nothing touched)."""
+    values (empty list → nothing touched).
+
+    **Non-atomic commit window**: plain parquet has no transaction
+    log, and Spark's dynamic partition overwrite deletes an affected
+    partition directory before renaming its staged replacement in. A
+    crash inside that window loses the partition's surviving rows (the
+    to-be-forgotten rows are gone either way — a re-run converges).
+    Acceptable for this harness; production RTBF at 100 TB belongs on
+    a table format with atomic commits (Delta/Iceberg DELETE) or a
+    stage-and-swap layer above this call."""
     from adguard2clickhouse_spark.plans.compaction import overwrite_partitions
 
     df = spark.read.parquet(path)
@@ -58,24 +67,57 @@ def expire_partitions(
     """Drop whole partition directories whose value fails
     ``keep_predicate`` (evaluated against the distinct partition
     values — a metadata-only listing, no data scan). Returns the
-    dropped values."""
+    values whose directories were actually deleted.
+
+    Directory names are built with Spark's own partition-path escaping
+    (``ExternalCatalogUtils.escapePathName`` — space, ``:``, ``%`` etc.
+    are percent-encoded on disk), so a value like ``"a b:c"`` maps to
+    the real ``day=a%20b%3Ac`` directory instead of silently missing
+    it; values whose directory is absent are NOT reported as dropped."""
     df = spark.read.parquet(path)
     vals = df.select(partition_col).distinct()
     # partition-type inference may surface dates/ints — the directory
     # name is the string rendering, so compare and delete by string
-    dropped = [
+    candidates = [
         r[0]
         for r in vals.filter(~keep_predicate)
         .select(F.col(partition_col).cast("string"))
         .collect()
     ]
-    if not dropped:
+    if not candidates:
         return []
     jvm = spark.sparkContext._jvm
     conf = spark.sparkContext._jsc.hadoopConfiguration()
     root = jvm.org.apache.hadoop.fs.Path(path)
     fs = root.getFileSystem(conf)
-    for v in dropped:
-        p = jvm.org.apache.hadoop.fs.Path(path, f"{partition_col}={v}")
-        fs.delete(p, True)
+    dropped = []
+    for v in candidates:
+        if v is None:
+            dirname = f"{partition_col}=__HIVE_DEFAULT_PARTITION__"
+        else:
+            dirname = f"{partition_col}={_escape_path_name(jvm, v)}"
+        p = jvm.org.apache.hadoop.fs.Path(path, dirname)
+        if fs.exists(p) and fs.delete(p, True):
+            dropped.append(v)
     return dropped
+
+
+def _escape_path_name(jvm, value: str) -> str:
+    """Spark's partition-directory escaping. Prefer the JVM's own
+    ``ExternalCatalogUtils.escapePathName`` (bit-exact with what the
+    writer produced); fall back to a faithful Python twin of the same
+    Hive rule set if the internal class moves."""
+    try:
+        return (
+            jvm.org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(value)
+        )
+    except Exception:
+        needs_escape = set('"#%\'*/:=?\\\x7f{[]^')
+        out = []
+        for ch in value:
+            if ch in needs_escape or ord(ch) < 32:
+                out.append("%%%02X" % ord(ch))
+            else:
+                out.append(ch)
+        return "".join(out)

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..session import scoped_conf
+
 _V1_LIST_CONF = "spark.sql.sources.useV1SourceList"
 
 
@@ -34,14 +36,18 @@ def parquet_stats(
     spark: SparkSession, path: str, cols: list[str]
 ) -> DataFrame:
     """(n_rows, min_<c>, max_<c>…) for a parquet path, planned against
-    the V2 source so the aggregate pushes into the scan."""
-    saved = spark.conf.get(_V1_LIST_CONF)
-    spark.conf.set(_V1_LIST_CONF, "")
-    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
-    try:
+    the V2 source so the aggregate pushes into the scan.
+
+    Both confs are scoped: the source choice AND the pushdown flag bind
+    when the DataFrame is created, so restoring them immediately after
+    the read leaves the caller's session untouched (plan test asserts
+    ``PushedAggregation`` survives the restore).
+    """
+    with scoped_conf(
+        spark,
+        {_V1_LIST_CONF: "", "spark.sql.parquet.aggregatePushdown": "true"},
+    ):
         df = spark.read.parquet(path)
-    finally:
-        spark.conf.set(_V1_LIST_CONF, saved)
     aggs = [F.count(F.lit(1)).alias("n_rows")]
     for c in cols:
         aggs.append(F.min(c).alias(f"min_{c}"))

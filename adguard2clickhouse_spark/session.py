@@ -10,9 +10,43 @@ count that AQE right-sizes downward at small SF and that scales up via
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 from pathlib import Path
+from typing import Iterator
 
 from pyspark.sql import SparkSession
+
+
+@contextmanager
+def scoped_conf(spark: SparkSession, confs: dict[str, str]) -> Iterator[None]:
+    """Set runtime confs for the duration of a block, then restore the
+    caller's previous values (unsetting keys that were unset before).
+
+    Library code must never flip global conf on a session it doesn't
+    own — a caller that deliberately disabled AQE (or opted out of
+    aggregate pushdown) should find their session exactly as they left
+    it. This is the ONLY sanctioned way to touch conf outside
+    ``get_spark()`` (enforced by ``tests/test_hygiene.py``); the one
+    documented exception is ``sources/tables.py``, whose parquet-quirk
+    confs must outlive the call so the returned (lazy) DataFrames stay
+    readable.
+    """
+    saved: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, prev in saved.items():
+            if prev is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, prev)
 
 # Executor Python workers import this package too (the DNS pandas UDF
 # lives in it). Driver-side sys.path is NOT propagated to workers, so
@@ -28,6 +62,38 @@ def _ensure_pythonpath() -> None:
         os.environ["PYTHONPATH"] = (
             f"{_PKG_ROOT}{os.pathsep}{current}" if current else _PKG_ROOT
         )
+
+
+def ensure_executor_package(spark: SparkSession) -> None:
+    """Make ``adguard2clickhouse_spark`` importable by executor Python
+    workers of a session we did NOT build.
+
+    ``get_spark()`` handles this via PYTHONPATH before the JVM spawns,
+    but a foreign session (the driver harness, a user's notebook) may
+    have been built from any cwd — its workers then fail with
+    ModuleNotFoundError the first time a pandas UDF (DNS parse,
+    multimodal, packing) deserializes. Shipping the package once per
+    SparkContext with ``addPyFile`` (a zip built from the installed
+    source tree) fixes that for every subsequent task, which is the
+    same mechanism as ``spark-submit --py-files`` on a real cluster.
+    Idempotent and cheap (~100 KB zip, once per context).
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_spark_graft_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = Path(__file__).resolve().parent
+    fd, zip_path = tempfile.mkstemp(
+        prefix="adguard2clickhouse_spark_", suffix=".zip"
+    )
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for py in sorted(pkg_dir.rglob("*.py")):
+            zf.write(py, arcname=str(py.relative_to(pkg_dir.parent)))
+    sc.addPyFile(zip_path)
+    sc._spark_graft_pkg_shipped = True
 
 
 def get_spark(

@@ -12,18 +12,30 @@ with ⊕ = groupBy(keys).sum(measures). Correct because every reference
 aggregate is a sum/count (order-insensitive, associative) — verified
 by tests/test_aggregates.py::test_additivity_invariant.
 
-Exactly-once: each table directory keeps a pointer file (atomic
-os.replace) naming the current version directory and the set of
-already-applied epoch ids; a foreachBatch retry with a seen epoch_id
-is a no-op. This is the same idempotent-upsert discipline the
-ClickHouse sink needs (there via idempotent inserts / replicated
-dedup); the sink interface is pluggable so either backs the pipeline.
+**Bucketed state (scale).** State lives in ``n_buckets`` hash buckets
+(``pmod(xxhash64(keys), n)``), each its own versioned parquet
+directory. A micro-batch merge reads and rewrites ONLY the buckets its
+delta touches; the other buckets' files are not opened, not rewritten,
+byte-identical afterwards. With a high-cardinality key (per-client
+per-10-min ``stats2`` over years) that turns the per-epoch cost from
+O(total state) into O(state touched by the batch) — the same reason
+ClickHouse folds per-part instead of rewriting the table. Bucket
+count is fixed at table creation (like a Kafka partition count or
+ClickHouse's bucket-by-key sharding): re-bucketing = ``replace()``
+with a new sink.
 
-Scale: aggregate state is keyed and small relative to the fact stream
-(domains, clients, TLDs — not events), so rewrite-on-merge is cheap;
-the merge itself is a shuffle on the aggregate key only. At 100 TB the
-same interface backs Delta MERGE or ClickHouse SummingMergeTree where
-the fold is native.
+**Exactly-once.** The table directory keeps a pointer file (atomic
+``os.replace``) naming the current version of every bucket, the
+recently-applied epoch ids, and an epoch **high-water mark**. A
+foreachBatch retry with a seen epoch is a no-op; epochs older than
+the tracked window are caught by the high-water mark (foreachBatch
+epochs are monotonically increasing — Spark replays at most the last
+epoch after a failure, never reorders), so idempotency survives
+arbitrarily long streams. Visibility is all-or-nothing: merged bucket
+versions become live only at the single pointer swap.
+
+At 100 TB the same interface backs Delta MERGE or a real ClickHouse
+SummingMergeTree where the fold is native (sinks/clickhouse.py).
 """
 
 from __future__ import annotations
@@ -38,22 +50,34 @@ from pyspark.sql import functions as F
 
 _POINTER = "CURRENT.json"
 _MAX_EPOCHS_TRACKED = 1000
+_BUCKET = "_sps_bucket"
 
 
 class SummingParquetSink:
-    def __init__(self, path: str, keys: list[str], measures: list[str]):
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        measures: list[str],
+        n_buckets: int = 8,
+    ):
         self.path = path
         self.keys = keys
         self.measures = measures
+        self.n_buckets = n_buckets
         os.makedirs(path, exist_ok=True)
 
     # -- pointer management -------------------------------------------------
     def _pointer(self) -> dict:
         p = os.path.join(self.path, _POINTER)
         if not os.path.exists(p):
-            return {"version": 0, "epochs": []}
+            return {"version": 0, "buckets": {}, "epochs": [], "epoch_hwm": None}
         with open(p) as f:
-            return json.load(f)
+            meta = json.load(f)
+        meta.setdefault("buckets", {})
+        meta.setdefault("epochs", [])
+        meta.setdefault("epoch_hwm", None)
+        return meta
 
     def _write_pointer(self, meta: dict) -> None:
         tmp = os.path.join(self.path, f".{_POINTER}.{uuid.uuid4().hex}.tmp")
@@ -63,56 +87,133 @@ class SummingParquetSink:
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.path, _POINTER))  # atomic
 
-    def _data_dir(self, version: int) -> str:
-        return os.path.join(self.path, f"v{version:08d}")
+    def _bucket_dir(self, bucket: int, version: int) -> str:
+        return os.path.join(self.path, f"b{bucket:04d}", f"v{version:08d}")
+
+    def _with_bucket(self, df: DataFrame) -> DataFrame:
+        # xxhash64 treats NULL keys deterministically; pmod keeps the
+        # id in [0, n). Same expression on every path, so a key always
+        # lands in the same bucket.
+        return df.withColumn(
+            _BUCKET,
+            F.pmod(F.xxhash64(*[F.col(k) for k in self.keys]), F.lit(self.n_buckets)),
+        )
 
     # -- public API ----------------------------------------------------------
     def read(self, spark: SparkSession) -> DataFrame | None:
         meta = self._pointer()
-        if meta["version"] == 0:
+        if not meta["buckets"]:
             return None
-        return spark.read.parquet(self._data_dir(meta["version"]))
+        paths = [
+            self._bucket_dir(int(b), v) for b, v in sorted(meta["buckets"].items())
+        ]
+        return spark.read.parquet(*paths)
 
     def applied(self, epoch_id: int) -> bool:
-        return epoch_id in self._pointer()["epochs"]
+        meta = self._pointer()
+        hwm = meta["epoch_hwm"]
+        return epoch_id in meta["epochs"] or (hwm is not None and epoch_id <= hwm)
+
+    def _install(
+        self,
+        frame: DataFrame,
+        touched: list[int],
+        meta: dict,
+        epoch_id: int | None,
+    ) -> None:
+        """Write ``frame`` (already bucket-tagged, already folded) as the
+        next version of the ``touched`` buckets and swap the pointer."""
+        new_version = meta["version"] + 1
+        stage = os.path.join(self.path, f".stage.v{new_version:08d}.{uuid.uuid4().hex}")
+        # One Spark job for all touched buckets: partitionBy splits the
+        # staged write into _sps_bucket=K directories (the column itself
+        # is not stored in the files), then each directory is renamed
+        # into its bucket's version slot — a local fs move, no second job.
+        frame.write.mode("overwrite").partitionBy(_BUCKET).parquet(stage)
+
+        buckets = dict(meta["buckets"])
+        old_dirs = []
+        for b in touched:
+            src = os.path.join(stage, f"{_BUCKET}={b}")
+            dst = self._bucket_dir(b, new_version)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            if not os.path.exists(src):
+                # delta folded to an empty bucket (possible only via
+                # replace() shrinking state): drop the bucket entirely.
+                if str(b) in buckets:
+                    old_dirs.append(self._bucket_dir(b, buckets.pop(str(b))))
+                continue
+            os.replace(src, dst)
+            prev = buckets.get(str(b))
+            if prev is not None:
+                old_dirs.append(self._bucket_dir(b, prev))
+            buckets[str(b)] = new_version
+
+        epochs = meta["epochs"]
+        hwm = meta["epoch_hwm"]
+        if epoch_id is not None:
+            epochs = (epochs + [epoch_id])[-_MAX_EPOCHS_TRACKED:]
+            hwm = epoch_id if hwm is None else max(hwm, epoch_id)
+        self._write_pointer(
+            {
+                "version": new_version,
+                "buckets": buckets,
+                "epochs": epochs,
+                "epoch_hwm": hwm,
+            }
+        )
+        # post-swap cleanup: superseded bucket versions + stage leftovers
+        for d in old_dirs:
+            shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
 
     def replace(self, full: DataFrame) -> None:
-        """Swap in a wholesale recomputation (backfill/repair): write the
-        new state as the next version and point at it atomically. The
+        """Swap in a wholesale recomputation (backfill/repair): rewrite
+        every bucket as the next version and point at it atomically. The
         applied-epoch history is preserved so a concurrent stream's
         retried epoch is still recognized as folded-in."""
         meta = self._pointer()
-        new_version = meta["version"] + 1
-        full.write.mode("overwrite").parquet(self._data_dir(new_version))
-        self._write_pointer({"version": new_version, "epochs": meta["epochs"]})
-        old = self._data_dir(meta["version"])
-        if meta["version"] and os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+        tagged = self._with_bucket(full)
+        self._install(tagged, list(range(self.n_buckets)), meta, epoch_id=None)
 
     def apply_delta(self, delta: DataFrame, epoch_id: int | None = None) -> None:
-        """Fold a delta frame into the table (idempotent per epoch_id)."""
+        """Fold a delta frame into the table (idempotent per epoch_id),
+        rewriting only the hash buckets the delta touches."""
         meta = self._pointer()
-        if epoch_id is not None and epoch_id in meta["epochs"]:
+        if epoch_id is not None and self.applied(epoch_id):
             return  # retry of an applied epoch — exactly-once no-op
 
         spark = delta.sparkSession
-        current = self.read(spark)
-        merged = (
-            delta
-            if current is None
-            else current.unionByName(delta)
-            .groupBy(*self.keys)
-            .agg(*[F.sum(m).alias(m) for m in self.measures])
-        )
+        tagged = self._with_bucket(delta).persist()
+        try:
+            # Touched-bucket discovery: a ≤ n_buckets-row collect (n is
+            # a table constant, not data-sized) — this is exactly what
+            # makes the other buckets' files never open.
+            touched = sorted(
+                r[0] for r in tagged.select(_BUCKET).distinct().collect()
+            )
+            if not touched:
+                # empty delta: still record the epoch for idempotency
+                if epoch_id is not None:
+                    epochs = (meta["epochs"] + [epoch_id])[-_MAX_EPOCHS_TRACKED:]
+                    hwm = meta["epoch_hwm"]
+                    hwm = epoch_id if hwm is None else max(hwm, epoch_id)
+                    self._write_pointer({**meta, "epochs": epochs, "epoch_hwm": hwm})
+                return
 
-        new_version = meta["version"] + 1
-        merged.write.mode("overwrite").parquet(self._data_dir(new_version))
-
-        epochs = meta["epochs"]
-        if epoch_id is not None:
-            epochs = (epochs + [epoch_id])[-_MAX_EPOCHS_TRACKED:]
-        self._write_pointer({"version": new_version, "epochs": epochs})
-
-        old = self._data_dir(meta["version"])
-        if meta["version"] and os.path.exists(old):
-            shutil.rmtree(old, ignore_errors=True)
+            current_paths = [
+                self._bucket_dir(int(b), meta["buckets"][str(b)])
+                for b in touched
+                if str(b) in meta["buckets"]
+            ]
+            if current_paths:
+                current = self._with_bucket(spark.read.parquet(*current_paths))
+                unioned = current.unionByName(tagged)
+            else:
+                unioned = tagged
+            merged = unioned.groupBy(_BUCKET, *self.keys).agg(
+                *[F.sum(m).alias(m) for m in self.measures]
+            )
+            self._install(merged, touched, meta, epoch_id)
+        finally:
+            tagged.unpersist()

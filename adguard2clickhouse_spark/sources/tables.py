@@ -46,6 +46,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _CACHE.get(key)
     if cached is not None:
         return cached
+    # Foreign sessions (driver harness, notebooks) may lack the package
+    # on executor sys.path — ship it once so UDF-bearing queries work
+    # regardless of the caller's cwd/PYTHONPATH.
+    from adguard2clickhouse_spark.session import ensure_executor_package
+
+    ensure_executor_package(spark)
     # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
     # Spark refuses (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable,
     # so set it on whatever session was handed to us — callers (driver

@@ -68,11 +68,15 @@ class QuerylogPipeline:
                  checkpoint_dir: str | None = None):
         self.spark = spark
         # Micro-batches are small relative to the static shuffle-partition
-        # count; AQE coalescing right-sizes every per-batch shuffle. These
-        # are runtime-settable, so set them here instead of assuming the
-        # caller's session builder did (foreign sessions: driver harness).
-        spark.conf.set("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # count; AQE coalescing (on by default since Spark 3.2, explicit
+        # in get_spark()) right-sizes every per-batch shuffle. We don't
+        # flip conf on a session we don't own — without AQE the pipeline
+        # is still correct, just runs more small tasks per batch.
+        # The parse stage carries a pandas UDF: make sure a foreign
+        # session's executors can import this package.
+        from adguard2clickhouse_spark.session import ensure_executor_package
+
+        ensure_executor_package(spark)
         self.source_dir = source_dir
         self.out_dir = out_dir
         self.checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")

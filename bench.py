@@ -67,6 +67,15 @@ R1_BASE = {
 }
 
 
+# Frozen calibration reference: host_calibration_sec recorded in
+# BENCH_r02.json (1.339 s for the fixed md5 workload below). A round's
+# value_normalized = value × (CALIBRATION_REF / this_run_calibration)
+# expresses the total "as if" run on the r2 host, making cross-round
+# comparison immune to the sandbox's ~50% day-to-day drift. The raw
+# value is always reported alongside.
+CALIBRATION_REF = 1.339
+
+
 def _calibrate() -> float:
     """Fixed single-core workload (200k md5 digests of a 4 KiB buffer),
     measured in seconds. The query list and warmup are frozen across
@@ -130,6 +139,8 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "host_calibration_sec": calibration,
+                "calibration_ref_sec": CALIBRATION_REF,
+                "value_normalized": round(total * (CALIBRATION_REF / calibration), 3),
             }
         )
     )

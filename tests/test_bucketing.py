@@ -169,3 +169,32 @@ def test_expire_partitions_drops_directories_without_scan(spark, tmp_path):
         for r in spark.read.parquet(path).select("day").distinct().collect()
     }
     assert left == {"2024-01-20"}
+
+
+def test_expire_partitions_escaped_values(spark, tmp_path):
+    """Partition values with characters Spark percent-encodes in
+    directory names (space, ':', '%') must still be deleted — the raw
+    f-string path would miss `day=a%20b%3Ac` entirely (r2 ADVICE)."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.plans.retention import expire_partitions
+
+    path = str(tmp_path / "facts")
+    vals = ["a b:c", "100%", "plain"]
+    rows = [(v, i) for v in vals for i in range(2)]
+    spark.createDataFrame(rows, "day STRING, v LONG") \
+        .write.partitionBy("day").parquet(path)
+    # on-disk dirs really are escaped (':' and '%' at minimum) — the
+    # raw f-string rendering does not exist on disk
+    import pathlib
+
+    dirs = {p.name for p in pathlib.Path(path).glob("day=*")}
+    assert "day=a b:c" not in dirs and "day=100%" not in dirs, dirs
+
+    dropped = expire_partitions(spark, path, "day", F.col("day") == "plain")
+    assert sorted(dropped) == ["100%", "a b:c"]
+    left = {
+        str(r.day)
+        for r in spark.read.parquet(path).select("day").distinct().collect()
+    }
+    assert left == {"plain"}

@@ -89,10 +89,16 @@ def test_collector_rebuild_recovers_sinks(spark, tmp_path):
     _write_querylog(src)
     run(["--source", str(src), "--out", str(out), "--once", "--master", "local[4]"])
 
-    before = spark.read.parquet(
-        str(next((out / "qt_stats").glob("v*")))
-    ).collect()
+    from adguard2clickhouse_spark.sinks.summing import SummingParquetSink
+
+    def read_state():
+        sink = SummingParquetSink(
+            str(out / "qt_stats"), keys=["QT"], measures=["count"]
+        )
+        return sink.read(spark).collect()
+
+    before = read_state()
     shutil.rmtree(str(out / "qt_stats"))
     run(["--source", str(src), "--out", str(out), "--rebuild", "--master", "local[4]"])
-    after = spark.read.parquet(str(next((out / "qt_stats").glob("v*")))).collect()
+    after = read_state()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))

@@ -1,0 +1,72 @@
+"""Library-hygiene gates.
+
+A library must not flip global conf on a SparkSession it doesn't own
+(VERDICT r2 #6 / ADVICE): the only raw ``spark.conf.set`` callsites
+allowed in the package are
+
+- ``session.py`` — the ``scoped_conf`` save-and-restore helper (and
+  the session builder itself, which uses ``.config`` not ``conf.set``),
+- ``sources/tables.py`` — parquet-quirk confs (nanosAsLong, UTC
+  session timezone, NTZ inference) that MUST outlive the call because
+  the returned DataFrames are lazy and re-consult them at action time;
+  documented in that module's docstring.
+
+Everything else goes through ``scoped_conf``, which restores (or
+unsets) the caller's previous values on exit.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+PKG = Path(__file__).resolve().parent.parent / "adguard2clickhouse_spark"
+
+ALLOWED = {"session.py", "tables.py"}
+
+
+def test_no_raw_conf_set_outside_allowlist():
+    offenders = []
+    for path in PKG.rglob("*.py"):
+        if path.name in ALLOWED:
+            continue
+        src = path.read_text()
+        for i, line in enumerate(src.splitlines(), start=1):
+            stripped = line.split("#", 1)[0]
+            if re.search(r"\bconf\.set\(", stripped):
+                offenders.append(f"{path.relative_to(PKG)}:{i}: {line.strip()}")
+    assert not offenders, (
+        "raw spark.conf.set outside session.py/tables.py — use "
+        "session.scoped_conf instead:\n" + "\n".join(offenders)
+    )
+
+
+def test_scoped_conf_restores_and_unsets(spark):
+    from adguard2clickhouse_spark.session import scoped_conf
+
+    key_existing = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key_existing)
+    key_unset = "spark.sql.parquet.aggregatePushdown.test.sentinel"
+    # a key Spark doesn't know still round-trips through conf.set/unset
+    with scoped_conf(spark, {key_existing: "-1", key_unset: "x"}):
+        assert spark.conf.get(key_existing) == "-1"
+        assert spark.conf.get(key_unset) == "x"
+    assert spark.conf.get(key_existing) == before
+    try:
+        got = spark.conf.get(key_unset)
+    except Exception:
+        got = None
+    assert got is None
+
+
+def test_scoped_conf_restores_on_exception(spark):
+    from adguard2clickhouse_spark.session import scoped_conf
+
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    before = spark.conf.get(key)
+    try:
+        with scoped_conf(spark, {key: "-1"}):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get(key) == before

@@ -253,3 +253,50 @@ def test_flac_mp3_sniffers_roundtrip_and_reject(spark):
     assert m.sniff_header(b"fLaC\x00\x00")["format"] is None
     assert m.sniff_header(b"\xff\xfb")["format"] is None  # truncated mp3
     assert m.sniff_header(m.build_flac(100)[:20])["format"] is None
+
+
+# ---------------------------------------------------------------------------
+# Optional-dependency real decode (VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+
+def test_decode_media_hard_errors_without_pil(monkeypatch):
+    """The stub must never silently fake pixels: with Pillow absent
+    (forced), stub=False is a hard error for image content."""
+    from adguard2clickhouse_spark.operators import multimodal as mm
+
+    monkeypatch.setattr(mm, "HAVE_PIL", False)
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\x89PNG....", "image", "png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"RIFF....", "audio", "wav")
+
+
+def test_real_decode_with_pil(spark):
+    """Runs only when Pillow is installed: fixture PNG/BMP/GIF payloads
+    decode to real pixel arrays and stub=False features come from
+    pixels, not hashes."""
+    pytest.importorskip("PIL")
+    from adguard2clickhouse_spark.operators import multimodal as mm
+
+    ids = spark.range(0, 28).withColumnRenamed("id", "doc_id")
+    media = mm.media_fixture_from_ids(ids).filter(
+        F.col("meta.kind") == "image"
+    )
+    feats = mm.extract_features(media, stub=False).collect()
+    assert feats and all(len(r["features"]) == mm.FEATURE_DIM for r in feats)
+    # real pixel features differ from the hash-stub features
+    stub_feats = {
+        r["media_id"]: r["features"]
+        for r in mm.extract_features(media, stub=True).collect()
+    }
+    assert any(stub_feats[r["media_id"]] != r["features"] for r in feats)
+
+    resized = mm.resize_media(media, 8, 6, stub=False).collect()
+    probed = {
+        r["media_id"]: r
+        for r in mm.probe_media(
+            mm.resize_media(media, 8, 6, stub=False)
+        ).collect()
+    }
+    assert all(p["width"] == 8 and p["height"] == 6 for p in probed.values())
+    assert resized

@@ -1,0 +1,165 @@
+"""SummingParquetSink bucketed-state + epoch high-water-mark gates
+(VERDICT r2 #2).
+
+The scale contract under test: a delta that hashes into one bucket
+must leave every other bucket's data files untouched on disk — same
+paths, same bytes — because an O(state) rewrite per 5-second epoch is
+exactly what kills a high-cardinality aggregate (per-client per-10-min
+stats2 over years). And idempotency must survive epochs older than the
+tracked window via the high-water mark.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from adguard2clickhouse_spark.sinks.summing import (
+    _MAX_EPOCHS_TRACKED,
+    SummingParquetSink,
+)
+
+
+def _data_file_digests(root: str) -> dict[str, str]:
+    """{relpath: sha256} for every parquet data file under root."""
+    out = {}
+    for dirpath, _, files in os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                p = Path(dirpath) / f
+                out[str(p.relative_to(root))] = hashlib.sha256(
+                    p.read_bytes()
+                ).hexdigest()
+    return out
+
+
+def _mk_sink(tmp_path, spark, rows, n_buckets=8):
+    sink = SummingParquetSink(
+        str(tmp_path / "tbl"), keys=["k"], measures=["cnt"], n_buckets=n_buckets
+    )
+    df = spark.createDataFrame(rows, ["k", "cnt"])
+    sink.apply_delta(df, epoch_id=0)
+    return sink
+
+
+def test_single_bucket_delta_leaves_other_buckets_byte_identical(tmp_path, spark):
+    # seed with enough distinct keys that several buckets exist
+    seed = [(f"key{i}", 1) for i in range(64)]
+    sink = _mk_sink(tmp_path, spark, seed)
+    meta0 = sink._pointer()
+    assert len(meta0["buckets"]) > 1, "need multi-bucket state for this test"
+
+    before = _data_file_digests(sink.path)
+
+    # a delta with exactly one key → exactly one bucket touched
+    delta = spark.createDataFrame([("key0", 5)], ["k", "cnt"])
+    bucket_of_key0 = delta.select(
+        F.pmod(F.xxhash64("k"), F.lit(sink.n_buckets)).alias("b")
+    ).first()["b"]
+    sink.apply_delta(delta, epoch_id=1)
+
+    after = _data_file_digests(sink.path)
+    meta1 = sink._pointer()
+
+    touched_dir = f"b{bucket_of_key0:04d}"
+    for rel, digest in before.items():
+        if rel.startswith(touched_dir):
+            continue  # the one rewritten bucket
+        assert rel in after, f"untouched bucket file vanished: {rel}"
+        assert after[rel] == digest, f"untouched bucket file rewritten: {rel}"
+    # only that bucket's version advanced
+    for b, v in meta0["buckets"].items():
+        if int(b) != bucket_of_key0:
+            assert meta1["buckets"][b] == v
+
+    # and the fold is correct
+    got = dict(sink.read(spark).collect())
+    assert got["key0"] == 6 and got["key1"] == 1
+
+
+def test_multi_bucket_delta_touches_only_its_buckets(tmp_path, spark):
+    seed = [(f"key{i}", 1) for i in range(64)]
+    sink = _mk_sink(tmp_path, spark, seed)
+    before = _data_file_digests(sink.path)
+
+    delta_rows = [("key0", 2), ("key17", 3), ("key42", 4)]
+    delta = spark.createDataFrame(delta_rows, ["k", "cnt"])
+    touched = {
+        r["b"]
+        for r in delta.select(
+            F.pmod(F.xxhash64("k"), F.lit(sink.n_buckets)).alias("b")
+        ).collect()
+    }
+    sink.apply_delta(delta, epoch_id=1)
+    after = _data_file_digests(sink.path)
+
+    touched_dirs = {f"b{b:04d}" for b in touched}
+    for rel, digest in before.items():
+        if any(rel.startswith(d) for d in touched_dirs):
+            continue
+        assert after.get(rel) == digest, f"untouched bucket rewritten: {rel}"
+
+    got = dict(sink.read(spark).collect())
+    assert got["key0"] == 3 and got["key17"] == 4 and got["key42"] == 5
+    assert got["key1"] == 1
+
+
+def test_epoch_high_water_mark_survives_window_eviction(tmp_path, spark):
+    sink = _mk_sink(tmp_path, spark, [("a", 1)])
+    # simulate a long-running stream: the tracked-epoch window has
+    # rolled far past epoch 0
+    meta = sink._pointer()
+    meta["epochs"] = list(
+        range(10_000, 10_000 + _MAX_EPOCHS_TRACKED)
+    )  # window full, epoch 0 long gone
+    meta["epoch_hwm"] = meta["epochs"][-1]
+    sink._write_pointer(meta)
+
+    before = dict(sink.read(spark).collect())
+    # a retry of ANY epoch <= hwm must be a no-op even though it's not
+    # in the tracked list
+    stale = spark.createDataFrame([("a", 100)], ["k", "cnt"])
+    assert sink.applied(5)
+    sink.apply_delta(stale, epoch_id=5)
+    assert dict(sink.read(spark).collect()) == before
+
+    # a genuinely new epoch still folds
+    sink.apply_delta(stale, epoch_id=meta["epoch_hwm"] + 1)
+    assert dict(sink.read(spark).collect())["a"] == before["a"] + 100
+
+
+def test_empty_delta_records_epoch(tmp_path, spark):
+    sink = _mk_sink(tmp_path, spark, [("a", 1)])
+    empty = spark.createDataFrame([], "k string, cnt long")
+    sink.apply_delta(empty, epoch_id=7)
+    assert sink.applied(7)
+    # state unchanged
+    assert dict(sink.read(spark).collect()) == {"a": 1}
+
+
+def test_replace_preserves_epoch_history(tmp_path, spark):
+    sink = _mk_sink(tmp_path, spark, [("a", 1), ("b", 2)])
+    full = spark.createDataFrame([("a", 10)], ["k", "cnt"])
+    sink.replace(full)
+    assert dict(sink.read(spark).collect()) == {"a": 10}
+    assert sink.applied(0)  # epoch history survived the swap
+    # retried epoch after replace is still a no-op
+    sink.apply_delta(spark.createDataFrame([("a", 99)], ["k", "cnt"]), epoch_id=0)
+    assert dict(sink.read(spark).collect()) == {"a": 10}
+
+
+def test_null_keys_fold(tmp_path, spark):
+    sink = SummingParquetSink(
+        str(tmp_path / "tbl"), keys=["k"], measures=["cnt"], n_buckets=4
+    )
+    df = spark.createDataFrame([(None, 1), (None, 2), ("x", 3)], "k string, cnt long")
+    sink.apply_delta(df, epoch_id=0)
+    sink.apply_delta(
+        spark.createDataFrame([(None, 10)], "k string, cnt long"), epoch_id=1
+    )
+    rows = {r["k"]: r["cnt"] for r in sink.read(spark).collect()}
+    assert rows[None] == 13 and rows["x"] == 3
