@@ -741,6 +741,261 @@ def q_q17_small_quantity(spark, sf_dir):
     )
 
 
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold
+    to EUROPE customers, by order year. Part/customer/supplier dims all
+    broadcast; the only big-big join is lineitem ⋈ orders. The share is
+    a permille computed with integer DIV over exact cents, so the ratio
+    hashes identically across engines."""
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    n2 = (
+        _t(spark, sf_dir, "nation")
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("n_nationkey")
+    )
+    c = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey")
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    vol = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
+            .cast("long")
+            .alias("target_cents"),
+            F.sum(vol).cast("long").alias("all_cents"),
+        )
+        .withColumn(
+            "share_permille",
+            F.expr("(1000 * target_cents) DIV all_cents").cast("long"),
+        )
+        .orderBy("o_year")
+    )
+
+
+def q_q9_profit_by_nation(spark, sf_dir):
+    """TPC-H Q9 shape (adapted: the fixture has no partsupp, so cost is
+    10% of p_retailprice per unit): profit on '%gear%' parts by supplier
+    nation and order year. Part and supplier dims broadcast; lineitem ⋈
+    orders is the one shuffle join. Profit is exact integer cents:
+    floor(price·100) − floor(qty·retail·10) row-wise on both engines."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%gear%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("_sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("_sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    profit = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    ) - F.floor(F.col("l_quantity") * F.col("p_retailprice") * 10).cast("long")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(F.sum(profit).cast("long").alias("profit_cents"))
+        .orderBy("supp_nation", F.desc("o_year"))
+    )
+
+
+def q_q12_late_priority(spark, sf_dir):
+    """TPC-H Q12 shape (adapted: the fixture has no l_shipmode or
+    commit/receipt dates, so "late" = shipped >30 days after the order
+    and the group key is l_linestatus): high- vs low-priority order
+    counts among 1996 late shipments. One big-big join on the order
+    key; priorities fold as conditional sums in a single aggregate."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+def q_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of per-customer order counts, keeping
+    zero-order customers via a left outer join. Two aggregations; the
+    second one's input is tiny (one row per customer), so the only real
+    shuffle is the custkey join + first groupBy — which share a
+    partitioning Spark reuses."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+def q_q16_supplier_variety(spark, sf_dir):
+    """TPC-H Q16 shape (adapted: no partsupp table, so the part↔supplier
+    relation observed in lineitem stands in for it): distinct suppliers
+    per (brand, type, size) over selected sizes, excluding one brand and
+    the PROMO type. The part dim broadcasts into the fact scan; the
+    count-distinct dedups (partkey,suppkey) pairs before counting."""
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#5")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+def q_q20_part_promotion(spark, sf_dir):
+    """TPC-H Q20 shape (adapted: no partsupp availqty, so the threshold
+    is self-relative): suppliers whose 1996 shipped quantity of '%gear%'
+    parts exceeds 1.5× the per-supplier average of that same aggregate.
+    The comparison is exact integer arithmetic (2·qty·n > 3·Σqty), immune
+    to float-division ties; the supplier dim broadcasts at the end."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    per_supp = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(F.floor(F.sum("l_quantity")).cast("long").alias("gear_qty"))
+    )
+    tot = per_supp.agg(
+        F.sum("gear_qty").alias("_sum_qty"), F.count(F.lit(1)).alias("_n_supp")
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_supp.crossJoin(F.broadcast(tot))
+        .filter(2 * F.col("gear_qty") * F.col("_n_supp") > 3 * F.col("_sum_qty"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "gear_qty")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape (adapted: "late" = shipped >60 days after the
+    order date, since the fixture has no commit/receipt dates):
+    suppliers who were the only late shipper on a completed
+    multi-supplier order. The literal exists/not-exists self-join pair
+    would re-shuffle the fact table twice; both predicates instead
+    collapse into ONE per-order aggregate — "some other supplier
+    exists" ⟺ countDistinct(supplier) > 1, "no other late supplier" ⟺
+    countDistinct(late supplier) = 1, and max(late supplier) names the
+    sole offender — so lineitem is scanned and shuffled exactly once,
+    on l_orderkey, the co-partitionable 100 TB shape."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    late_supp = F.when(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        F.col("l_suppkey"),
+    )
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("_n_supp"),
+            F.countDistinct(late_supp).alias("_n_late"),
+            F.max(late_supp).alias("_late_supp"),
+        )
+        .filter((F.col("_n_late") == 1) & (F.col("_n_supp") > 1))
+    )
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        per_order.join(F.broadcast(s), F.col("_late_supp") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+    )
+
+
+def q_q22_dormant_customers(spark, sf_dir):
+    """TPC-H Q22 shape (adapted: the fixture has no c_phone, so the
+    cohort is three market segments): per-segment count and balance of
+    above-average-balance customers who never ordered. The average
+    comparison is the exact cross-multiplied integer form
+    (cents·n > Σcents), so no float boundary row can flip between
+    engines; the anti-join against recent orders dedups keys first
+    ("dormant" = no order since 2000 — the fixture's order generator
+    gives every customer some order, so the literal no-orders-ever
+    cohort would be empty)."""
+    segs = ("AUTOMOBILE", "BUILDING", "FURNITURE")
+    c = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment").isin(*segs))
+        .select("c_custkey", "c_mktsegment", _cents("c_acctbal").alias("bal_cents"))
+    )
+    pos = c.filter(F.col("bal_cents") > 0).agg(
+        F.sum("bal_cents").alias("_sum_bal"), F.count(F.lit(1)).alias("_n_bal")
+    )
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        c.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("_n_bal") > F.col("_sum_bal"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum("bal_cents").cast("long").alias("totacctbal_cents"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 def q_funnel(spark, sf_dir):
     """Ordered conversion funnel (view → click → purchase): each stage
     counts users whose earliest qualifying event follows their previous
@@ -2389,6 +2644,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": q_q17_small_quantity,
         "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive": q_q19_disjunctive,
+        "q8_market_share": q_q8_market_share,
+        "q9_profit_by_nation": q_q9_profit_by_nation,
+        "q12_late_priority": q_q12_late_priority,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q16_supplier_variety": q_q16_supplier_variety,
+        "q20_part_promotion": q_q20_part_promotion,
+        "q21_waiting_supplier": q_q21_waiting_supplier,
+        "q22_dormant_customers": q_q22_dormant_customers,
         "x_join_revenue_by_nation": q_join_revenue,
         "x_topk_orders": q_topk_orders,
         "x_window_rank": q_window_rank,
@@ -3022,6 +3285,104 @@ def oracle_sql() -> dict[str, str]:
             "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
             "WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev) "
             "ORDER BY s_suppkey"
+        ),
+        "q8_market_share": (
+            "WITH j AS (SELECT year(o_orderdate) AS yr, n1.n_name AS supp_nation, "
+            "CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) AS cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "JOIN customer ON o_custkey = c_custkey "
+            "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+            "JOIN region ON n2.n_regionkey = r_regionkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+            "WHERE p_type = 'ECONOMY' AND r_name = 'EUROPE' "
+            "AND o_orderdate >= TIMESTAMP '1996-01-01' "
+            "AND o_orderdate < TIMESTAMP '1998-01-01') "
+            "SELECT CAST(yr AS BIGINT) AS o_year, "
+            "CAST(sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END) AS BIGINT) "
+            "AS target_cents, CAST(sum(cents) AS BIGINT) AS all_cents, "
+            "CAST((1000 * sum(CASE WHEN supp_nation = 'NATION_3' THEN cents ELSE 0 END)) "
+            "// sum(cents) AS BIGINT) AS share_permille "
+            "FROM j GROUP BY 1 ORDER BY 1"
+        ),
+        "q9_profit_by_nation": (
+            "SELECT n_name AS supp_nation, "
+            "CAST(year(o_orderdate) AS BIGINT) AS o_year, "
+            "CAST(sum(CAST(floor((l_extendedprice * (1.0 - l_discount)) * 100) AS BIGINT) "
+            "- CAST(floor(l_quantity * p_retailprice * 10) AS BIGINT)) AS BIGINT) "
+            "AS profit_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE p_name LIKE '%gear%' "
+            "GROUP BY 1, 2 ORDER BY 1, 2 DESC"
+        ),
+        "q12_late_priority": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_shipdate > o_orderdate + INTERVAL 30 DAY "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "q13_customer_distribution": (
+            "WITH per_cust AS (SELECT c_custkey, count(o_orderkey) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey GROUP BY 1) "
+            "SELECT c_count, count(*) AS custdist FROM per_cust "
+            "GROUP BY 1 ORDER BY custdist DESC, c_count DESC"
+        ),
+        "q16_supplier_variety": (
+            "SELECT p_brand, p_type, p_size, "
+            "CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45) "
+            "GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "q20_part_promotion": (
+            "WITH per_supp AS (SELECT l_suppkey, "
+            "CAST(floor(sum(l_quantity)) AS BIGINT) AS gear_qty "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_name LIKE '%gear%' "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' GROUP BY 1), "
+            "tot AS (SELECT sum(gear_qty) AS sum_qty, count(*) AS n_supp FROM per_supp) "
+            "SELECT s_suppkey, s_name, gear_qty "
+            "FROM per_supp, tot JOIN supplier ON l_suppkey = s_suppkey "
+            "WHERE 2 * gear_qty * n_supp > 3 * sum_qty ORDER BY s_suppkey"
+        ),
+        "q21_waiting_supplier": (
+            "WITH late AS (SELECT DISTINCT l_orderkey, l_suppkey "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+            "WHERE o_orderstatus = 'F' "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY) "
+            "SELECT s_name, count(*) AS numwait "
+            "FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey "
+            "WHERE EXISTS (SELECT 1 FROM lineitem l2 WHERE l2.l_orderkey = l1.l_orderkey "
+            "AND l2.l_suppkey <> l1.l_suppkey) "
+            "AND NOT EXISTS (SELECT 1 FROM late l3 WHERE l3.l_orderkey = l1.l_orderkey "
+            "AND l3.l_suppkey <> l1.l_suppkey) "
+            "GROUP BY 1 ORDER BY numwait DESC, s_name"
+        ),
+        "q22_dormant_customers": (
+            "WITH c AS (SELECT c_custkey, c_mktsegment, "
+            "CAST(floor(c_acctbal * 100) AS BIGINT) AS bal_cents FROM customer "
+            "WHERE c_mktsegment IN ('AUTOMOBILE', 'BUILDING', 'FURNITURE')), "
+            "avgpos AS (SELECT sum(bal_cents) AS sum_bal, count(*) AS n_bal "
+            "FROM c WHERE bal_cents > 0) "
+            "SELECT c_mktsegment, count(*) AS numcust, "
+            "CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents "
+            "FROM c, avgpos "
+            "WHERE bal_cents * n_bal > sum_bal "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderdate >= TIMESTAMP '2000-01-01') "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "q17_small_quantity": (
             "WITH th AS (SELECT l_partkey AS pk, 0.2 * avg(l_quantity) AS qlim "

@@ -412,6 +412,8 @@ def test_shuffle_budgets_hold(spark):
         "x2_embedding_dup", "x3_knn_join", "x6_heavy_hitters",
         "x3_hard_negatives",  # same broadcast-tiny-query-side shape as knn
         "x4_vocab_coverage",  # 1-row broadcast total, like heavy-hitters
+        "q20_part_promotion",  # 1-row broadcast of (Σqty, n) for the threshold
+        "q22_dormant_customers",  # 1-row broadcast of (Σbal, n) for the threshold
     }
     over, nested = {}, {}
     for name, budget in budgets.items():
