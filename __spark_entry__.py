@@ -37,6 +37,7 @@ from adguard2clickhouse_spark.sources.events_bridge import (
     log2_from_events,
     oracle_cte,
 )
+from adguard2clickhouse_spark.session import scoped_conf
 from adguard2clickhouse_spark.sources.tables import load_table
 
 SF0001 = "/root/testdata/sf0.001"
@@ -1287,7 +1288,8 @@ def q_sessions_native(spark, sf_dir):
 def q_sessions_stream(spark, sf_dir):
     """The custom stateful streaming operator under the hash gate:
     applyInPandasWithState gap-sessionization (streaming/sessions.py)
-    over the events table, streamed as JSON files.
+    over the events table, streamed from parquet (the JSON-line
+    streaming source is separately gated by c1_stream_pipeline).
 
     Determinism trick: one sentinel event per user at the GLOBAL
     max(ts) + gap + 1s closes every real session INLINE within the
@@ -1319,18 +1321,22 @@ def q_sessions_stream(spark, sf_dir):
     src = os.path.join(tmp, "src")
     out = os.path.join(tmp, "out")
     ckpt = os.path.join(tmp, "ckpt")
-    both.coalesce(1).write.mode("overwrite").json(src)
+    both.coalesce(1).write.mode("overwrite").parquet(src)
 
-    stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").json(src)
-    q = (
-        sessionize_stream(stream)
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    stream = spark.readStream.schema("user_id BIGINT, ts TIMESTAMP").parquet(src)
+    # State-store instances = shuffle partitions at stream start; the
+    # gate fixture is tiny, so 4 stores beat 32 by pure setup cost
+    # (results are partition-count independent).
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "4"}):
+        q = (
+            sessionize_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     res = spark.read.parquet(out)
     return res.select(
         "user_id", "session_start", "session_end",
@@ -1363,15 +1369,16 @@ def q_stats2_stream(spark, sf_dir):
     stream = spark.readStream.schema(
         "date_time TIMESTAMP, IP STRING, IsFiltered BOOLEAN"
     ).parquet(src)
-    q = (
-        stats2_windowed_stream(stream, watermark="1 hour")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "4"}):
+        q = (
+            stats2_windowed_stream(stream, watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select("IP", "date_time", "blocked", "visited")
 
 
@@ -1404,14 +1411,15 @@ def q_sessions_native_stream(spark, sf_dir):
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
-    q = (
-        agg.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "4"}):
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -1448,19 +1456,22 @@ def q_stream_interval_join(spark, sf_dir):
     ps = spark.readStream.schema(
         "user_id BIGINT, purchase_id BIGINT, p_ts TIMESTAMP"
     ).parquet(psrc)
-    q = (
-        interval_join_streams(
-            cs, ps, on="user_id", left_ts="c_ts", right_ts="p_ts",
-            upper_seconds=1800, watermark="2 hours",
+    # Two state stores per partition for a stream-stream join: the
+    # per-partition setup dominates at gate SF, so run it on 4.
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "4"}):
+        q = (
+            interval_join_streams(
+                cs, ps, on="user_id", left_ts="c_ts", right_ts="p_ts",
+                upper_seconds=1800, watermark="2 hours",
+            )
+            .select("user_id", "click_id", "purchase_id")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
         )
-        .select("user_id", "click_id", "purchase_id")
-        .writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+        q.awaitTermination()
     return spark.read.parquet(out).select("user_id", "click_id", "purchase_id")
 
 
@@ -2602,8 +2613,11 @@ def q_stream_pipeline(spark, sf_dir):
     # additive fold is covered by tests/test_streaming.py.
     lines.repartition(4).write.mode("overwrite").text(src)
     pipe = QuerylogPipeline(spark, src, out)
-    q = pipe.start(available_now=True)
-    q.awaitTermination()
+    # The 8-sink fan-out re-aggregates a tiny micro-batch; 4 shuffle
+    # partitions cut fixed per-partition cost without touching results.
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "4"}):
+        q = pipe.start(available_now=True)
+        q.awaitTermination()
     return pipe.read_aggregate("clients_stats").select("IP", "visited", "blocked")
 
 
