@@ -1475,6 +1475,43 @@ def q_stream_interval_join(spark, sf_dir):
     return spark.read.parquet(out).select("user_id", "click_id", "purchase_id")
 
 
+def q_stream_dedup(spark, sf_dir):
+    """dropDuplicatesWithinWatermark under the hash gate — the
+    streaming twin of exact dedup (streaming/dedupe.py), the front
+    door against at-least-once re-delivery. The fixture doubles every
+    event (two copies interleaved across files, like a replayed
+    partition); the deduped output must be exactly the original event
+    set. Duplicate rows are byte-identical, so whichever copy the
+    state store keeps, the result is deterministic and the oracle is
+    plain DISTINCT."""
+    import tempfile
+
+    from adguard2clickhouse_spark.streaming.dedupe import dedupe_stream
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    doubled = ev.unionByName(ev)
+    tmp = tempfile.mkdtemp(prefix="dedup_stream_")
+    src = os.path.join(tmp, "src")
+    out = os.path.join(tmp, "out")
+    ckpt = os.path.join(tmp, "ckpt")
+    doubled.repartition(2).write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(
+        "event_id BIGINT, user_id BIGINT, ts TIMESTAMP"
+    ).parquet(src)
+    with scoped_conf(spark, {"spark.sql.shuffle.partitions": "4"}):
+        q = (
+            dedupe_stream(stream, ["event_id"], "ts", watermark="1 hour")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).select("event_id", "user_id", "ts")
+
+
 def q_pivot(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     kinds = ["click", "view", "signup", "purchase", "error"]
@@ -1723,6 +1760,14 @@ def q_quality(spark, sf_dir):
 def q_lang_id(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return docs.select("doc_id", text.lang_id("text").alias("lang_guess"))
+
+
+def q_dup_novelty(spark, sf_dir):
+    """X4/X2 substring-level duplication report
+    (operators/dedup.py::duplicated_ngram_stats): per-doc duplicated
+    n-gram mass + first-occurrence novelty, integer permille."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.duplicated_ngram_stats(docs, n=3)
 
 
 def q_ngram_containment(spark, sf_dir):
@@ -2750,6 +2795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_common_ngrams": q_common_ngrams,
         "x4_span_scrub": q_span_scrub,
         "x4_source_report": q_source_report,
+        "x4_dup_novelty": q_dup_novelty,
+        "e_stream_dedup": q_stream_dedup,
         "x4_vocab": q_vocab,
         "x4_tfidf_search": q_tfidf_search,
         "x7_hash_split": q_hash_split,
@@ -3941,6 +3988,23 @@ def oracle_sql() -> dict[str, str]:
             "CAST(least(64, len(toks) - chunk_start + 1) AS BIGINT) AS n_chunk_tokens, "
             "md5(array_to_string(toks[chunk_start : chunk_start + 63], ' ')) AS chunk_md5 "
             "FROM st"
+        ),
+        "x4_dup_novelty": (
+            f"WITH {_SHINGLE_CTE}, "
+            "st AS (SELECT s, count(*) AS dfc, min(doc_id) AS fd FROM sh GROUP BY s), "
+            "per AS (SELECT sh.doc_id, count(*) AS n_sh, "
+            "sum(CASE WHEN dfc > 1 THEN 1 ELSE 0 END) AS n_dup, "
+            "sum(CASE WHEN fd = sh.doc_id THEN 1 ELSE 0 END) AS n_novel "
+            "FROM sh JOIN st USING (s) GROUP BY 1) "
+            "SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles, "
+            "CAST(n_dup AS BIGINT) AS n_dup_shingles, "
+            "CAST((1000 * n_dup) // n_sh AS BIGINT) AS dup_permille, "
+            "CAST(n_novel AS BIGINT) AS n_novel_shingles, "
+            "CAST((1000 * n_novel) // n_sh AS BIGINT) AS novelty_permille "
+            "FROM per"
+        ),
+        "e_stream_dedup": (
+            "SELECT DISTINCT event_id, user_id, ts FROM events"
         ),
         "x3_lsh_topk_portable": _lsh_topk_portable_oracle(),
         "x2_embedding_dup_lsh_portable": _embedding_lsh_pairs_oracle(),

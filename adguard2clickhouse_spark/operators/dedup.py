@@ -288,6 +288,63 @@ def ngram_jaccard_pairs(
     return out
 
 
+def duplicated_ngram_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
+) -> DataFrame:
+    """Per-document duplicated-n-gram mass and first-occurrence novelty
+    — the substring-level duplication signal behind "train on novel
+    text" curation (the doc-level fingerprints in `fingerprint_dedup`
+    miss partial copies; this measures them).
+
+    For each document with ≥ n tokens:
+    - ``n_shingles``       distinct word n-grams,
+    - ``n_dup_shingles``   of those, how many occur in ≥ 2 corpus docs,
+    - ``dup_permille``     1000·dup/total (integer floor),
+    - ``n_novel_shingles`` shingles whose FIRST corpus occurrence
+      (minimum doc id) is this document,
+    - ``novelty_permille`` 1000·novel/total.
+
+    Scale shape: one explode of 8-byte shingle hashes (never strings —
+    same bijectivity argument as `shingle_hashes_from_tokens`), one
+    groupBy per hash computing (document frequency, min doc id), one
+    co-partitioned join back on the hash, one groupBy per doc. Bodies
+    never shuffle; everything that moves is (hash, id) pairs, so the
+    plan survives a 100× corpus the same way the inverted-index
+    Jaccard join does. Ratios are integer permille (floor) so the
+    result hashes identically on any engine.
+    """
+    arr = (
+        df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("_arr"))
+        .filter(F.size("_arr") > 0)
+    )
+    inv = arr.select("_id", F.explode("_arr").alias("_h"))
+    stats = inv.groupBy("_h").agg(
+        F.count(F.lit(1)).alias("_df"), F.min("_id").alias("_first")
+    )
+    per_doc = (
+        inv.join(stats, "_h")
+        .groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dup_shingles"),
+            F.sum(F.when(F.col("_first") == F.col("_id"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_novel_shingles"),
+        )
+    )
+    return per_doc.select(
+        F.col("_id").alias(id_col),
+        "n_shingles",
+        "n_dup_shingles",
+        F.expr("(1000 * n_dup_shingles) DIV n_shingles").alias("dup_permille"),
+        "n_novel_shingles",
+        F.expr("(1000 * n_novel_shingles) DIV n_shingles").alias("novelty_permille"),
+    )
+
+
 def _positional_shingle_hashes(toks, n: int):
     """ORDERED (non-distinct) n-gram hash sequence — winnowing needs
     positions, unlike the set-semantics helper above."""

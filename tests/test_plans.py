@@ -403,6 +403,7 @@ def test_shuffle_budgets_hold(spark):
     skip = {
         "c1_stream_pipeline", "e_sessions_stream", "a6_stats2_stream",
         "e_stream_interval_join", "e_sessions_native_stream",
+        "e_stream_dedup",
     }
     missing = set(qs) - skip - set(budgets)
     assert not missing, f"queries without a shuffle budget: {sorted(missing)}"
