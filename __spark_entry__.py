@@ -1924,6 +1924,25 @@ def q_lsh_topk_portable(spark, sf_dir):
     return similarity.lsh_topk_portable(emb, q, k=10)
 
 
+def q_embedding_dup_brp_ml(spark, sf_dir):
+    """Rows-only: the stock pyspark.ml BucketedRandomProjectionLSH
+    recipe (SURVEY §2.12's literal X2/X3 mapping) with exact-cosine
+    re-verify — precision 1 vs x2_embedding_dup by construction;
+    recall ≥0.9 gated in tests/test_ml_compat.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs_brp_ml(
+        emb, threshold=0.35, num_hash_tables=4, bucket_length=2.0
+    )
+
+
+def q_minhash_lsh_ml(spark, sf_dir):
+    """Rows-only: the stock pyspark.ml MinHashLSH approxSimilarityJoin
+    recipe over hashed-shingle binary vectors; recall ≥0.9 vs the exact
+    inverted-index Jaccard join gated in tests/test_ml_compat.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_ml_pairs(docs, n=3, threshold=0.8)
+
+
 def q_embedding_dup(spark, sf_dir):
     """X2d exact embedding-cosine near-dup pairs. Threshold 0.35 sits
     ≥1e-6 from every pairwise sim at all SFs (verified), so the
@@ -2797,6 +2816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_source_report": q_source_report,
         "x4_dup_novelty": q_dup_novelty,
         "e_stream_dedup": q_stream_dedup,
+        "x2_embedding_dup_brp_ml": q_embedding_dup_brp_ml,
+        "x2_minhash_lsh_ml": q_minhash_lsh_ml,
         "x4_vocab": q_vocab,
         "x4_tfidf_search": q_tfidf_search,
         "x7_hash_split": q_hash_split,

@@ -777,3 +777,66 @@ def ngram_containment_pairs(
             .alias("containment_permille"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml compatibility surface (SURVEY §2.12's literal X2 mapping)
+# ---------------------------------------------------------------------------
+
+def minhash_lsh_ml_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    num_hash_tables: int = 8,
+    dim: int = 1 << 20,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via ``pyspark.ml`` MinHashLSH
+    ``approxSimilarityJoin`` — the stock-MLlib recipe SURVEY §2.12
+    names for X2, same contract as :func:`minhash_lsh_pairs`.
+
+    Documents become binary vectors over a 2^20-dim hashed shingle
+    space (xxhash64 shingles mod dim; collisions at ~200 shingles/doc
+    are negligible but make the per-pair distance a hashed-space
+    Jaccard, not the exact string-shingle Jaccard — which is why the
+    native ``minhash_lsh_pairs`` + exact verify is the production
+    path). The SparseVector build is a row-at-a-time Python UDF, the
+    one place this wrapper deviates from our no-slow-UDF rule: MLlib's
+    VectorUDT has no JVM-side array constructor, and this path exists
+    for API compatibility, not throughput.
+
+    Returns (doc_a, doc_b) pairs with hashed-space Jaccard ≥ threshold;
+    recall vs the exact inverted-index join is gated in
+    ``tests/test_ml_compat.py``.
+    """
+    from pyspark.ml.feature import MinHashLSH
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    @F.udf(returnType=VectorUDT())
+    def _to_binary_vec(hashes):
+        if not hashes:
+            return SparseVector(dim, [], [])
+        idx = sorted({h % dim for h in hashes})
+        return SparseVector(dim, idx, [1.0] * len(idx))
+
+    arr = (
+        df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("_arr"))
+        .filter(F.size("_arr") > 0)
+        .select("_id", _to_binary_vec("_arr").alias("features"))
+    )
+    mh = MinHashLSH(
+        inputCol="features", outputCol="hashes",
+        numHashTables=num_hash_tables, seed=seed,
+    )
+    model = mh.fit(arr)
+    joined = model.approxSimilarityJoin(arr, arr, 1.0 - threshold, distCol="_jd")
+    return (
+        joined.select(
+            F.col("datasetA._id").alias("doc_a"),
+            F.col("datasetB._id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )

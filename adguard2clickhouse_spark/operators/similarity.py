@@ -762,3 +762,80 @@ def lsh_bucketed_topk(
         .orderBy(F.desc("cosine_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# pyspark.ml compatibility surface (SURVEY §2.12's literal checklist
+# mappings). The native implementations above are the production paths
+# — these wrappers exist so a user coming from the stock MLlib recipes
+# gets the same answers through the same estimator API, and so the test
+# suite can cross-validate our custom LSH against Spark's.
+# ---------------------------------------------------------------------------
+
+def embedding_dup_pairs_brp_ml(
+    df: DataFrame,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_length: float = 0.5,
+    num_hash_tables: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via ``pyspark.ml`` BucketedRandomProjectionLSH
+    (the §2.12 X2/X3 checklist primitive), same contract as
+    :func:`embedding_dup_pairs`.
+
+    On L2-normalized vectors, cosine ≥ t ⟺ euclidean ≤ √(2−2t), so the
+    ml euclidean ``approxSimilarityJoin`` runs at that radius and every
+    candidate is re-verified with the EXACT cosine over the original
+    float arrays — output is a subset of the exact all-pairs answer,
+    short only of candidate-generation misses (recall gated in
+    ``tests/test_ml_compat.py`` against :func:`embedding_dup_pairs`).
+
+    Scale: the join shuffles (table, bucket) keys — never all pairs;
+    OR-amplification across ``num_hash_tables`` buckets. Same plan
+    family as our native sign-LSH, built from the stock estimator.
+    """
+    import math
+
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    v = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_v"),
+            norm(F.col(vec_col)).alias("_n"),
+        )
+        .filter(F.col("_n") > 0)
+        .select(
+            "_id",
+            "_v",
+            array_to_vector(
+                F.transform("_v", lambda x: (x / F.col("_n")).cast("double"))
+            ).alias("features"),
+        )
+    )
+    brp = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = brp.fit(v)
+    radius = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
+    joined = model.approxSimilarityJoin(v, v, radius, distCol="_dist")
+    pairs = joined.select(
+        F.col("datasetA._id").alias("id_a"),
+        F.col("datasetB._id").alias("id_b"),
+        F.col("datasetA._v").alias("_va"),
+        F.col("datasetB._v").alias("_vb"),
+    ).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        pairs.select(
+            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_sim")
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b")
+    )
