@@ -444,9 +444,11 @@ def q_q6_revenue(spark, sf_dir):
 
 
 def q_q3_shipping(spark, sf_dir):
-    """TPC-H Q3 shape: segment filter → 3-way join (customer broadcast)
-    → per-order revenue → top 10. TakeOrderedAndProject, not a global
-    sort."""
+    """TPC-H Q3 shape: segment filter → 3-way join → per-order revenue
+    → top 10. TakeOrderedAndProject, not a global sort. The customer
+    side carries no hint: Catalyst auto-broadcasts it below the size
+    threshold (all test SFs) and AQE shuffle-joins it at corpus scale,
+    where a forced broadcast of an SF-scaled dim would OOM."""
     c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     o = _t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
@@ -456,7 +458,7 @@ def q_q3_shipping(spark, sf_dir):
     )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum(
@@ -473,7 +475,9 @@ def q_q3_shipping(spark, sf_dir):
 def q_q10_returns(spark, sf_dir):
     """TPC-H Q10 shape: returned-item revenue per customer over a
     quarter — fact filter → join orders → join customer/nation
-    (broadcast dims) → top 20. Integer cents; ties on custkey."""
+    → top 20. Integer cents; ties on custkey. nation is hinted
+    (bounded at 25 rows); customer is left to AQE — auto-broadcast at
+    test SF, shuffle join at scale."""
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     o = _t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -483,7 +487,7 @@ def q_q10_returns(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -521,8 +525,9 @@ def q_q18_large_orders(spark, sf_dir):
 
 
 def q_q14_promo(spark, sf_dir):
-    """TPC-H Q14 shape: broadcast dim join + conditional-ratio
-    aggregate in integer cents (order-independent)."""
+    """TPC-H Q14 shape: dim join + conditional-ratio aggregate in
+    integer cents (order-independent). part is unhinted — AQE picks
+    broadcast below threshold, shuffle at scale."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-07-01").cast("timestamp"))
@@ -530,7 +535,7 @@ def q_q14_promo(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     cents = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .select(
             F.when(F.col("p_type") == "PROMO", cents).otherwise(0).alias("promo_c"),
             cents.alias("all_c"),
@@ -571,10 +576,11 @@ def q_q4_order_priority(spark, sf_dir):
 def q_q5_local_suppliers(spark, sf_dir):
     """TPC-H Q5 shape: revenue by nation where the customer and the
     line's supplier share that nation, restricted to one region-year.
-    All four dims broadcast (region→nation pre-joined, customer and
-    supplier filtered through it); the only big-big join is
-    lineitem ⋈ orders on the order key. The c↔s same-nation condition
-    rides the two broadcast hash joins — no extra shuffle."""
+    region/nation are hinted broadcasts (bounded); customer and
+    supplier are SF-scaled so they carry no hint — Catalyst broadcasts
+    them below threshold (every test SF) and AQE shuffle-joins them at
+    corpus scale. The only unavoidable big-big join is
+    lineitem ⋈ orders on the order key."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     n = (
         _t(spark, sf_dir, "nation")
@@ -592,9 +598,9 @@ def q_q5_local_suppliers(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(
-            F.broadcast(s),
+            s,
             (li.l_suppkey == s.s_suppkey)
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
@@ -614,8 +620,9 @@ def q_q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7 shape: trade volume between two nations by ship year —
     the supplier side keyed through lineitem, the customer side through
     orders, with the cross-pair filter (n1→n2 or n2→n1) applied after
-    both broadcast dim joins. One big-big join (lineitem ⋈ orders);
-    everything else broadcasts."""
+    both dim joins. One big-big join (lineitem ⋈ orders); nation is
+    hinted, supplier/customer join strategy is left to AQE (broadcast
+    at test SF, shuffle at corpus scale)."""
     n = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
@@ -635,9 +642,9 @@ def q_q7_volume_shipping(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
             "supp_nation",
@@ -658,10 +665,10 @@ def q_q7_volume_shipping(spark, sf_dir):
 def q_q19_disjunctive(spark, sf_dir):
     """TPC-H Q19 shape: revenue under three disjunctive brand/size/
     quantity branches. The per-branch part predicates are pushed into
-    the broadcast build side as one OR (brand ∈ {…} ∧ size bounds), and
-    the branch-correlated quantity conditions evaluate post-join —
-    Catalyst keeps the whole thing a single BroadcastHashJoin with no
-    fact-side shuffle before the final 1-row fold."""
+    the build side as one OR (brand ∈ {…} ∧ size bounds), and the
+    branch-correlated quantity conditions evaluate post-join — one
+    AQE-chosen join (auto-broadcast under threshold) with no fact-side
+    shuffle before the final 1-row fold."""
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
     b1 = (
@@ -680,7 +687,7 @@ def q_q19_disjunctive(spark, sf_dir):
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(b1 | b2 | b3)
         .agg(
             F.sum(
@@ -696,8 +703,9 @@ def q_q19_disjunctive(spark, sf_dir):
 def q_q15_top_supplier(spark, sf_dir):
     """TPC-H Q15 shape: quarterly revenue per supplier, then the
     supplier(s) achieving the maximum — a reused aggregate joined
-    against its own 1-row max (broadcast), never a window over the
-    whole relation or a second scan of the fact table."""
+    against its own 1-row max (hinted broadcast; the supplier dim is
+    unhinted, AQE-chosen), never a window over the whole relation or a
+    second scan of the fact table."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -712,7 +720,7 @@ def q_q15_top_supplier(spark, sf_dir):
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_revenue_cents") == F.col("_mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_cents")
         .orderBy("s_suppkey")
     )
@@ -730,7 +738,7 @@ def q_q17_small_quantity(spark, sf_dir):
         (F.avg("l_quantity") * 0.2).alias("_qlim")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(thresh.withColumnRenamed("l_partkey", "_pk"), li.l_partkey == F.col("_pk"))
         .filter(F.col("l_quantity") < F.col("_qlim"))
         .agg(
@@ -744,8 +752,9 @@ def q_q17_small_quantity(spark, sf_dir):
 
 def q_q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold
-    to EUROPE customers, by order year. Part/customer/supplier dims all
-    broadcast; the only big-big join is lineitem ⋈ orders. The share is
+    to EUROPE customers, by order year. nation/region hinted; the
+    SF-scaled part/customer/supplier sides are AQE-chosen. The only
+    big-big join is lineitem ⋈ orders. The share is
     a permille computed with integer DIV over exact cents, so the ratio
     hashes identically across engines."""
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
@@ -775,10 +784,10 @@ def q_q8_market_share(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     vol = _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(
             F.sum(F.when(F.col("supp_nation") == "NATION_3", vol).otherwise(F.lit(0)))
@@ -797,8 +806,8 @@ def q_q8_market_share(spark, sf_dir):
 def q_q9_profit_by_nation(spark, sf_dir):
     """TPC-H Q9 shape (adapted: the fixture has no partsupp, so cost is
     10% of p_retailprice per unit): profit on '%gear%' parts by supplier
-    nation and order year. Part and supplier dims broadcast; lineitem ⋈
-    orders is the one shuffle join. Profit is exact integer cents:
+    nation and order year. lineitem ⋈ orders is the one unavoidable
+    shuffle join; part/supplier are AQE-chosen. Profit is exact integer cents:
     floor(price·100) − floor(qty·retail·10) row-wise on both engines."""
     p = (
         _t(spark, sf_dir, "part")
@@ -819,8 +828,8 @@ def q_q9_profit_by_nation(spark, sf_dir):
         F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     ) - F.floor(F.col("l_quantity") * F.col("p_retailprice") * 10).cast("long")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("supp_nation", F.year("o_orderdate").cast("long").alias("o_year"))
         .agg(F.sum(profit).cast("long").alias("profit_cents"))
@@ -876,8 +885,9 @@ def q_q16_supplier_variety(spark, sf_dir):
     """TPC-H Q16 shape (adapted: no partsupp table, so the part↔supplier
     relation observed in lineitem stands in for it): distinct suppliers
     per (brand, type, size) over selected sizes, excluding one brand and
-    the PROMO type. The part dim broadcasts into the fact scan; the
-    count-distinct dedups (partkey,suppkey) pairs before counting."""
+    the PROMO type. The part dim is AQE-chosen (auto-broadcast under
+    threshold); the count-distinct dedups (partkey,suppkey) pairs
+    before counting."""
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (F.col("p_type") != "PROMO")
@@ -885,7 +895,7 @@ def q_q16_supplier_variety(spark, sf_dir):
     )
     li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
@@ -897,14 +907,14 @@ def q_q20_part_promotion(spark, sf_dir):
     is self-relative): suppliers whose 1996 shipped quantity of '%gear%'
     parts exceeds 1.5× the per-supplier average of that same aggregate.
     The comparison is exact integer arithmetic (2·qty·n > 3·Σqty), immune
-    to float-division ties; the supplier dim broadcasts at the end."""
+    to float-division ties; the supplier name join is AQE-chosen."""
     p = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%")).select("p_partkey")
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     per_supp = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .groupBy("l_suppkey")
         .agg(F.floor(F.sum("l_quantity")).cast("long").alias("gear_qty"))
     )
@@ -915,7 +925,7 @@ def q_q20_part_promotion(spark, sf_dir):
     return (
         per_supp.crossJoin(F.broadcast(tot))
         .filter(2 * F.col("gear_qty") * F.col("_n_supp") > 3 * F.col("_sum_qty"))
-        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(s, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "gear_qty")
         .orderBy("s_suppkey")
     )
@@ -952,7 +962,7 @@ def q_q21_waiting_supplier(spark, sf_dir):
     )
     s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
-        per_order.join(F.broadcast(s), F.col("_late_supp") == F.col("s_suppkey"))
+        per_order.join(s, F.col("_late_supp") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.desc("numwait"), "s_name")
