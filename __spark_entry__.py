@@ -2428,6 +2428,32 @@ def q_heavy_hitters(spark, sf_dir):
     return heavy_hitters(_t(spark, sf_dir, "orders"), "o_custkey", k=1000)
 
 
+def q_countmin(spark, sf_dir):
+    """Count-Min sketch under the EXACT hash gate: the portable-md5
+    sketch build (operators/sketch.countmin_build, depth 4 × width 256
+    cells from events.user_id), point estimates for every distinct user
+    (min over rows, broadcast sketch join), and the exact counts beside
+    them — est ≥ exact is visible in the data, the cell arithmetic
+    replays verbatim in DuckDB. Mergeability (cell-wise addition) is
+    gated in tests/test_extensions.py."""
+    from adguard2clickhouse_spark.operators.sketch import (
+        countmin_build,
+        countmin_estimate,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id")
+    cells = countmin_build(ev, "user_id", width=256, depth=4, portable=True)
+    est = countmin_estimate(
+        cells, ev.distinct(), "user_id", width=256, depth=4, portable=True
+    )
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_count"))
+    return est.join(exact, "user_id").select(
+        "user_id",
+        F.col("est_count").cast("long").alias("est_count"),
+        F.col("exact_count").cast("long").alias("exact_count"),
+    )
+
+
 def q_frame_plan(spark, sf_dir):
     """X5 frame-sampling plan under the hash gate: (media_id, frame_ts)
     pairs computed purely from video metadata — the cheap pre-pass that
@@ -2845,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x5_frame_plan": q_frame_plan,
         "x6_approx_stats": q_approx_stats,
         "x6_heavy_hitters": q_heavy_hitters,
+        "x6_countmin": q_countmin,
         "x6_histogram": q_histogram,
         "x6_hll_rollup": q_hll_rollup,
         "x6_footer_stats": q_footer_stats,
@@ -4098,6 +4125,27 @@ def oracle_sql() -> dict[str, str]:
         # Misra-Gries candidates have no false negatives and the exact
         # recount kills false positives → the plain HAVING query is the
         # exact oracle of the sketch pipeline.
+        "x6_countmin": (
+            "WITH rows_g AS (SELECT unnest([0, 1, 2, 3]) AS row), "
+            "probes AS (SELECT user_id, row, "
+            "('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#' || "
+            "CAST(row AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket "
+            "FROM events, rows_g), "
+            "cells AS (SELECT row, bucket, count(*) AS cell_count "
+            "FROM probes GROUP BY 1, 2), "
+            "keys AS (SELECT DISTINCT user_id FROM events), "
+            "kp AS (SELECT user_id, row, "
+            "('0x' || substring(md5(CAST(user_id AS VARCHAR) || '#' || "
+            "CAST(row AS VARCHAR)), 1, 15))::BIGINT % 256 AS bucket "
+            "FROM keys, rows_g), "
+            "est AS (SELECT user_id, min(coalesce(cell_count, 0)) AS est_count "
+            "FROM kp LEFT JOIN cells USING (row, bucket) GROUP BY 1), "
+            "exact AS (SELECT user_id, count(*) AS exact_count "
+            "FROM events GROUP BY 1) "
+            "SELECT user_id, CAST(est_count AS BIGINT) AS est_count, "
+            "CAST(exact_count AS BIGINT) AS exact_count "
+            "FROM est JOIN exact USING (user_id)"
+        ),
         "x6_heavy_hitters": (
             "WITH c AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt "
             "FROM orders GROUP BY 1), tot AS (SELECT count(*) AS n FROM orders) "

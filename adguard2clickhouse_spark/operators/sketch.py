@@ -109,3 +109,101 @@ def heavy_hitters(
         .filter(F.col(out_count) * k > F.col("_n"))
         .drop("_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch — mergeable frequency estimates
+# ---------------------------------------------------------------------------
+
+def _cms_hash(col, row: int, width: int, portable: bool):
+    """Row-`row` bucket index in [0, width). Portable form = first 15
+    hex chars of md5(value ∥ '#row') as a long (replays verbatim in
+    DuckDB); fast form = xxhash64 seeded by row. Both are fixed maps,
+    so sketches built anywhere merge cell-wise."""
+    if portable:
+        h = F.conv(
+            F.substring(F.md5(F.concat_ws("#", col.cast("string"), F.lit(str(row)))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+    else:
+        h = F.xxhash64(col, F.lit(row))
+    return F.pmod(h, F.lit(width))
+
+
+def countmin_build(
+    df: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Build a Count-Min sketch of ``col``'s frequencies: ``depth``
+    hash rows × ``width`` buckets, each cell the count of values
+    hashing into it. Returns (row, bucket, cell_count) — at most
+    depth·width rows regardless of input size.
+
+    The classic mergeable frequency summary (Cormode/Muthukrishnan,
+    J. Algorithms 2005): estimates overcount only (est ≥ true;
+    est ≤ true + εN with ε = e/width at the usual depth), and two
+    sketches over disjoint data merge by cell-wise addition — the
+    property that lets 1000 executors each sketch their shard and a
+    coordinator fold the results without ever shuffling raw values.
+
+    Scale shape: one explode to ``depth`` rows per input row, one
+    partial-aggregated groupBy over at most depth·width cells — the
+    shuffle moves bounded partial cells, never values. With
+    ``portable=True`` the whole build replays in DuckDB, so the sketch
+    itself sits under the driver's exact hash gate (x6_countmin).
+    """
+    c = F.col(col)
+    rows = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_hash(c, r, width, portable).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("_rb")
+    )
+    return (
+        rows.select("_rb.row", "_rb.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_count"))
+    )
+
+
+def countmin_estimate(
+    cells: DataFrame,
+    keys: DataFrame,
+    col: str,
+    width: int = 256,
+    depth: int = 4,
+    portable: bool = False,
+) -> DataFrame:
+    """Point-frequency estimates for ``keys[col]`` from a sketch built
+    with the same (width, depth, portable) parameters: est = min over
+    rows of the addressed cell (absent cell = 0). The key side carries
+    its depth probe coordinates; the sketch side is ≤ depth·width rows,
+    so the join broadcasts the SKETCH — estimates for any number of
+    keys stream past it without a shuffle."""
+    c = F.col(col)
+    probes = keys.select(
+        c,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(r).alias("row"),
+                    _cms_hash(c, r, width, portable).alias("bucket"),
+                )
+                for r in range(depth)
+            ])
+        ).alias("_rb"),
+    ).select(c, "_rb.row", "_rb.bucket")
+    return (
+        probes.join(F.broadcast(cells), ["row", "bucket"], "left")
+        .groupBy(col)
+        .agg(F.min(F.coalesce(F.col("cell_count"), F.lit(0))).alias("est_count"))
+    )

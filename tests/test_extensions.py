@@ -742,3 +742,37 @@ def test_timeseries_profiles_paa_and_topk(spark):
 
     top = ts_topk(paa(hourly_profiles(df), segments=6), [0, 0, 0, 0, 0, 0], k=2).collect()
     assert [r.key for r in top] == [1, 2]  # user1's profile is nearer zero
+
+
+def test_countmin_merge_and_overestimate(spark):
+    """Count-Min properties: (1) est >= exact for every key (the sketch
+    only overcounts); (2) sketches over disjoint halves merge by
+    cell-wise addition into exactly the whole-corpus sketch — the 1000-
+    executor fold; (3) the error bound eps=e/width holds for ~all keys."""
+    from adguard2clickhouse_spark.operators.sketch import (
+        countmin_build, countmin_estimate,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet").select("user_id")
+    n = ev.count()
+    cells = countmin_build(ev, "user_id", width=256, depth=4)
+    est = countmin_estimate(cells, ev.distinct(), "user_id", width=256, depth=4)
+    exact = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact"))
+    joined = {r["user_id"]: (r["est_count"], r["exact"])
+              for r in est.join(exact, "user_id").collect()}
+    assert all(e >= x for e, x in joined.values())
+    eps = 2.718281828 / 256
+    within = sum(1 for e, x in joined.values() if e - x <= eps * n)
+    assert within / len(joined) >= 0.95
+
+    half_a = ev.filter(F.col("user_id") % 2 == 0)
+    half_b = ev.filter(F.col("user_id") % 2 == 1)
+    merged = (
+        countmin_build(half_a, "user_id", width=256, depth=4)
+        .unionByName(countmin_build(half_b, "user_id", width=256, depth=4))
+        .groupBy("row", "bucket")
+        .agg(F.sum("cell_count").alias("cell_count"))
+    )
+    whole = {(r["row"], r["bucket"]): r["cell_count"] for r in cells.collect()}
+    folded = {(r["row"], r["bucket"]): r["cell_count"] for r in merged.collect()}
+    assert folded == whole
