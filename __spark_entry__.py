@@ -2327,6 +2327,16 @@ def q_tfidf_search(spark, sf_dir):
     return tfidf_search(_t(spark, sf_dir, "documents"), _TFIDF_QUERY, k=20)
 
 
+def q_interleave(spark, sf_dir):
+    """Deterministic source-interleaved training order
+    (operators/mixture.py::interleave_sources): pos = (rank−1)·k + i —
+    pure arithmetic from per-source md5 ranks and a k-row source
+    index, NO global sort/window over the corpus."""
+    from adguard2clickhouse_spark.operators.mixture import interleave_sources
+
+    return interleave_sources(_t(spark, sf_dir, "documents"))
+
+
 def q_mixture(spark, sf_dir):
     """X7 curation: temperature-scaled corpus mixture (T = 1/2 →
     squared-count weights, exact integer arithmetic) drawn as an
@@ -2861,6 +2871,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_kfold": q_kfold,
         "x7_stratified_sample": q_stratified_sample,
         "x7_mixture_sample": q_mixture,
+        "x7_interleave": q_interleave,
         "x7_det_shuffle": q_det_shuffle,
         "x8_contamination": q_contamination,
         "x9_sequence_pack": q_sequence_pack,
@@ -4014,6 +4025,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score, n_hits, "
             "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk "
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "x7_interleave": (
+            "WITH srcs AS (SELECT source, row_number() OVER (ORDER BY source) - 1 "
+            "AS si FROM (SELECT DISTINCT source FROM documents)), "
+            "k AS (SELECT count(*) AS n FROM srcs), "
+            "r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS src_rank "
+            "FROM documents) "
+            "SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank, "
+            "CAST((src_rank - 1) * n + si AS BIGINT) AS pos "
+            "FROM r JOIN srcs USING (source), k"
         ),
         "x7_mixture_sample": (
             "WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1), "

@@ -80,3 +80,51 @@ def mixture_sample(
     return ranked.join(F.broadcast(quotas), strata_col).filter(
         F.col("rnk") <= F.col("quota")
     ).select(id_col, strata_col, "rnk", "quota")
+
+
+def interleave_sources(
+    df: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic source-interleaved training order: documents of
+    every source round-robin through the global sequence, so a training
+    run that consumes positions 0..k sees each source at its corpus
+    proportion from the very first batch — without any global sort.
+
+    Position is ARITHMETIC, not a global window: doc at per-source
+    md5-rank r (1-based, the stable pseudo-random order shared with
+    sampling.py) from the source with alphabetical index i (0-based,
+    among k sources) gets ``pos = (r-1)·k + i``. Per-source windows
+    partition by the stratum (bounded sorts); the source index comes
+    from a k-row broadcast. Unequal source sizes leave holes past the
+    smallest source's tail — consumers order by pos, and a hole is
+    just an absent position (documented contract; no re-compaction
+    pass, which would need exactly the global sort this avoids).
+
+    Returns (id, strata, src_rank, pos).
+    """
+    w = Window.partitionBy(strata_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
+    idx_w = Window.orderBy(strata_col)
+    sources = (
+        df.select(strata_col).distinct()
+        .select(
+            strata_col,
+            (F.row_number().over(idx_w) - 1).alias("_src_idx"),
+        )
+    )
+    n_src = sources.count()
+    ranked = df.select(F.col(id_col), F.col(strata_col)).withColumn(
+        "src_rank", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(sources), strata_col)
+        .select(
+            id_col,
+            strata_col,
+            F.col("src_rank").cast("long").alias("src_rank"),
+            ((F.col("src_rank") - 1) * n_src + F.col("_src_idx"))
+            .cast("long")
+            .alias("pos"),
+        )
+    )
