@@ -1934,6 +1934,23 @@ def q_lsh_topk_portable(spark, sf_dir):
     return similarity.lsh_topk_portable(emb, q, k=10)
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup end-to-end: exact embedding
+    near-dup pairs (cos ≥ 0.35) as edges → connected components
+    (hash-min label propagation, graph.py) → keep the min-id
+    representative per cluster. At scale the pairs stage swaps to the
+    LSH candidate path (embedding_dup_pairs_lsh) unchanged; the oracle
+    replays pairs + recursive transitive closure + min-id keep."""
+    from adguard2clickhouse_spark.operators.graph import dedup_keep_representatives
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_dup_pairs(emb, threshold=0.35)
+    kept = dedup_keep_representatives(
+        emb, pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    return kept.select("vec_id", F.col("label").cast("long").alias("label"))
+
+
 def q_embedding_dup_brp_ml(spark, sf_dir):
     """Rows-only: the stock pyspark.ml BucketedRandomProjectionLSH
     recipe (SURVEY §2.12's literal X2/X3 mapping) with exact-cosine
@@ -2863,6 +2880,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_dup_novelty": q_dup_novelty,
         "e_stream_dedup": q_stream_dedup,
         "x2_embedding_dup_brp_ml": q_embedding_dup_brp_ml,
+        "x2_semantic_dedup_keep": q_semantic_dedup,
         "x2_minhash_lsh_ml": q_minhash_lsh_ml,
         "x4_vocab": q_vocab,
         "x4_tfidf_search": q_tfidf_search,
@@ -3837,6 +3855,21 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, rnk FROM (SELECT vec_id, "
             "CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "
             "FROM scored) WHERE rnk <= 10"
+        ),
+        "x2_semantic_dedup_keep": (
+            "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "pairs AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b "
+            "FROM e a JOIN e b ON a.vec_id < b.vec_id "
+            "WHERE list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+            "* sqrt(list_dot_product(b.v, b.v))) >= 0.35), "
+            "edges AS (SELECT id_a AS u, id_b AS v FROM pairs "
+            "UNION SELECT id_b, id_a FROM pairs), "
+            "reach(u, r) AS (SELECT vec_id, vec_id FROM embeddings "
+            "UNION SELECT g.u, reach.r FROM edges g JOIN reach ON g.v = reach.u), "
+            "comp AS (SELECT u AS vec_id, min(r) AS component FROM reach GROUP BY u) "
+            "SELECT vec_id, CAST(label AS BIGINT) AS label "
+            "FROM comp JOIN embeddings USING (vec_id) WHERE vec_id = component"
         ),
         "x2_embedding_dup": (
             "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) "
