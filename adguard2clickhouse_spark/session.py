@@ -140,9 +140,12 @@ def get_spark(
         # how the DuckDB oracle interprets the same bytes.
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # Broadcast threshold: small dims (region/nation/customer at
-        # test SF) broadcast; at 100 TB the explicit broadcast() hints
-        # in operators make intent survive regardless of stats.
+        # Broadcast threshold: dims under 64 MB broadcast automatically
+        # (all dims at test SF; only schema-bounded frames at 100 TB).
+        # Explicit broadcast() hints are reserved for frames whose size
+        # is bounded by construction (nation/region, 1-row aggregates)
+        # — a hint on an SF-scaled dim would override this size check
+        # and OOM at corpus scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # Bucketed tables (plans/bucketing.py) need a warehouse; keep it

@@ -478,3 +478,26 @@ def test_footer_stats_aggregate_pushes_into_scan(spark):
     r = df.head()
     c = spark.read.parquet(SF + "/lineitem.parquet").count()
     assert r.n_rows == c
+
+
+def test_dynamic_partition_pruning_engages(spark, tmp_path):
+    """100 TB gate: a date-partitioned fact joined to a filtered dim
+    must get a DynamicPruning subquery on the partition column — the
+    scan reads only the dim-selected partitions instead of the whole
+    table. (At corpus scale this is the difference between scanning a
+    week and scanning years.)"""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "day", F.to_date("ts").cast("string")
+    )
+    out = str(tmp_path / "fact")
+    ev.write.partitionBy("day").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        ev.select("day").distinct()
+        .filter(F.col("day") >= "2024-06-01")
+        .withColumnRenamed("day", "dday")
+    )
+    j = fact.join(F.broadcast(dim), fact.day == F.col("dday")).groupBy("day").count()
+    assert "dynamicpruning" in _physical(j).lower()
