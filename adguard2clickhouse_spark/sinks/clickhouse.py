@@ -175,6 +175,73 @@ def encode_rowbinary(rows: Iterable, schema: T.StructType) -> bytes:
     return bytes(out)
 
 
+def _decode_value(buf: bytes, pos: int, dt: T.DataType):
+    """Inverse of ``_encode_value`` — returns (value, new_pos). Exists
+    so tests can round-trip real pipeline output through the wire
+    format (tests/test_clickhouse_wire.py loopback server)."""
+    if isinstance(dt, T.ArrayType):
+        n, pos = _read_leb128(buf, pos)
+        items = []
+        for _ in range(n):
+            v, pos = _decode_value(buf, pos, dt.elementType)
+            items.append(v)
+        return items, pos
+    if isinstance(dt, T.TimestampType):
+        import datetime
+
+        (epoch,) = struct.unpack_from("<I", buf, pos)
+        return (
+            datetime.datetime.fromtimestamp(epoch, datetime.timezone.utc).replace(
+                tzinfo=None
+            ),
+            pos + 4,
+        )
+    if isinstance(dt, T.StringType):
+        n, pos = _read_leb128(buf, pos)
+        return buf[pos : pos + n].decode("utf-8"), pos + n
+    if isinstance(dt, T.BooleanType):
+        return buf[pos] != 0, pos + 1
+    if isinstance(dt, T.LongType):
+        (v,) = struct.unpack_from("<Q", buf, pos)
+        return v, pos + 8
+    if isinstance(dt, T.IntegerType):
+        return buf[pos], pos + 1
+    if isinstance(dt, T.DoubleType):
+        (v,) = struct.unpack_from("<d", buf, pos)
+        return v, pos + 8
+    if isinstance(dt, T.FloatType):
+        (v,) = struct.unpack_from("<f", buf, pos)
+        return v, pos + 4
+    raise ValueError(f"no RowBinary decoding for {dt}")
+
+
+def _read_leb128(buf: bytes, pos: int) -> tuple[int, int]:
+    shift = n = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        n |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return n, pos
+        shift += 7
+
+
+def decode_rowbinary(payload: bytes, schema: T.StructType) -> list[tuple]:
+    """Decode a RowBinary payload back into tuples (field order =
+    schema order). Test/debug utility — the consuming end in
+    production is the ClickHouse server itself."""
+    rows = []
+    pos = 0
+    fields = schema.fields
+    while pos < len(payload):
+        vals = []
+        for f in fields:
+            v, pos = _decode_value(payload, pos, f.dataType)
+            vals.append(v)
+        rows.append(tuple(vals))
+    return rows
+
+
 class ClickHouseHTTPWriter:
     """foreachBatch-compatible writer over the ClickHouse HTTP
     interface — stdlib only, no client library. One POST per executor

@@ -65,7 +65,7 @@ class QuerylogPipeline:
     """source dir → parse → fact append + 8 additive aggregates."""
 
     def __init__(self, spark: SparkSession, source_dir: str, out_dir: str,
-                 checkpoint_dir: str | None = None):
+                 checkpoint_dir: str | None = None, clickhouse=None):
         self.spark = spark
         # Micro-batches are small relative to the static shuffle-partition
         # count; AQE coalescing (on by default since Spark 3.2, explicit
@@ -83,6 +83,12 @@ class QuerylogPipeline:
         self.log2_path = os.path.join(out_dir, "log2")
         self.dead_letter_path = os.path.join(out_dir, "dead_letter")
         self.sinks = aggregate_sinks(out_dir)
+        # Optional ClickHouse fact insert (the reference's north-star
+        # sink, src/collector.py:73-75): a foreachBatch-compatible
+        # writer (sinks/clickhouse.py). Aggregates stay in the parquet
+        # summing sinks — against a real ClickHouse the server-side MVs
+        # fold them from this very insert, exactly like the reference.
+        self.clickhouse = clickhouse
 
     # -- the per-micro-batch body (the reference's "insert block") ----------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -107,6 +113,12 @@ class QuerylogPipeline:
             )
             # dead-letter channel (K3, collector.py:76-78)
             dead.write.mode("append").parquet(self.dead_letter_path)
+
+            if self.clickhouse is not None:
+                # the reference's per-block insert, batched: one POST of
+                # RowBinary per executor partition instead of one HTTP
+                # round-trip per row (collector.py:73-75)
+                self.clickhouse.insert_batch(good, "log2")
 
             # MV cascade: aggregate THIS block, fold additively (C1+C2).
             # The eight sinks are independent (separate directories), so
