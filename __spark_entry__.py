@@ -146,6 +146,33 @@ def q_a11_sliding_windows(spark, sf_dir):
     )
 
 
+def q_a12_trending_domains(spark, sf_dir):
+    """Per-window trending report: the top-3 visited domains of every
+    10-minute bucket with their rank — the "what's hot right now"
+    dashboard query. One groupBy on (bucket, QH), then a rank window
+    partitioned BY BUCKET (thousands of independent small partitions —
+    never a global sort); ties break on QH so the ranking is total."""
+    log2 = log2_from_events(spark, sf_dir)
+    per = (
+        log2.filter(~F.col("IsFiltered"))
+        .groupBy(
+            F.window("date_time", "10 minutes").alias("_w"), F.col("QH")
+        )
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+    )
+    w = Window.partitionBy("_w").orderBy(F.desc("n_queries"), F.asc("QH"))
+    return (
+        per.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            "QH",
+            F.col("n_queries").cast("long").alias("n_queries"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
 def q_a10_domain_hierarchy(spark, sf_dir):
     """A7 generalized: counts at EVERY domain-suffix level (the
     ClickHouse cutToFirstSignificantSubdomain family, done for all
@@ -2766,6 +2793,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_latency_stats": q_a9_latency,
         "a10_domain_hierarchy": q_a10_domain_hierarchy,
         "a11_sliding_windows": q_a11_sliding_windows,
+        "a12_trending_domains": q_a12_trending_domains,
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
         "p1_variant_key_stats": q_p1_variant,
@@ -3215,6 +3243,15 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_upstream_stats": oracle_cte(
             'SELECT Upstream, count(*) AS "count" FROM log2 GROUP BY Upstream'
+        ),
+        "a12_trending_domains": oracle_cte(
+            ", per AS (SELECT (epoch_us(date_time) // 600000000) * 600000000 AS ws, "
+            "QH, count(*) AS n_queries FROM log2 WHERE NOT IsFiltered GROUP BY 1, 2), "
+            "r AS (SELECT ws, QH, n_queries, row_number() OVER "
+            "(PARTITION BY ws ORDER BY n_queries DESC, QH) AS rnk FROM per) "
+            "SELECT make_timestamp(ws) AS window_start, QH, "
+            "CAST(n_queries AS BIGINT) AS n_queries, CAST(rnk AS BIGINT) AS rnk "
+            "FROM r WHERE rnk <= 3"
         ),
         "a11_sliding_windows": oracle_cte(
             ", w AS (SELECT IP, IsFiltered, "

@@ -164,12 +164,23 @@ def shingles_from_tokens(toks, n: int = 3):
     so an embedded split would re-tokenize once per shingle.
     slice+concat_ws touches exactly n elements per shingle.
     """
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), count),
+            _shingle_starts(toks, n),
             lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
         )
+    )
+
+
+def _shingle_starts(toks, n: int):
+    """array<int> of 1-based shingle start positions — EMPTY (typed)
+    when the doc has fewer than n tokens. Guarded because Spark's
+    sequence(1, 0) yields a DESCENDING [1, 0], which would feed
+    element_at(toks, 0) and fail under ANSI on short docs."""
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    return F.filter(
+        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
+        lambda i: i <= count,
     )
 
 
@@ -190,10 +201,9 @@ def shingle_hashes_from_tokens(toks, n: int = 3):
     per-shingle work drops from slice+concat_ws (array alloc + string
     build + hash of ~n·wordlen chars) to one multi-arg hash of n
     pointers."""
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), count),
+            _shingle_starts(toks, n),
             lambda i: F.xxhash64(*[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
         )
     )
@@ -348,9 +358,8 @@ def duplicated_ngram_stats(
 def _positional_shingle_hashes(toks, n: int):
     """ORDERED (non-distinct) n-gram hash sequence — winnowing needs
     positions, unlike the set-semantics helper above."""
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     return F.transform(
-        F.sequence(F.lit(1), count),
+        _shingle_starts(toks, n),
         lambda i: F.xxhash64(*[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
     )
 
@@ -359,9 +368,8 @@ def _positional_shingle_md5(toks, n: int):
     """Engine-portable twin of `_positional_shingle_hashes`: first 60
     bits of md5 over the space-joined n-gram — replays verbatim in
     DuckDB (see x2_winnow_md5's oracle)."""
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
     return F.transform(
-        F.sequence(F.lit(1), count),
+        _shingle_starts(toks, n),
         lambda i: F.conv(
             F.substring(
                 F.md5(

@@ -286,3 +286,46 @@ def test_containment_catches_excerpt_jaccard_misses(spark):
     assert cont == {(1, 2): 1000}
     jac = ngram_jaccard_pairs(df, threshold=0.2).collect()
     assert jac == []  # symmetric similarity never sees the excerpt
+
+
+def test_duplicated_ngram_stats_known_values(spark):
+    """Two identical docs + one unique: the copies' shingles all have
+    df=2 (dup 1000 permille); novelty credits the min-id copy; the
+    unique doc is all-novel, zero-dup."""
+    from adguard2clickhouse_spark.operators.dedup import duplicated_ngram_stats
+
+    rows = [
+        (1, "a b c d"),          # 2 shingles: "a b c", "b c d"
+        (2, "a b c d"),          # exact copy
+        (3, "x y z w"),          # unique
+        (4, "t s"),              # < n tokens -> excluded
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r["doc_id"]: r for r in duplicated_ngram_stats(df, n=3).collect()}
+    assert set(out) == {1, 2, 3}
+    for d in (1, 2):
+        assert out[d]["n_shingles"] == 2
+        assert out[d]["n_dup_shingles"] == 2
+        assert out[d]["dup_permille"] == 1000
+    assert out[1]["n_novel_shingles"] == 2 and out[1]["novelty_permille"] == 1000
+    assert out[2]["n_novel_shingles"] == 0 and out[2]["novelty_permille"] == 0
+    assert out[3]["n_dup_shingles"] == 0 and out[3]["novelty_permille"] == 1000
+
+
+def test_interleave_positions_unique_and_proportional(spark):
+    """interleave_sources: positions are globally unique, each source
+    occupies its own residue class mod k (a perfect round-robin), and
+    any prefix of the order is source-balanced up to one element."""
+    from adguard2clickhouse_spark.operators.mixture import interleave_sources
+
+    rows = [(i, ["web", "book", "code"][i % 3]) for i in range(90)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    out = interleave_sources(df, strata_col="source", id_col="doc_id").collect()
+    pos = [r["pos"] for r in out]
+    assert len(set(pos)) == len(pos) == 90
+    by_residue = {r["pos"] % 3: r["source"] for r in out}
+    assert len(by_residue) == 3  # each source pinned to one residue class
+    ordered = [r["source"] for r in sorted(out, key=lambda r: r["pos"])]
+    for k in range(1, 91):
+        counts = {s: ordered[:k].count(s) for s in ("web", "book", "code")}
+        assert max(counts.values()) - min(counts.values()) <= 1
