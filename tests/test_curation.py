@@ -329,3 +329,40 @@ def test_interleave_positions_unique_and_proportional(spark):
     for k in range(1, 91):
         counts = {s: ordered[:k].count(s) for s in ("web", "book", "code")}
         assert max(counts.values()) - min(counts.values()) <= 1
+
+
+def test_text_operators_survive_adversarial_corpus(spark):
+    """ANSI-mode landmine sweep: every text-family operator must run
+    (not necessarily emit rows) over a corpus of degenerate documents —
+    empty text, single token, fewer-than-n tokens, unicode, repeated
+    single char, and a single enormous token. The short-doc shingle
+    crash (sequence(1,0) descending) is exactly the class of bug this
+    guards against."""
+    from adguard2clickhouse_spark.operators import (
+        chunking, dedup, repetition, scrub, spans, text,
+    )
+
+    rows = [
+        (1, "", "en", "web"),
+        (2, "one", "en", "web"),
+        (3, "two words", "en", "book"),
+        (4, "héllo wörld ünïcode tëxt hère", "de", "web"),
+        (5, "a a a a a a a a", "en", "code"),
+        (6, "x" * 5000, "en", "code"),
+        (7, "normal length document with plenty of distinct words here", "en", "book"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING, lang STRING, source STRING")
+
+    assert dedup.duplicated_ngram_stats(docs, n=3).count() >= 1
+    assert dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5).count() >= 0
+    assert dedup.minhash_lsh_pairs(docs, n=3).count() >= 0
+    assert dedup.winnow_fingerprints(docs, k=5, w=4).count() >= 0
+    assert dedup.fingerprint_dedup(docs).count() == 7
+    assert text.quality_features(docs).count() == 7
+    assert text.document_profile(docs).count() == 7
+    assert text.common_ngram_density(docs).count() >= 1
+    assert repetition.repetition_metrics(docs).count() >= 1
+    assert scrub.scrub_pii(docs).count() == 7
+    assert scrub.clean_html(docs, text_col="text").count() == 7
+    assert chunking.chunk_documents(docs).count() >= 1
+    assert spans.repeated_span_scrub(docs).count() >= 1
