@@ -42,7 +42,10 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """NULL (not an ANSI divide-by-zero error) when either vector has
+    zero norm — a zero vector has no direction, so it simply never
+    passes a similarity threshold."""
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def normalize_embeddings(
@@ -381,7 +384,11 @@ def embedding_dup_pairs(
         F.col(vec_col).alias("_vb"),
         norm(F.col(vec_col)).alias("_nb"),
     )
-    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    # Zero-norm vectors have no direction: exclude them up front
+    # (cheaper than per-pair try_divide, and ANSI-safe).
+    pairs = a.filter(F.col("_na") > 0).join(
+        b.filter(F.col("_nb") > 0), F.col("id_a") < F.col("id_b")
+    )
     return (
         pairs.select(
             "id_a",
@@ -811,8 +818,16 @@ def embedding_dup_pairs_brp_ml(
         .select(
             "_id",
             "_v",
+            # try_divide: the _n > 0 filter guards rows, but codegen may
+            # still evaluate the projection on pre-filter rows — ANSI
+            # divide-by-zero must be impossible by construction.
             array_to_vector(
-                F.transform("_v", lambda x: (x / F.col("_n")).cast("double"))
+                F.transform(
+                    "_v",
+                    lambda x: F.coalesce(
+                        F.try_divide(x, F.col("_n")), F.lit(0.0)
+                    ).cast("double"),
+                )
             ).alias("features"),
         )
     )

@@ -106,3 +106,32 @@ def test_candidate_results_are_subset_ranked_exactly(emb):
 def test_bad_strategy_raises(emb):
     with pytest.raises(ValueError):
         similarity.knn_join(emb, emb, strategy="nope")
+
+
+def test_similarity_operators_survive_degenerate_vectors(spark):
+    """Zero vectors (norm 0), exact-duplicate vectors, and a 1-row
+    corpus must not error any similarity path: dup pairs (exact + LSH),
+    top-k, quantization. Zero-norm rows may be absent from cosine
+    outputs but must never raise."""
+    from adguard2clickhouse_spark.operators import similarity
+
+    rows = [
+        (1, [0.0] * 8, 0),
+        (2, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 0),
+        (3, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0], 1),
+        (4, [0.5] * 8, 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    assert similarity.embedding_dup_pairs(df, threshold=0.9).count() >= 1  # 2~3 dup
+    assert similarity.embedding_dup_pairs_lsh(df, threshold=0.9).count() >= 0
+    assert (
+        similarity.embedding_dup_pairs_brp_ml(
+            df, threshold=0.9, num_hash_tables=2, bucket_length=2.0
+        ).count()
+        >= 0
+    )
+    topk = similarity.topk_cosine(df, [1.0, 0, 0, 0, 0, 0, 0, 0], k=3)
+    assert topk.count() == 3
+    assert similarity.quantize_embeddings_int8(df).count() == 4
+    one = spark.createDataFrame([rows[1]], "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
+    assert similarity.embedding_dup_pairs(one, threshold=0.5).count() == 0
