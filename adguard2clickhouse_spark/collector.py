@@ -24,9 +24,24 @@ parquet summing sink serves the identical read API.
 from __future__ import annotations
 
 import argparse
+import os
 
 from adguard2clickhouse_spark.session import get_spark
 from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+
+def writer_from_env():
+    """The reference's entire sink config is four env vars
+    (src/collector.py:81-87): when ``DB_HOST`` is set, every micro-
+    batch's fact block is ALSO inserted into ClickHouse ``log2`` over
+    the HTTP RowBinary path (sinks/clickhouse.py); otherwise the
+    parquet summing sinks alone serve the read API. Returns the
+    writer or None."""
+    if not os.environ.get("DB_HOST"):
+        return None
+    from adguard2clickhouse_spark.sinks.clickhouse import ClickHouseHTTPWriter
+
+    return ClickHouseHTTPWriter.from_env()
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -65,7 +80,9 @@ def build_parser() -> argparse.ArgumentParser:
 def run(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="adguard-collector", master=args.master)
-    pipe = QuerylogPipeline(spark, args.source, args.out)
+    pipe = QuerylogPipeline(
+        spark, args.source, args.out, clickhouse=writer_from_env()
+    )
     if args.rebuild:
         pipe.rebuild_aggregates()
         return

@@ -102,3 +102,20 @@ def test_collector_rebuild_recovers_sinks(spark, tmp_path):
     run(["--source", str(src), "--out", str(out), "--rebuild", "--master", "local[4]"])
     after = read_state()
     assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+
+
+def test_writer_from_env_gates_on_db_host(monkeypatch):
+    """Reference env parity: no DB_HOST → parquet-only; the four DB_*
+    vars → an HTTP writer aimed at them."""
+    from adguard2clickhouse_spark import collector
+
+    for k in ("DB_HOST", "DB_USER", "DB_PASSWORD", "DB_DATABASE"):
+        monkeypatch.delenv(k, raising=False)
+    assert collector.writer_from_env() is None
+
+    monkeypatch.setenv("DB_HOST", "ch.internal")
+    monkeypatch.setenv("DB_USER", "agh")
+    monkeypatch.setenv("DB_PASSWORD", "pw")
+    monkeypatch.setenv("DB_DATABASE", "dns")
+    w = collector.writer_from_env()
+    assert w is not None and w.host == "ch.internal" and w.database == "dns"
