@@ -173,6 +173,34 @@ def q_a12_trending_domains(spark, sf_dir):
     )
 
 
+def q_recursive_suffixes(spark, sf_dir):
+    """Native WITH RECURSIVE (Spark 4) under the hash gate: the
+    domain-suffix rollup of a10 re-expressed as a recursive CTE that
+    strips one label per iteration — recursion depth is bounded by the
+    deepest hostname (≈4), every iteration a narrow projection, counts
+    carried through the recursion so there is no join-back. The same
+    SQL replays verbatim in DuckDB, cross-validating Spark's recursive
+    execution against the transform-based a10 plan. (Anchor columns
+    must be explicitly aliased — an unaliased SELECT QH, QH misbinds.)"""
+    log2 = log2_from_events(spark, sf_dir)
+    base = (
+        log2.filter(agg._real_domain("QH"))
+        .groupBy("QH")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    base.createOrReplaceTempView("x_recursive_suffixes_base")
+    return spark.sql(
+        """WITH RECURSIVE sufs(s, n) AS (
+             SELECT QH AS s, n AS n FROM x_recursive_suffixes_base
+             UNION ALL
+             SELECT substr(s, instr(s, '.') + 1) AS s, n AS n
+             FROM sufs WHERE instr(s, '.') > 0
+           )
+           SELECT s AS suffix, CAST(sum(n) AS BIGINT) AS count
+           FROM sufs GROUP BY s"""
+    )
+
+
 def q_a10_domain_hierarchy(spark, sf_dir):
     """A7 generalized: counts at EVERY domain-suffix level (the
     ClickHouse cutToFirstSignificantSubdomain family, done for all
@@ -2794,6 +2822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_domain_hierarchy": q_a10_domain_hierarchy,
         "a11_sliding_windows": q_a11_sliding_windows,
         "a12_trending_domains": q_a12_trending_domains,
+        "x_recursive_suffixes": q_recursive_suffixes,
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
         "p1_variant_key_stats": q_p1_variant,
@@ -3262,6 +3291,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS blocked, "
             "CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS visited "
             "FROM e GROUP BY 1, 2"
+        ),
+        "x_recursive_suffixes": oracle_cte(
+            f", base AS (SELECT QH, count(*) AS n FROM log2 WHERE {f3} GROUP BY QH) "
+            "SELECT s AS suffix, CAST(sum(n) AS BIGINT) AS count FROM ("
+            "WITH RECURSIVE sufs(s, n) AS ("
+            "SELECT QH AS s, n AS n FROM base "
+            "UNION ALL SELECT substr(s, instr(s, '.') + 1) AS s, n AS n "
+            "FROM sufs WHERE instr(s, '.') > 0) "
+            "SELECT s, n FROM sufs) GROUP BY s"
         ),
         "a10_domain_hierarchy": oracle_cte(
             f", lab AS (SELECT str_split(QH, '.') AS l FROM log2 WHERE {f3}), "
