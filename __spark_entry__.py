@@ -596,7 +596,9 @@ def q_q14_promo(spark, sf_dir):
             cents.alias("all_c"),
         )
         .agg(
-            F.floor(F.sum("promo_c") * 1000 / F.sum("all_c"))
+            # nullif: zero total revenue must yield a NULL ratio (DuckDB
+            # semantics), not an ANSI divide-by-zero abort.
+            F.floor(F.sum("promo_c") * 1000 / F.nullif(F.sum("all_c"), F.lit(0)))
             .cast("long")
             .alias("promo_permille"),
             F.sum("all_c").cast("long").alias("revenue_cents"),
@@ -852,7 +854,10 @@ def q_q8_market_share(spark, sf_dir):
         )
         .withColumn(
             "share_permille",
-            F.expr("(1000 * target_cents) DIV all_cents").cast("long"),
+            # nullif: Spark's DIV raises under ANSI on a zero divisor
+            # while DuckDB's // yields NULL — NULL-share semantics for a
+            # zero-revenue year keeps both engines identical.
+            F.expr("(1000 * target_cents) DIV nullif(all_cents, 0)").cast("long"),
         )
         .orderBy("o_year")
     )

@@ -76,10 +76,13 @@ def quality_keep(col: Column | str) -> Column:
     n_tok = token_count(t)
     n_chars = F.length(t)
     n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    # nullif: empty text has n_chars 0 — the ratio must be NULL (DuckDB
+    # semantics; NULL < 200 is NULL, and NULL AND FALSE = FALSE, so the
+    # verdict is still a clean drop), never an ANSI divide-by-zero.
     return (
         (n_tok >= 10)
         & (n_chars >= 50)
-        & (F.floor((n_punct * 1000) / n_chars) < 200)
+        & (F.floor((n_punct * 1000) / F.nullif(n_chars, F.lit(0))) < 200)
     )
 
 
@@ -94,8 +97,10 @@ def quality_features(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
     n_stop = stopword_hits(t, "en")
     # floor(), not cast: DuckDB CAST(double AS BIGINT) rounds while Spark
     # truncates — floor() is identical in both, keeping oracles exact.
-    punct_permille = F.floor((n_punct * 1000) / n_chars)
-    stop_permille = F.floor((n_stop * 1000) / n_tok)
+    # nullif: ratios over empty text (n_chars/n_tok 0) are NULL exactly
+    # like the DuckDB oracle, never ANSI divide-by-zero errors.
+    punct_permille = F.floor((n_punct * 1000) / F.nullif(n_chars, F.lit(0)))
+    stop_permille = F.floor((n_stop * 1000) / F.nullif(n_tok, F.lit(0)))
     return df.select(
         F.col(id_col),
         n_chars.cast("long").alias("n_chars"),

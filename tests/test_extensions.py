@@ -776,3 +776,108 @@ def test_countmin_merge_and_overestimate(spark):
     whole = {(r["row"], r["bucket"]): r["cell_count"] for r in cells.collect()}
     folded = {(r["row"], r["bucket"]): r["cell_count"] for r in merged.collect()}
     assert folded == whole
+
+
+def test_event_queries_survive_degenerate_events(spark, tmp_path):
+    """Gate queries against an adversarial events table: single-event
+    users, duplicate timestamps, NULL value/props/event_type, malformed
+    props JSON, an unseen event_type. Every events-backed query (and
+    the events→log2 bridge feeding the a* family) must execute without
+    error — NULLs flow as absent keys, never as crashes."""
+    import datetime as dt
+
+    import __spark_entry__ as entrymod
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, t0, 10, "view", 1.0, '{"k": 3}'),
+        (2, t0, 10, "view", 1.0, '{"k": 3}'),          # duplicate ts + type
+        (3, t0 + dt.timedelta(minutes=5), 10, "click", None, '{"k": 7}'),
+        (4, t0 + dt.timedelta(minutes=6), 10, "purchase", 2.5, "{"),  # bad json
+        (5, t0, 11, "purchase", 0.0, None),             # NULL props, lone event
+        (6, t0 + dt.timedelta(hours=2), 12, None, 3.0, '{"k": 1}'),  # NULL type
+        (7, t0 + dt.timedelta(hours=3), 13, "weird", -1.0, '{"k": 99}'),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+        "value DOUBLE, props STRING",
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+
+    qs = entrymod.queries()
+    for name in [
+        "e_funnel", "e_retention_cohorts", "e_transitions", "e_sessions",
+        "e_sessions_native", "e_pivot", "e_unpivot", "x_window_range_frame",
+        "x13_mad_outliers", "a1_blocked_domains", "a6_stats2",
+        "a12_trending_domains", "x_recursive_suffixes", "x6_countmin",
+    ]:
+        assert len(qs[name](spark, str(tmp_path)).collect()) >= 0, name
+
+
+def test_tpch_queries_survive_degenerate_tables(spark, tmp_path):
+    """Relational gate queries against adversarial mini-tables: zero
+    prices (ratio denominators), zero quantities, NULL join keys,
+    customers with no orders, orders with no lines, and an unmatched
+    region. Integer DIV / permille ratios must not hit ANSI
+    divide-by-zero, and empty groups must fold to empty/NULL rows,
+    never errors."""
+    import datetime as dt
+
+    import __spark_entry__ as entrymod
+
+    d = dt.datetime
+    spark.createDataFrame(
+        [(0, "EUROPE"), (1, "ASIA")], "r_regionkey INT, r_name STRING"
+    ).write.mode("overwrite").parquet(str(tmp_path / "region.parquet"))
+    spark.createDataFrame(
+        [(0, "NATION_3", 0), (1, "NATION_1", 1), (2, "NATION_2", 0)],
+        "n_nationkey INT, n_name STRING, n_regionkey INT",
+    ).write.mode("overwrite").parquet(str(tmp_path / "nation.parquet"))
+    spark.createDataFrame(
+        [(1, "c1", 0, 0.0, "BUILDING"), (2, "c2", 1, -5.0, "AUTOMOBILE"),
+         (3, "c3", 2, 10.0, "FURNITURE"), (4, "c4", None, 1.0, "BUILDING")],
+        "c_custkey LONG, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, "
+        "c_mktsegment STRING",
+    ).write.mode("overwrite").parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [(1, "s1", 0, 0.0), (2, "s2", 1, 1.0)],
+        "s_suppkey LONG, s_name STRING, s_nationkey INT, s_acctbal DOUBLE",
+    ).write.mode("overwrite").parquet(str(tmp_path / "supplier.parquet"))
+    spark.createDataFrame(
+        [(1, "small gear", "Brand#12", "ECONOMY", 1, 0.0),
+         (2, "red widget", "Brand#23", "PROMO", 9, 100.0)],
+        "p_partkey LONG, p_name STRING, p_brand STRING, p_type STRING, "
+        "p_size INT, p_retailprice DOUBLE",
+    ).write.mode("overwrite").parquet(str(tmp_path / "part.parquet"))
+    spark.createDataFrame(
+        [(10, 1, "F", 0.0, d(1996, 2, 1), "1-URGENT"),
+         (11, 2, "O", 50.0, d(1996, 6, 1), "5-LOW"),
+         (12, 3, "F", 10.0, d(1994, 1, 1), "3-MEDIUM"),   # no lineitems
+         (13, None, "P", 1.0, d(1996, 3, 1), "2-HIGH")],  # NULL custkey
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).write.mode("overwrite").parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        # zero price + zero discount + zero quantity; late ship; NULL partkey
+        [(10, 1, 1, 1, 0.0, 0.0, 0.0, 0.0, "R", "F", d(1996, 6, 1)),
+         (10, 2, 2, 2, 5.0, 100.0, 0.1, 0.05, "N", "O", d(1996, 2, 10)),
+         (11, None, 2, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", d(1996, 6, 5))],
+        "l_orderkey LONG, l_partkey LONG, l_suppkey LONG, l_linenumber INT, "
+        "l_quantity DOUBLE, l_extendedprice DOUBLE, l_discount DOUBLE, "
+        "l_tax DOUBLE, l_returnflag STRING, l_linestatus STRING, "
+        "l_shipdate TIMESTAMP",
+    ).write.mode("overwrite").parquet(str(tmp_path / "lineitem.parquet"))
+
+    qs = entrymod.queries()
+    for name in [
+        "q1_pricing_summary", "q3_shipping_priority", "q4_order_priority",
+        "q5_local_suppliers", "q6_forecast_revenue", "q7_volume_shipping",
+        "q8_market_share", "q9_profit_by_nation", "q10_returned_items",
+        "q12_late_priority", "q13_customer_distribution", "q14_promo_revenue",
+        "q15_top_supplier", "q16_supplier_variety", "q17_small_quantity",
+        "q18_large_orders", "q19_disjunctive", "q20_part_promotion",
+        "q21_waiting_supplier", "q22_dormant_customers",
+        "x_join_revenue_by_nation", "x_topk_orders",
+    ]:
+        assert len(qs[name](spark, str(tmp_path)).collect()) >= 0, name
