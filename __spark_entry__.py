@@ -146,6 +146,26 @@ def q_a11_sliding_windows(spark, sf_dir):
     )
 
 
+def q_a13_window_uniques(spark, sf_dir):
+    """Per-10-min unique-client counts beside raw volume — the exact
+    twin of the HLL-per-window sketch path (x6_hll_rollup computes the
+    same shape approximately/mergeably). One groupBy; the distinct
+    folds as a two-phase partial aggregate, never a window."""
+    log2 = log2_from_events(spark, sf_dir)
+    return (
+        log2.groupBy(F.window("date_time", "10 minutes").alias("_w"))
+        .agg(
+            F.countDistinct("IP").alias("n_clients"),
+            F.count(F.lit(1)).alias("n_queries"),
+        )
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("n_clients").cast("long").alias("n_clients"),
+            F.col("n_queries").cast("long").alias("n_queries"),
+        )
+    )
+
+
 def q_a12_trending_domains(spark, sf_dir):
     """Per-window trending report: the top-3 visited domains of every
     10-minute bucket with their rank — the "what's hot right now"
@@ -2414,6 +2434,21 @@ def q_interleave(spark, sf_dir):
     return interleave_sources(_t(spark, sf_dir, "documents"))
 
 
+def q_upsample(spark, sf_dir):
+    """WITH-replacement oversampling under the hash gate
+    (operators/mixture.py::upsample_with_replacement): 40 draws per
+    source (beyond most sources' sizes, so replacement genuinely
+    engages), each draw a pure integer function of (source, i, n) —
+    the whole mapping replays verbatim in DuckDB."""
+    from adguard2clickhouse_spark.operators.mixture import (
+        upsample_with_replacement,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    targets = docs.select("source").distinct().withColumn("target", F.lit(40))
+    return upsample_with_replacement(docs, targets)
+
+
 def q_mixture(spark, sf_dir):
     """X7 curation: temperature-scaled corpus mixture (T = 1/2 →
     squared-count weights, exact integer arithmetic) drawn as an
@@ -2827,6 +2862,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_domain_hierarchy": q_a10_domain_hierarchy,
         "a11_sliding_windows": q_a11_sliding_windows,
         "a12_trending_domains": q_a12_trending_domains,
+        "a13_window_uniques": q_a13_window_uniques,
         "x_recursive_suffixes": q_recursive_suffixes,
         "f3_real_domain_count": q_f3,
         "p1_json_key_stats": q_p1_json,
@@ -2952,6 +2988,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x7_stratified_sample": q_stratified_sample,
         "x7_mixture_sample": q_mixture,
         "x7_interleave": q_interleave,
+        "x7_upsample": q_upsample,
         "x7_det_shuffle": q_det_shuffle,
         "x8_contamination": q_contamination,
         "x9_sequence_pack": q_sequence_pack,
@@ -3277,6 +3314,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_upstream_stats": oracle_cte(
             'SELECT Upstream, count(*) AS "count" FROM log2 GROUP BY Upstream'
+        ),
+        "a13_window_uniques": oracle_cte(
+            "SELECT make_timestamp((epoch_us(date_time) // 600000000) * 600000000) "
+            "AS window_start, CAST(count(DISTINCT IP) AS BIGINT) AS n_clients, "
+            "CAST(count(*) AS BIGINT) AS n_queries FROM log2 GROUP BY 1"
         ),
         "a12_trending_domains": oracle_cte(
             ", per AS (SELECT (epoch_us(date_time) // 600000000) * 600000000 AS ws, "
@@ -4138,6 +4180,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score, n_hits, "
             "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk "
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "x7_upsample": (
+            "WITH n_per AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), "
+            "draws AS (SELECT source, n, unnest(generate_series(1, 40)) AS draw_id "
+            "FROM n_per), "
+            "d2 AS (SELECT source, draw_id, "
+            "((('0x' || substring(md5(source || '#' || CAST(draw_id AS VARCHAR)), "
+            "1, 15))::BIGINT) % n) + 1 AS pos FROM draws), "
+            "ranked AS (SELECT doc_id, source, row_number() OVER "
+            "(PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) "
+            "AS pos FROM documents) "
+            "SELECT CAST(draw_id AS BIGINT) AS draw_id, doc_id, source, "
+            "CAST(pos AS BIGINT) AS pos FROM d2 JOIN ranked USING (source, pos)"
         ),
         "x7_interleave": (
             "WITH srcs AS (SELECT source, row_number() OVER (ORDER BY source) - 1 "

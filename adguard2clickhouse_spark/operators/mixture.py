@@ -128,3 +128,71 @@ def interleave_sources(
             .alias("pos"),
         )
     )
+
+
+def upsample_with_replacement(
+    df: DataFrame,
+    targets: DataFrame,
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic WITH-replacement draw: for each stratum, emit
+    exactly ``target`` rows (``targets``: (strata, target) — may exceed
+    the stratum size, the oversampling a rare source needs to hit its
+    mixture weight across epochs). Draw i of a stratum with n docs maps
+    to the md5-ranked document at position
+    ``(md5-int(stratum ∥ '#' ∥ i) mod n) + 1`` — a pure integer
+    function of (stratum, i, n), so the sample is reproducible across
+    runs, partitionings, and engines (exact SQL twin in the oracle).
+
+    Scale shape: draws explode from the k-row targets table (never from
+    the corpus), ranks are one per-stratum window, and the draw⋈doc
+    join is an equi-join on (stratum, position). Returns
+    (draw_id, id, strata, pos) with draw_id = the 1-based draw index.
+    """
+    n_per = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    draws = (
+        targets.join(n_per, strata_col)
+        .select(
+            strata_col,
+            "_n",
+            F.explode(F.sequence(F.lit(1), F.col("target"))).alias("draw_id"),
+        )
+        .select(
+            strata_col,
+            "draw_id",
+            (
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "#",
+                                    F.col(strata_col),
+                                    F.col("draw_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            15,
+                        ),
+                        16,
+                        10,
+                    ).cast("long"),
+                    F.col("_n"),
+                )
+                + 1
+            ).alias("pos"),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    ranked = df.select(id_col, strata_col).withColumn(
+        "pos", F.row_number().over(w).cast("long")
+    )
+    return draws.join(ranked, [strata_col, "pos"]).select(
+        F.col("draw_id").cast("long").alias("draw_id"),
+        F.col(id_col),
+        F.col(strata_col),
+        F.col("pos").cast("long").alias("pos"),
+    )
