@@ -146,6 +146,19 @@ def q_a11_sliding_windows(spark, sf_dir):
     )
 
 
+def q_seasonal_naive(spark, sf_dir):
+    """Seasonal-naive forecast residuals
+    (operators/timeseries.py::seasonal_naive_residuals): per-event
+    integer-permille residual against the (user, hour-of-week) slot
+    mean — the baseline+residual feed a robust anomaly detector
+    consumes. One exchange; floor semantics exact cross-engine."""
+    from adguard2clickhouse_spark.operators.timeseries import (
+        seasonal_naive_residuals,
+    )
+
+    return seasonal_naive_residuals(_t(spark, sf_dir, "events"))
+
+
 def q_a13_window_uniques(spark, sf_dir):
     """Per-10-min unique-client counts beside raw volume — the exact
     twin of the HLL-per-window sketch path (x6_hll_rollup computes the
@@ -1886,6 +1899,17 @@ def q_ngram_jaccard(spark, sf_dir):
     )
 
 
+def q_threshold_sweep(spark, sf_dir):
+    """Dedup-threshold tuning report
+    (operators/dedup.py::jaccard_threshold_sweep): cumulative pair
+    counts at six Jaccard cutoffs from ONE inverted-index pass at the
+    lowest — the sweep a curation run does before committing to a
+    threshold. Exact integer compares; oracle replays the pair CTE and
+    the bucketing."""
+    docs = _t(spark, sf_dir, "documents")
+    return dedup.jaccard_threshold_sweep(docs, n=3)
+
+
 def q_ngram_jaccard_capped(spark, sf_dir):
     """X2a at scale settings: the document-frequency-capped inverted
     index (max_df drops boilerplate shingles from the JOIN only, so a
@@ -2918,6 +2942,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x_ordered_agg": q_ordered_agg,
         "x_cdc_snapshot": q_cdc_snapshot,
         "x13_ts_similarity": q_ts_similarity,
+        "x13_seasonal_naive": q_seasonal_naive,
         "x13_mad_outliers": q_mad_outliers,
         "x_scd2": q_scd2,
         "x_window_range_frame": q_window_range_frame,
@@ -2943,6 +2968,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x2_ngram_containment": q_ngram_containment,
         "x2_ngram_jaccard_capped": q_ngram_jaccard_capped,
+        "x2_threshold_sweep": q_threshold_sweep,
         "x2_minhash_lsh": q_minhash_lsh,
         "x2_minhash_lsh_md5": q_minhash_lsh_md5,
         "x2_near_dedup_clusters": q_near_dedup_clusters,
@@ -3800,6 +3826,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT event_id, user_id, v FROM d JOIN mm USING (user_id) "
             "WHERE ad > 3 * mad"
         ),
+        "x13_seasonal_naive": (
+            # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1 —
+            # the (d-1) on the Spark side makes the slots identical.
+            "WITH s AS (SELECT event_id, user_id, "
+            "CAST(dayofweek(ts) * 24 + hour(ts) AS INT) AS hour_of_week, "
+            "CAST(floor(value * 1000) AS BIGINT) AS value_permille FROM events), "
+            "w AS (SELECT *, sum(value_permille) OVER "
+            "(PARTITION BY user_id, hour_of_week) AS slot_sum, "
+            "count(*) OVER (PARTITION BY user_id, hour_of_week) AS slot_n FROM s) "
+            "SELECT event_id, user_id, hour_of_week, value_permille, "
+            "CAST(floor(slot_sum / slot_n) AS BIGINT) AS baseline_permille, "
+            "CAST(value_permille - floor(slot_sum / slot_n) AS BIGINT) "
+            "AS resid_permille FROM w"
+        ),
         "x13_ts_similarity": (
             "WITH hourly AS (SELECT user_id AS key, CAST(ts AS DATE) AS day, "
             "hour(ts) AS h, CAST(floor(sum(value) * 1000) AS BIGINT) AS v "
@@ -3949,6 +3989,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(floor(c * 1000 / least(x.n, y.n)) AS BIGINT) AS containment_permille "
             "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
             "WHERE c * 1000 >= 500 * least(x.n, y.n)"
+        ),
+        "x2_threshold_sweep": (
+            f"WITH {_SHINGLE_CTE}, "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "j AS (SELECT c, x.n + y.n - c AS u FROM p "
+            "JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000 >= 500 * (x.n + y.n - c)), "
+            "g AS (SELECT unnest([500, 600, 700, 800, 900, 1000]) AS t) "
+            "SELECT CAST(t AS BIGINT) AS threshold_permille, "
+            "CAST(count(c) AS BIGINT) AS n_pairs "
+            "FROM g LEFT JOIN j ON c * 1000 >= t * u GROUP BY t"
         ),
         "x2_ngram_jaccard": (
             f"WITH {_SHINGLE_CTE}, "

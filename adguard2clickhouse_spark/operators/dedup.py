@@ -848,3 +848,48 @@ def minhash_lsh_ml_pairs(
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
     )
+
+
+def jaccard_threshold_sweep(
+    df: DataFrame,
+    thresholds: list[int] = (500, 600, 700, 800, 900, 1000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Threshold-tuning report: how many near-dup pairs survive at each
+    candidate Jaccard cutoff (permille), from ONE inverted-index pass at
+    the lowest threshold — the sweep a curation run does before
+    committing to a dedup threshold, without re-joining the corpus per
+    candidate value.
+
+    Returns (threshold_permille, n_pairs) with cumulative semantics
+    (a pair at 0.83 counts toward 500..800). Exact integer compare:
+    1000·common ≥ t·union, the same form the pair join itself uses.
+    """
+    lo = min(thresholds) / 1000.0
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n=n, threshold=lo, max_df=max_df
+    ).select(
+        "common", (F.col("size_a") + F.col("size_b") - F.col("common")).alias("_u")
+    )
+    counts = pairs.agg(
+        *[
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("common") * 1000 >= F.lit(t) * F.col("_u"), 1
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias(f"_t{t}")
+            for t in thresholds
+        ]
+    )
+    stack = ", ".join(f"{t}L, _t{t}" for t in thresholds)
+    return counts.selectExpr(
+        f"stack({len(thresholds)}, {stack}) AS (threshold_permille, n_pairs)"
+    )

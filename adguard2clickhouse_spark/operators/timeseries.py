@@ -110,3 +110,49 @@ def ts_topk(
         .orderBy(F.asc("dist2"), F.asc("day"), F.asc("key"))
         .limit(k)
     )
+
+
+def seasonal_naive_residuals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Seasonal-naive forecasting baseline: each observation is
+    predicted by its (key, hour-of-week) slot's integer-permille mean,
+    and the residual is what anomaly detection actually consumes (pair
+    with the median/MAD flagger for a robust detector). All integer:
+    value_permille = floor(value·1000), baseline = floor(Σ/n) over the
+    slot — floor (not truncate: Spark's DIV truncates toward zero and
+    would disagree with floor-semantics engines on negative sums), so
+    the baseline is identical on any engine.
+
+    One hash exchange on (key, hour_of_week); the slot aggregate rides
+    a window over that partitioning, so baseline and residual come out
+    of a single pass. Returns (id, key, hour_of_week, value_permille,
+    baseline_permille, resid_permille).
+    """
+    from pyspark.sql.window import Window
+
+    vp = F.floor(F.col(value_col) * 1000).cast("long")
+    how = (
+        (F.dayofweek(ts_col) - 1) * 24 + F.hour(ts_col)
+    ).cast("int").alias("hour_of_week")
+    w = Window.partitionBy(key_col, "hour_of_week")
+    base = F.floor(F.col("slot_sum") / F.col("slot_n")).cast("long")
+    return (
+        df.select(
+            F.col(id_col), F.col(key_col), how, vp.alias("value_permille")
+        )
+        .withColumn("slot_sum", F.sum("value_permille").over(w))
+        .withColumn("slot_n", F.count(F.lit(1)).over(w))
+        .select(
+            id_col,
+            key_col,
+            "hour_of_week",
+            "value_permille",
+            base.alias("baseline_permille"),
+            (F.col("value_permille") - base).cast("long").alias("resid_permille"),
+        )
+    )
