@@ -368,3 +368,70 @@ def test_text_operators_survive_adversarial_corpus(spark):
     assert len(scrub.clean_html(docs, text_col="text").collect()) == 7
     assert len(chunking.chunk_documents(docs).collect()) >= 1
     assert len(spans.repeated_span_scrub(docs).collect()) >= 1
+
+
+def test_upsample_with_replacement_deterministic_and_exact(spark):
+    """With-replacement draws: exactly `target` rows per stratum even
+    past the stratum size, every position within [1, n], and the result
+    is invariant to input partitioning (the reproducibility contract
+    training reruns rely on)."""
+    from adguard2clickhouse_spark.operators.mixture import (
+        upsample_with_replacement,
+    )
+
+    rows = [(i, ["a", "b", "c"][i % 3]) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    targets = spark.createDataFrame(
+        [("a", 25), ("b", 3), ("c", 10)], "source STRING, target INT"
+    )
+
+    def draw(frame):
+        return sorted(
+            map(tuple, upsample_with_replacement(frame, targets).collect())
+        )
+
+    out = draw(df)
+    per = {}
+    for _draw_id, _doc, src, pos in out:
+        per[src] = per.get(src, 0) + 1
+        assert 1 <= pos <= 10
+    assert per == {"a": 25, "b": 3, "c": 10}
+    assert out == draw(df.repartition(7)) == draw(df.repartition(2, "doc_id"))
+
+
+def test_shingle_helpers_match_python_reference(spark):
+    """Property: for arbitrary token lists (including fewer than n
+    tokens — the sequence(1,0) regression), the string-shingle set and
+    the hash-shingle COUNT both equal the Python reference."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adguard2clickhouse_spark.operators.dedup import (
+        shingle_hashes_from_tokens, shingles_from_tokens,
+    )
+    from pyspark.sql import functions as F
+
+    token = st.text(
+        alphabet=st.characters(blacklist_characters=" ", blacklist_categories=("Cs",)),
+        min_size=1, max_size=5,
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(token, min_size=0, max_size=8))
+    def check(toks):
+        text = " ".join(toks)
+        retok = text.split(" ")  # what split() actually sees ('' for empty text)
+        expect = {
+            " ".join(retok[i : i + 3]) for i in range(max(0, len(retok) - 2))
+        }
+        df = spark.createDataFrame([(text,)], "text STRING").select(
+            F.split("text", " ").alias("_toks")
+        )
+        row = df.select(
+            shingles_from_tokens(F.col("_toks"), 3).alias("s"),
+            F.size(shingle_hashes_from_tokens(F.col("_toks"), 3)).alias("nh"),
+        ).collect()[0]
+        assert set(row["s"]) == expect
+        assert row["nh"] == len(expect)
+
+    check()
