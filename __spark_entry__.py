@@ -840,6 +840,74 @@ def q_q17_small_quantity(spark, sf_dir):
     )
 
 
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (adapted: no partsupp, so a supplier's "cost" for
+    a part is the minimum price it ever sold it at, from lineitem):
+    for small parts, the supplier(s) achieving the per-part minimum
+    cost — min-per-group decorrelated into a pre-aggregate joined back
+    on (part, cost) equality, exactly Q2's correlated-subquery plan
+    after decorrelation. Ordered by account balance like Q2; all money
+    in integer cents."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
+        "p_partkey", "p_name"
+    )
+    costs = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_partkey", "p_name", "l_suppkey")
+        .agg(F.min(_cents("l_extendedprice")).alias("cost_cents"))
+    )
+    min_cost = costs.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min("cost_cents").alias("_mc")
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", _cents("s_acctbal").alias("acctbal_cents")
+    )
+    return (
+        costs.join(
+            min_cost,
+            (costs.p_partkey == F.col("_pk")) & (costs.cost_cents == F.col("_mc")),
+        )
+        .join(s, costs.l_suppkey == s.s_suppkey)
+        .select(
+            "p_partkey", "p_name", "s_name", "cost_cents", "acctbal_cents"
+        )
+        .orderBy(
+            F.desc("acctbal_cents"), F.asc("s_name"), F.asc("p_partkey")
+        )
+        .limit(100)
+    )
+
+
+def q_q11_important_share(spark, sf_dir):
+    """TPC-H Q11 shape (adapted: inventory value becomes traded value
+    Σ qty·price from lineitem, the nation filter keyed through the
+    supplier): parts whose share of one nation's traded value exceeds
+    1‰ — the HAVING-against-a-global-fraction plan, the threshold a
+    1-row broadcast and the compare exact cross-multiplied integers
+    (1000·part > total), immune to ratio rounding."""
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    val = F.floor(F.col("l_quantity") * F.col("l_extendedprice")).cast("long")
+    per_part = (
+        li.join(s, li.l_suppkey == s.s_suppkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("part_value"))
+    )
+    total = per_part.agg(F.sum("part_value").alias("_tot"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("part_value") * 1000 > F.col("_tot"))
+        .select("l_partkey", F.col("part_value").cast("long").alias("part_value"))
+        .orderBy(F.desc("part_value"), F.asc("l_partkey"))
+    )
+
+
 def q_q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one nation's share of ECONOMY-part revenue sold
     to EUROPE customers, by order year. nation/region hinted; the
@@ -2907,6 +2975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q17_small_quantity": q_q17_small_quantity,
         "q18_large_orders": q_q18_large_orders,
         "q19_disjunctive": q_q19_disjunctive,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_share": q_q11_important_share,
         "q8_market_share": q_q8_market_share,
         "q9_profit_by_nation": q_q9_profit_by_nation,
         "q12_late_priority": q_q12_late_priority,
@@ -3581,6 +3651,30 @@ def oracle_sql() -> dict[str, str]:
             "FROM rev JOIN supplier ON l_suppkey = s_suppkey "
             "WHERE total_revenue_cents = (SELECT max(total_revenue_cents) FROM rev) "
             "ORDER BY s_suppkey"
+        ),
+        "q2_min_cost_supplier": (
+            "WITH costs AS (SELECT p_partkey, p_name, l_suppkey, "
+            "CAST(min(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) "
+            "AS cost_cents "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey "
+            "WHERE p_size <= 5 GROUP BY 1, 2, 3), "
+            "mc AS (SELECT p_partkey AS pk, min(cost_cents) AS m FROM costs GROUP BY 1) "
+            "SELECT p_partkey, p_name, s_name, cost_cents, "
+            "CAST(floor(s_acctbal * 100) AS BIGINT) AS acctbal_cents "
+            "FROM costs JOIN mc ON p_partkey = pk AND cost_cents = m "
+            "JOIN supplier ON l_suppkey = s_suppkey "
+            "ORDER BY acctbal_cents DESC, s_name, p_partkey LIMIT 100"
+        ),
+        "q11_important_share": (
+            "WITH pv AS (SELECT l_partkey, "
+            "CAST(sum(CAST(floor(l_quantity * l_extendedprice) AS BIGINT)) AS BIGINT) "
+            "AS part_value "
+            "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey "
+            "JOIN nation ON s_nationkey = n_nationkey "
+            "WHERE n_name = 'NATION_2' GROUP BY 1) "
+            "SELECT l_partkey, part_value FROM pv "
+            "WHERE part_value * 1000 > (SELECT sum(part_value) FROM pv) "
+            "ORDER BY part_value DESC, l_partkey"
         ),
         "q8_market_share": (
             "WITH j AS (SELECT year(o_orderdate) AS yr, n1.n_name AS supp_nation, "

@@ -415,6 +415,7 @@ def test_shuffle_budgets_hold(spark):
         "x4_vocab_coverage",  # 1-row broadcast total, like heavy-hitters
         "q20_part_promotion",  # 1-row broadcast of (Σqty, n) for the threshold
         "q22_dormant_customers",  # 1-row broadcast of (Σbal, n) for the threshold
+        "q11_important_share",  # 1-row broadcast of the total traded value
     }
     over, nested = {}, {}
     for name, budget in budgets.items():
