@@ -2123,6 +2123,65 @@ def q_semantic_dedup(spark, sf_dir):
     return kept.select("vec_id", F.col("label").cast("long").alias("label"))
 
 
+def q_radius_search(spark, sf_dir):
+    """X3's second canonical query type beside top-k: ALL vectors
+    within a cosine radius of the query (the shape retrieval filters
+    and near-dup lookups use when k is unknown). Narrow projection +
+    one filter; the radius compare runs on the already-floored integer
+    permille, so it is exact by construction on both engines (the
+    underlying double cosine is bit-identical, proven by the
+    x2_embedding_dup family)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = [(1.0 if i % 7 == 0 else 0.1) for i in range(64)]
+    qc = F.array(*[F.lit(float(x)) for x in q])
+    sim = similarity.cosine(F.col("embedding"), qc)
+    return (
+        emb.select(
+            "vec_id", F.floor(sim * 1000).cast("long").alias("sim_permille")
+        )
+        .filter(F.col("sim_permille") >= 200)
+    )
+
+
+def q_source_similarity(spark, sf_dir):
+    """Corpus-drift report: pairwise source similarity by vocabulary
+    overlap — Jaccard over each source's distinct token set, exact
+    integer permille. The inverted-index self-join keyed on the token
+    (the ngram_jaccard plan at source granularity: |sources|² pairs is
+    tiny, the shuffle carries (token, source) pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .distinct()
+    )
+    sizes = toks.groupBy("source").agg(F.count(F.lit(1)).alias("_n"))
+    a = toks.select(F.col("source").alias("src_a"), "tok")
+    b = toks.select(F.col("source").alias("src_b"), "tok")
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("_n").alias("_na"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("_n").alias("_nb"))
+    return (
+        common.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("common").cast("long").alias("common"),
+            F.expr("(1000 * common) DIV (_na + _nb - common)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )
+
+
 def q_embedding_dup_brp_ml(spark, sf_dir):
     """Rows-only: the stock pyspark.ml BucketedRandomProjectionLSH
     recipe (SURVEY §2.12's literal X2/X3 mapping) with exact-cosine
@@ -3075,6 +3134,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_stream_dedup": q_stream_dedup,
         "x2_embedding_dup_brp_ml": q_embedding_dup_brp_ml,
         "x2_semantic_dedup_keep": q_semantic_dedup,
+        "x3_radius_search": q_radius_search,
+        "x4_source_similarity": q_source_similarity,
         "x2_minhash_lsh_ml": q_minhash_lsh_ml,
         "x4_vocab": q_vocab,
         "x4_tfidf_search": q_tfidf_search,
@@ -4123,6 +4184,32 @@ def oracle_sql() -> dict[str, str]:
             "SELECT vec_id, rnk FROM (SELECT vec_id, "
             "CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS rnk "
             "FROM scored) WHERE rnk <= 10"
+        ),
+        "x3_radius_search": (
+            lambda qv=", ".join(
+                "1.0" if i % 7 == 0 else "0.1" for i in range(64)
+            ): (
+                "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+                "FROM embeddings), "
+                f"s AS (SELECT vec_id, CAST(floor((list_dot_product(v, [{qv}]) "
+                "/ (sqrt(list_dot_product(v, v)) * "
+                f"sqrt(list_dot_product([{qv}], [{qv}])))) * 1000) AS BIGINT) "
+                "AS sim_permille FROM e) "
+                "SELECT vec_id, sim_permille FROM s WHERE sim_permille >= 200"
+            )
+        )(),
+        "x4_source_similarity": (
+            "WITH toks AS (SELECT DISTINCT source, tok FROM "
+            "(SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents) "
+            "WHERE tok <> ''), "
+            "sz AS (SELECT source, count(*) AS n FROM toks GROUP BY 1), "
+            "p AS (SELECT a.source AS src_a, b.source AS src_b, count(*) AS common "
+            "FROM toks a JOIN toks b ON a.tok = b.tok AND a.source < b.source "
+            "GROUP BY 1, 2) "
+            "SELECT src_a, src_b, CAST(common AS BIGINT) AS common, "
+            "CAST((1000 * common) // (x.n + y.n - common) AS BIGINT) "
+            "AS jaccard_permille "
+            "FROM p JOIN sz x ON src_a = x.source JOIN sz y ON src_b = y.source"
         ),
         "x2_semantic_dedup_keep": (
             "WITH RECURSIVE e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
