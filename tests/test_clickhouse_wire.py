@@ -282,3 +282,79 @@ def test_pipeline_streams_into_loopback_clickhouse(tmp_path, spark):
         assert decoded == sorted(freeze(tuple(r)) for r in expected)
     finally:
         srv.shutdown()
+
+
+def test_collector_entrypoint_inserts_via_env(tmp_path, spark, monkeypatch):
+    """The reference's whole deployment shape end-to-end: the process
+    entrypoint (collector.run --once) configured ONLY by the DB_* env
+    vars (src/collector.py:81-87) must stream the spool into both the
+    parquet state AND wire-true RowBinary inserts on the loopback
+    ClickHouse HTTP endpoint."""
+    import json
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from adguard2clickhouse_spark import collector
+    from adguard2clickhouse_spark.operators.dnswire import build_answer_b64
+    from adguard2clickhouse_spark.sinks.clickhouse import decode_rowbinary
+
+    received = []
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            received.append((q.get("query", [""])[0], body))
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        monkeypatch.setenv("DB_HOST", "127.0.0.1")
+        monkeypatch.setenv("DB_USER", "agh")
+        monkeypatch.setenv("DB_PASSWORD", "pw")
+        monkeypatch.setenv("DB_DATABASE", "dns")
+        # from_env has no port parameter in the reference (HTTP default
+        # 8123); point the writer at the loopback port after build.
+        real_from_env = collector.writer_from_env
+
+        def patched():
+            w = real_from_env()
+            w.port = srv.server_address[1]
+            return w
+
+        monkeypatch.setattr(collector, "writer_from_env", patched)
+
+        src = tmp_path / "spool"
+        src.mkdir()
+        lines = [
+            json.dumps(
+                {
+                    "T": f"2024-02-01T10:00:{i:02d}+00:00",
+                    "QH": f"h{i}.example.net", "QT": "A", "QC": "IN", "CP": "",
+                    "Upstream": "1.1.1.1", "IP": "10.1.1.1",
+                    "Result": {"IsFiltered": False}, "Elapsed": 100 + i,
+                    "Cached": False, "Answer": build_answer_b64(a=["9.9.9.9"]),
+                }
+            )
+            for i in range(12)
+        ]
+        (src / "q.jsonl").write_text("\n".join(lines) + "\n")
+
+        collector.run(["--source", str(src), "--out", str(tmp_path / "out"), "--once"])
+
+        assert received, "collector sent no inserts"
+        assert received[0][0].startswith("INSERT INTO log2 (")
+        total = 0
+        schema = spark.read.parquet(str(tmp_path / "out" / "log2")).drop("date").schema
+        for _q, body in received:
+            total += sum(1 for _ in decode_rowbinary(body, schema))
+        assert total == 12
+        assert spark.read.parquet(str(tmp_path / "out" / "log2")).count() == 12
+    finally:
+        srv.shutdown()
