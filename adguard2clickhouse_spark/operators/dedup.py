@@ -176,11 +176,14 @@ def _shingle_starts(toks, n: int):
     """array<int> of 1-based shingle start positions — EMPTY (typed)
     when the doc has fewer than n tokens. Guarded because Spark's
     sequence(1, 0) yields a DESCENDING [1, 0], which would feed
-    element_at(toks, 0) and fail under ANSI on short docs."""
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    return F.filter(
-        F.sequence(F.lit(1), F.greatest(count, F.lit(1))),
-        lambda i: i <= count,
+    element_at(toks, 0) and fail under ANSI on short docs. The guard
+    is a single when() branch (one comparison per ROW), not a
+    per-element filter lambda — this sits on the hottest expression
+    of the Jaccard index, and an interpreted higher-order filter here
+    measurably regressed x2_ngram_jaccard ~1.2x."""
+    count = F.size(toks) - F.lit(n - 1)
+    return F.when(count >= F.lit(1), F.sequence(F.lit(1), count)).otherwise(
+        F.array().cast("array<int>")
     )
 
 

@@ -106,14 +106,18 @@ def interleave_sources(
     """
     w = Window.partitionBy(strata_col).orderBy(F.md5(F.col(id_col).cast("string")), id_col)
     idx_w = Window.orderBy(strata_col)
+    # k (the source count) rides along IN the broadcast frame as a
+    # whole-frame window count, so building the returned DataFrame is
+    # fully lazy — no driver-side sources.count() job (the window is
+    # over a k-row frame, trivially bounded).
     sources = (
         df.select(strata_col).distinct()
         .select(
             strata_col,
             (F.row_number().over(idx_w) - 1).alias("_src_idx"),
+            F.count(F.lit(1)).over(Window.partitionBy()).alias("_n_src"),
         )
     )
-    n_src = sources.count()
     ranked = df.select(F.col(id_col), F.col(strata_col)).withColumn(
         "src_rank", F.row_number().over(w)
     )
@@ -123,7 +127,7 @@ def interleave_sources(
             id_col,
             strata_col,
             F.col("src_rank").cast("long").alias("src_rank"),
-            ((F.col("src_rank") - 1) * n_src + F.col("_src_idx"))
+            ((F.col("src_rank") - 1) * F.col("_n_src") + F.col("_src_idx"))
             .cast("long")
             .alias("pos"),
         )

@@ -175,10 +175,25 @@ def encode_rowbinary(rows: Iterable, schema: T.StructType) -> bytes:
     return bytes(out)
 
 
+_FIXED_WIDTH = {
+    T.TimestampType: 4,
+    T.BooleanType: 1,
+    T.LongType: 8,
+    T.IntegerType: 1,
+    T.DoubleType: 8,
+    T.FloatType: 4,
+}
+
+
 def _decode_value(buf: bytes, pos: int, dt: T.DataType):
     """Inverse of ``_encode_value`` — returns (value, new_pos). Exists
     so tests can round-trip real pipeline output through the wire
-    format (tests/test_clickhouse_wire.py loopback server)."""
+    format (tests/test_clickhouse_wire.py loopback server). Bounds-
+    checked: a truncated payload raises ValueError, never a raw
+    IndexError/struct.error."""
+    width = _FIXED_WIDTH.get(type(dt))
+    if width is not None and pos + width > len(buf):
+        raise ValueError("truncated RowBinary payload (fixed-width value cut off)")
     if isinstance(dt, T.ArrayType):
         n, pos = _read_leb128(buf, pos)
         items = []
@@ -198,6 +213,8 @@ def _decode_value(buf: bytes, pos: int, dt: T.DataType):
         )
     if isinstance(dt, T.StringType):
         n, pos = _read_leb128(buf, pos)
+        if pos + n > len(buf):
+            raise ValueError("truncated RowBinary payload (string body cut off)")
         return buf[pos : pos + n].decode("utf-8"), pos + n
     if isinstance(dt, T.BooleanType):
         return buf[pos] != 0, pos + 1
@@ -218,6 +235,10 @@ def _decode_value(buf: bytes, pos: int, dt: T.DataType):
 def _read_leb128(buf: bytes, pos: int) -> tuple[int, int]:
     shift = n = 0
     while True:
+        if pos >= len(buf):
+            raise ValueError("truncated RowBinary payload (LEB128 runs past end)")
+        if shift > 63:
+            raise ValueError("malformed RowBinary payload (LEB128 length > 64 bits)")
         b = buf[pos]
         pos += 1
         n |= (b & 0x7F) << shift
@@ -266,41 +287,63 @@ class ClickHouseHTTPWriter:
     @classmethod
     def from_env(cls) -> "ClickHouseHTTPWriter":
         """Reference env parity (src/collector.py:81-87): the same
-        DB_USER / DB_PASSWORD / DB_HOST / DB_DATABASE variables."""
+        DB_USER / DB_PASSWORD / DB_HOST / DB_DATABASE variables, read
+        with getenv like the reference so a partially-configured
+        environment (DB_HOST set, the rest absent) degrades to
+        ClickHouse's own defaults instead of a startup KeyError."""
+        host = os.environ.get("DB_HOST")
+        if not host:
+            raise ValueError("ClickHouseHTTPWriter.from_env requires DB_HOST to be set")
         return cls(
-            host=os.environ["DB_HOST"],
-            database=os.environ["DB_DATABASE"],
-            username=os.environ["DB_USER"],
-            password=os.environ["DB_PASSWORD"],
+            host=host,
+            database=os.environ.get("DB_DATABASE") or "default",
+            username=os.environ.get("DB_USER") or "default",
+            password=os.environ.get("DB_PASSWORD") or "",
         )
 
-    def insert_batch(self, df: DataFrame, table: str) -> None:
+    def insert_batch(
+        self, df: DataFrame, table: str, dedup_token: str | None = None
+    ) -> None:
+        """One RowBinary POST per executor partition.
+
+        ``dedup_token``: when set (the streaming pipeline passes
+        ``log2_epoch_{epoch_id}``), each partition's insert carries
+        ClickHouse's ``insert_deduplication_token`` setting suffixed
+        with the partition index, so a Structured Streaming epoch
+        RETRY re-sends byte-identical blocks with identical tokens and
+        the server drops them — upgrading the insert from at-least-once
+        to effectively-once. Valid because the batch lineage is
+        deterministic from checkpointed source offsets, so partition
+        contents are stable across retries."""
         import urllib.parse
 
         schema = df.schema
         cols = ", ".join(f"`{c}`" for c in df.columns)
         query = f"INSERT INTO {table} ({cols}) FORMAT RowBinary"
-        url = (
-            f"http://{self.host}:{self.port}/?"
-            + urllib.parse.urlencode({"database": self.database, "query": query})
-        )
+        base_params = {"database": self.database, "query": query}
         user, password = self.username, self.password
+        host, port = self.host, self.port
 
-        def write_partition(rows):
+        def write_partition(idx, rows):
             import base64
             import urllib.request
 
             payload = encode_rowbinary(rows, schema)
             if not payload:
-                return
+                return iter(())
+            params = dict(base_params)
+            if dedup_token is not None:
+                params["insert_deduplication_token"] = f"{dedup_token}_p{idx}"
+            url = f"http://{host}:{port}/?" + urllib.parse.urlencode(params)
             req = urllib.request.Request(url, data=payload, method="POST")
             token = base64.b64encode(f"{user}:{password}".encode()).decode()
             req.add_header("Authorization", f"Basic {token}")
             req.add_header("Content-Type", "application/octet-stream")
             with urllib.request.urlopen(req) as resp:
                 resp.read()
+            return iter(())
 
-        df.foreachPartition(write_partition)
+        df.rdd.mapPartitionsWithIndex(write_partition).count()
 
 
 class ClickHouseWriter:
@@ -318,13 +361,17 @@ class ClickHouseWriter:
 
     @classmethod
     def from_env(cls) -> "ClickHouseWriter":
-        """S3 parity (reference src/collector.py:81-87): the same
-        DB_USER / DB_PASSWORD / DB_HOST / DB_DATABASE variables."""
+        """Env parity (reference src/collector.py:81-87): the same
+        DB_USER / DB_PASSWORD / DB_HOST / DB_DATABASE variables, with
+        getenv-style tolerance for absent vars (reference behavior)."""
+        host = os.environ.get("DB_HOST")
+        if not host:
+            raise ValueError("ClickHouseWriter.from_env requires DB_HOST to be set")
         return cls(
-            host=os.environ["DB_HOST"],
-            database=os.environ["DB_DATABASE"],
-            username=os.environ["DB_USER"],
-            password=os.environ["DB_PASSWORD"],
+            host=host,
+            database=os.environ.get("DB_DATABASE") or "default",
+            username=os.environ.get("DB_USER") or "default",
+            password=os.environ.get("DB_PASSWORD") or "",
         )
 
     def insert_batch(self, df: DataFrame, table: str) -> None:

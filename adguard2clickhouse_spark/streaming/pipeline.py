@@ -114,11 +114,25 @@ class QuerylogPipeline:
             # dead-letter channel (K3, collector.py:76-78)
             dead.write.mode("append").parquet(self.dead_letter_path)
 
+            # At-least-once contract: the fact append above is NOT
+            # epoch-idempotent — if a later step in this batch fails and
+            # Structured Streaming retries the epoch, log2 parquet can
+            # receive the block twice (the additive summing sinks below
+            # dedupe by epoch_id; parquet appends cannot without a table
+            # format's transaction log). Mitigations, in order: the
+            # ingest-side dedupe_horizon guard drops re-delivered source
+            # lines; the ClickHouse insert passes a deterministic
+            # insert_deduplication_token per (epoch, partition) so the
+            # SERVER drops retried blocks; and downstream readers can
+            # dedupe on the natural key (date_time, QH, name) if exact-
+            # once parquet facts are required.
             if self.clickhouse is not None:
                 # the reference's per-block insert, batched: one POST of
                 # RowBinary per executor partition instead of one HTTP
                 # round-trip per row (collector.py:73-75)
-                self.clickhouse.insert_batch(good, "log2")
+                self.clickhouse.insert_batch(
+                    good, "log2", dedup_token=f"log2_epoch_{epoch_id}"
+                )
 
             # MV cascade: aggregate THIS block, fold additively (C1+C2).
             # The eight sinks are independent (separate directories), so
