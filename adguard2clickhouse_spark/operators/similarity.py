@@ -418,22 +418,35 @@ def embedding_dup_pairs_lsh(
 
     Pass ``dim`` explicitly — the fallback probes one row on the
     driver, a hidden action that library code shouldn't pay per call.
+
+    Scale shape (the part that matters at 100 TB): the candidate join
+    and the pair-dedup move ONLY 8-byte ids — never vectors. A corpus
+    with large duplicate groups makes candidate pairs quadratic in
+    group size, and carrying two 64-float payloads through that blowup
+    (plus the dropDuplicates shuffle) was measured 30x at a 10x
+    replica (BENCH_sf1.json round 4); fetching vectors by re-joining
+    the base AFTER dedup, with norms precomputed once per id, brought
+    the 10x-data ratio to ~linear.
     """
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
-    sigs = df.select(
+    base = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
+    sigs = base.select(
+        "_id",
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(t).alias("t"),
-                    lsh_signature(F.col(vec_col), dim, bits, seed + t).alias("s"),
+                    lsh_signature(F.col("_v"), dim, bits, seed + t).alias("s"),
                 )
                 for t in range(n_tables)
             ])
         ).alias("_b"),
-    ).select("_id", "_v", F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s"))
+    ).select("_id", F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s"))
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
@@ -443,16 +456,25 @@ def embedding_dup_pairs_lsh(
             & (F.col("a._s") == F.col("b._s"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a._v").alias("_va"),
-            F.col("b._v").alias("_vb"),
-        )
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    va = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
     return (
-        cand.select("id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_sim"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.try_divide(
+                dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
+            ).alias("_sim"),
+        )
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b")
     )
