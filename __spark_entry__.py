@@ -2289,6 +2289,18 @@ def q_media_features(spark, sf_dir):
     return feats.select("media_id", "n_bytes", "sha256")
 
 
+def q_png_pixel_stats(spark, sf_dir):
+    """X5 pixel decode under the hash gate, dependency-free: per doc_id
+    a small RGB image with arithmetic pixel values is encoded as a real
+    PNG (scanline filter CYCLES 0..4 per row) and decoded back by the
+    stdlib codec (operators/pngcodec.py: zlib inflate + unfilter); the
+    emitted per-channel sums come from the DECODED array. The oracle
+    recomputes the sums from the pixel formula alone, so a hash match
+    proves every one of the five PNG filters reconstructs exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.png_pixel_stats_from_ids(docs, "doc_id")
+
+
 def q_media_probe(spark, sf_dir):
     """X5 de-stubbed: REAL container decode. A deterministic corpus of
     genuinely valid PNG/JPEG/GIF/BMP/WAV files (headers derived from
@@ -3153,6 +3165,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_chunking": q_chunking,
         "x5_media_features": q_media_features,
         "x5_media_probe": q_media_probe,
+        "x5_png_pixel_stats": q_png_pixel_stats,
         "x5_frame_plan": q_frame_plan,
         "x6_approx_stats": q_approx_stats,
         "x6_heavy_hitters": q_heavy_hitters,
@@ -4516,6 +4529,18 @@ def oracle_sql() -> dict[str, str]:
             "CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, "
             "coalesce(h.n_hits, 0) > 0 AS contaminated "
             "FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id"
+        ),
+        "x5_png_pixel_stats": (
+            "WITH px AS (SELECT doc_id, "
+            "unnest(generate_series(0, CAST((1 + doc_id % 16) * (1 + doc_id % 12) "
+            "- 1 AS BIGINT))) AS p FROM documents) "
+            "SELECT doc_id AS media_id, "
+            "CAST(1 + doc_id % 16 AS INT) AS width, "
+            "CAST(1 + doc_id % 12 AS INT) AS height, "
+            "CAST(sum((doc_id + p) % 256) AS BIGINT) AS sum_r, "
+            "CAST(sum((doc_id + 2 * p + 1) % 256) AS BIGINT) AS sum_g, "
+            "CAST(sum((doc_id + 3 * p + 2) % 256) AS BIGINT) AS sum_b "
+            "FROM px GROUP BY doc_id"
         ),
         "x5_media_probe": (
             "SELECT doc_id AS media_id, "

@@ -48,7 +48,10 @@ def test_extract_features_deterministic(media_df):
 
 
 def test_real_decode_is_a_hard_error(media_df):
-    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+    """Fake bytes must never silently become features: the PNG-tagged
+    garbage dies in the stdlib decoder's signature check, audio/video
+    dies at the NotImplementedError integration point."""
+    with pytest.raises(Exception, match="NotImplementedError|media decoding|not a PNG"):
         multimodal.extract_features(media_df, stub=False).collect()
 
 
@@ -261,12 +264,16 @@ def test_flac_mp3_sniffers_roundtrip_and_reject(spark):
 
 def test_decode_media_hard_errors_without_pil(monkeypatch):
     """The stub must never silently fake pixels: with Pillow absent
-    (forced), stub=False is a hard error for image content."""
+    (forced), stub=False is a hard error for NON-PNG image content
+    (PNG decodes stdlib-natively, so garbage PNG bytes die in the
+    decoder's validation, not with fake pixels)."""
     from adguard2clickhouse_spark.operators import multimodal as mm
 
     monkeypatch.setattr(mm, "HAVE_PIL", False)
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError, match="signature"):
         mm.decode_media(b"\x89PNG....", "image", "png")
+    with pytest.raises(NotImplementedError):
+        mm.decode_media(b"\xff\xd8\xff....", "image", "jpeg")
     with pytest.raises(NotImplementedError):
         mm.decode_media(b"RIFF....", "audio", "wav")
 
@@ -300,3 +307,119 @@ def test_real_decode_with_pil(spark):
     }
     assert all(p["width"] == 8 and p["height"] == 6 for p in probed.values())
     assert resized
+
+
+# ---------------------------------------------------------------------------
+# Stdlib PNG codec (round-4 ask #4): pixel decode real in THIS container
+# ---------------------------------------------------------------------------
+
+def test_pngcodec_roundtrip_all_filters():
+    """encode(cycle filters 0..4) -> decode reconstructs every pixel;
+    shapes from 1x1 up so boundary rows/columns hit the left/up-missing
+    filter cases."""
+    import numpy as np
+
+    from adguard2clickhouse_spark.operators.pngcodec import decode_png, encode_png
+
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (2, 2), (5, 3), (7, 1), (1, 9), (13, 17)]:
+        arr = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+        for mode in ("none", "cycle"):
+            out = decode_png(encode_png(arr, mode))
+            assert out.dtype == np.uint8 and out.shape == arr.shape
+            assert (out == arr).all(), (h, w, mode)
+
+
+def test_pngcodec_decodes_gray_rgba_palette():
+    """Hand-built PNGs in the non-RGB color types decode to the RGB
+    convention PIL's convert('RGB') would give for opaque images."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from adguard2clickhouse_spark.operators.pngcodec import _chunk, _SIG, decode_png
+
+    def png(ctype, w, h, scanlines, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        body = b"".join(b"\x00" + s for s in scanlines)
+        out = _SIG + _chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _chunk(b"PLTE", plte)
+        return out + _chunk(b"IDAT", zlib.compress(body)) + _chunk(b"IEND", b"")
+
+    # gray 2x2: values 10,20 / 30,40 -> broadcast to 3 channels
+    g = decode_png(png(0, 2, 2, [bytes([10, 20]), bytes([30, 40])]))
+    assert (g == np.array([[[10] * 3, [20] * 3], [[30] * 3, [40] * 3]])).all()
+    # gray+alpha 1x2
+    ga = decode_png(png(4, 2, 1, [bytes([100, 255, 200, 255])]))
+    assert (ga == np.array([[[100] * 3, [200] * 3]])).all()
+    # RGBA 1x2 (alpha dropped)
+    rgba = decode_png(png(6, 2, 1, [bytes([1, 2, 3, 255, 4, 5, 6, 255])]))
+    assert (rgba == np.array([[[1, 2, 3], [4, 5, 6]]])).all()
+    # palette 1x2 -> PLTE lookup
+    pal = decode_png(png(3, 2, 1, [bytes([0, 1])], plte=bytes([9, 8, 7, 1, 2, 3])))
+    assert (pal == np.array([[[9, 8, 7], [1, 2, 3]]])).all()
+
+
+def test_pngcodec_rejects_out_of_scope():
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from adguard2clickhouse_spark.operators.pngcodec import (
+        _chunk,
+        _SIG,
+        decode_png,
+        encode_png,
+    )
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_png(b"\x89PNG-fake-bytes")
+    # 16-bit depth rejected, not mis-decoded
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0)
+    with _pytest.raises(ValueError, match="bit depth"):
+        decode_png(_SIG + _chunk(b"IHDR", ihdr))
+    # interlace rejected
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 1)
+    with _pytest.raises(ValueError, match="interlaced"):
+        decode_png(_SIG + _chunk(b"IHDR", ihdr))
+    with _pytest.raises(ValueError):
+        encode_png(np.zeros((4, 4), np.uint8))  # not (h, w, 3)
+
+
+def test_pngcodec_matches_pillow_when_available():
+    """Cross-check against PIL on real encodes (skip when absent)."""
+    PIL = pytest.importorskip("PIL.Image")
+    import io
+
+    import numpy as np
+
+    from adguard2clickhouse_spark.operators.pngcodec import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (9, 11, 3), dtype=np.uint8)
+    data = encode_png(arr, "cycle")
+    with PIL.open(io.BytesIO(data)) as im:
+        pil_px = np.asarray(im.convert("RGB"))
+    assert (decode_png(data) == pil_px).all()
+
+
+def test_extract_features_real_decode_on_png(spark):
+    """stub=False now executes a REAL pixel decode in this container
+    for PNG payloads — features come from _pixel_features over actual
+    reconstructed pixels, not the sha256 stub."""
+    import numpy as np
+
+    from adguard2clickhouse_spark.operators.pngcodec import encode_png
+
+    arr = np.full((6, 4, 3), 128, np.uint8)
+    arr[:, :, 0] = 255  # red-heavy so the channel means are distinctive
+    rows = [(1, encode_png(arr, "cycle"), ("image", "png", 4, 6, 0))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = multimodal.extract_features(media, stub=False).collect()[0]
+    f = feats.features
+    assert abs(f[0] - 1.0) < 1e-6          # mean R == 255/255
+    assert abs(f[1] - 128 / 255) < 1e-6    # mean G
+    assert f[3] < 1e-6 and f[4] < 1e-6     # zero std within channels
