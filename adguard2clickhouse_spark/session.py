@@ -27,9 +27,10 @@ def scoped_conf(spark: SparkSession, confs: dict[str, str]) -> Iterator[None]:
     aggregate pushdown) should find their session exactly as they left
     it. This is the ONLY sanctioned way to touch conf outside
     ``get_spark()`` (enforced by ``tests/test_hygiene.py``); the one
-    documented exception is ``sources/tables.py``, whose parquet-quirk
-    confs must outlive the call so the returned (lazy) DataFrames stay
-    readable.
+    documented exception is ``sources/tables.py``'s UTC session
+    timezone (set-if-different — required by every downstream
+    timestamp expression, so a scoped restore would be wrong; its
+    parquet-quirk confs ARE scoped to the read).
     """
     saved: dict[str, str | None] = {}
     for k in confs:

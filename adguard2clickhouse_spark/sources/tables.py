@@ -49,26 +49,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # Foreign sessions (driver harness, notebooks) may lack the package
     # on executor sys.path — ship it once so UDF-bearing queries work
     # regardless of the caller's cwd/PYTHONPATH.
-    from adguard2clickhouse_spark.session import ensure_executor_package
+    from adguard2clickhouse_spark.session import ensure_executor_package, scoped_conf
 
     ensure_executor_package(spark)
-    # events.parquet stores ts as INT64 TIMESTAMP(NANOS), which vanilla
-    # Spark refuses (PARQUET_TYPE_ILLEGAL). The conf is runtime-settable,
-    # so set it on whatever session was handed to us — callers (driver
-    # harness, notebooks) build their own sessions and must not need to
-    # know about this quirk.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Timestamp rendering must match the (UTC) DuckDB oracle regardless
-    # of the host timezone of the caller's session. Runtime-settable.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
-    # The generator writes naive timestamp[us] columns (isAdjustedToUTC
-    # = false). Spark would infer TIMESTAMP_NTZ, which unix_micros /
-    # to_utc_timestamp and window() reject or treat asymmetrically;
-    # DuckDB reads the same bytes as a plain timestamp. Reading them as
-    # LTZ under the UTC session timezone gives bit-identical instants
-    # and keeps every downstream operator on the one timestamp type.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Parquet-quirk confs, SCOPED to the read (r3 ask #7): schema
+    # resolution happens at spark.read time and execution after restore
+    # is verified fine (tests/test_hygiene.py::
+    # test_load_table_restores_parquet_confs), so the caller's session
+    # conf is left exactly as found.
+    # - nanosAsLong: events.parquet stores ts as INT64 TIMESTAMP(NANOS),
+    #   which vanilla Spark refuses (PARQUET_TYPE_ILLEGAL).
+    # - inferTimestampNTZ off: the generator writes naive timestamp[us]
+    #   (isAdjustedToUTC=false); Spark would infer TIMESTAMP_NTZ, which
+    #   unix_micros / to_utc_timestamp / window() reject or treat
+    #   asymmetrically — reading as LTZ under a UTC session gives
+    #   bit-identical instants to DuckDB's plain timestamp.
+    with scoped_conf(
+        spark,
+        {
+            "spark.sql.legacy.parquet.nanosAsLong": "true",
+            "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+        },
+    ):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # Session timezone is the ONE deliberate permanent set, and only
+    # when it differs: every downstream timestamp expression must render
+    # UTC to match the (naive-timestamp) DuckDB oracle, and that
+    # requirement outlives this call — a scoped restore to a non-UTC
+    # host default would silently shift every later query's timestamps.
+    # Set-if-different keeps the call idempotent and no-op on sessions
+    # that are already correct (get_spark() sessions always are).
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     # With nanosAsLong the column arrives as a long of nanoseconds —
     # convert to a real timestamp. Integer `div` keeps the truncation
     # exact; a double round-trip loses ULPs above 2^53 (ns epochs ~1.7e18)

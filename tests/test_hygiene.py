@@ -70,3 +70,23 @@ def test_scoped_conf_restores_on_exception(spark):
     except RuntimeError:
         pass
     assert spark.conf.get(key) == before
+
+
+def test_load_table_restores_parquet_confs(spark, tmp_path):
+    """load_table's parquet-quirk confs are scoped to the read: the
+    session conf is restored afterwards AND the returned lazy
+    DataFrame still executes (schema resolution happened inside the
+    scope). The one permanent set is the UTC session timezone,
+    set-if-different."""
+    from adguard2clickhouse_spark.sources.tables import load_table, refresh_tables
+
+    refresh_tables()
+    before = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    before_ntz = spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled")
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong") == before
+    assert spark.conf.get("spark.sql.parquet.inferTimestampNTZ.enabled") == before_ntz
+    rows = df.limit(2).collect()  # post-restore execution
+    assert rows and rows[0].ts is not None
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    refresh_tables()

@@ -502,3 +502,63 @@ def test_dynamic_partition_pruning_engages(spark, tmp_path):
     )
     j = fact.join(F.broadcast(dim), fact.day == F.col("dday")).groupBy("day").count()
     assert "dynamicpruning" in _physical(j).lower()
+
+
+def _walk_physical(n, out):
+    """Collect every node of an executed plan, descending through AQE
+    wrappers and materialized query stages."""
+    out.append(n)
+    ch = n.children()
+    for i in range(ch.size()):
+        _walk_physical(ch.apply(i), out)
+    cls = n.getClass().getSimpleName()
+    if "QueryStage" in cls:
+        _walk_physical(n.plan(), out)
+    if "Adaptive" in cls:
+        _walk_physical(n.executedPlan(), out)
+
+
+def _node_metrics(n):
+    m, it, vals = n.metrics(), None, {}
+    it = m.iterator()
+    while it.hasNext():
+        kv = it.next()
+        vals[kv._1()] = kv._2().value()
+    return vals
+
+
+def test_partial_aggregation_bounds_skewed_ingest(spark):
+    """The aggregation analog of the AQE skew-join gate (round-4 ask
+    #6): at 100x scale a zipf domain distribution puts ~95% of querylog
+    rows on one QH, and a7/a1-style groupBys must not funnel that mass
+    into one reduce task. Partial (map-side) aggregation is what
+    prevents it: each map task emits at most one row per distinct key,
+    so the hot key reaches the final-agg task as n_map_tasks rows —
+    bounded by the cluster, not the data. This test asserts the RUNTIME
+    metrics, not just the plan shape: shuffled records stay <6% of the
+    skewed input, and correctness of the hot-key count survives."""
+    from pyspark.sql import functions as F
+
+    n_rows, n_cold = 200_000, 997
+    df = spark.range(n_rows).select(
+        F.when(F.col("id") % 20 != 0, F.lit("hot.example.com"))
+        .otherwise(F.concat(F.lit("d"), (F.col("id") % n_cold).cast("string")))
+        .alias("QH")
+    )
+    agg = df.groupBy("QH").agg(F.count(F.lit(1)).alias("count"))
+    got = {r.QH: r["count"] for r in agg.collect()}
+    assert got["hot.example.com"] == n_rows - n_rows // 20
+
+    nodes = []
+    _walk_physical(agg._jdf.queryExecution().executedPlan(), nodes)
+    exchanges = [n for n in nodes if n.getClass().getSimpleName() == "ShuffleExchangeExec"]
+    assert len(exchanges) == 1
+    shuffled = _node_metrics(exchanges[0])["shuffleRecordsWritten"]
+    n_map_tasks = spark.sparkContext.defaultParallelism
+    # partial agg bound: <= map_tasks * distinct_keys, and far below input
+    assert shuffled <= n_map_tasks * (n_cold + 1), shuffled
+    assert shuffled < 0.06 * n_rows, f"map-side combine missing: {shuffled} rows shuffled"
+    # the hot key itself crosses the wire at most once per map task
+    aggs = [n for n in nodes if "HashAggregate" in n.getClass().getSimpleName()]
+    finals = [n for n in aggs if _node_metrics(n).get("numOutputRows") == n_cold + 1]
+    assert finals, "no final aggregate emitting one row per distinct key"
