@@ -830,28 +830,28 @@ def embedding_dup_pairs_brp_ml(
     from pyspark.ml.feature import BucketedRandomProjectionLSH
     from pyspark.ml.functions import array_to_vector
 
-    v = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).alias("_v"),
-            norm(F.col(vec_col)).alias("_n"),
-        )
-        .filter(F.col("_n") > 0)
-        .select(
-            "_id",
-            "_v",
-            # try_divide: the _n > 0 filter guards rows, but codegen may
-            # still evaluate the projection on pre-filter rows — ANSI
-            # divide-by-zero must be impossible by construction.
-            array_to_vector(
-                F.transform(
-                    "_v",
-                    lambda x: F.coalesce(
-                        F.try_divide(x, F.col("_n")), F.lit(0.0)
-                    ).cast("double"),
-                )
-            ).alias("features"),
-        )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    ).filter(F.col("_n") > 0)
+    # The LSH input carries ONLY (_id, features): the original float
+    # array does not ride through MLlib's explode + bucket join (same
+    # payload-off-the-candidate-path shape as embedding_dup_pairs_lsh)
+    # — the exact-cosine verify re-fetches arrays by id afterwards.
+    v = base.select(
+        "_id",
+        # try_divide: the _n > 0 filter guards rows, but codegen may
+        # still evaluate the projection on pre-filter rows — ANSI
+        # divide-by-zero must be impossible by construction.
+        array_to_vector(
+            F.transform(
+                "_v",
+                lambda x: F.coalesce(
+                    F.try_divide(x, F.col("_n")), F.lit(0.0)
+                ).cast("double"),
+            )
+        ).alias("features"),
     )
     brp = BucketedRandomProjectionLSH(
         inputCol="features",
@@ -863,15 +863,25 @@ def embedding_dup_pairs_brp_ml(
     model = brp.fit(v)
     radius = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     joined = model.approxSimilarityJoin(v, v, radius, distCol="_dist")
-    pairs = joined.select(
+    cand = joined.select(
         F.col("datasetA._id").alias("id_a"),
         F.col("datasetB._id").alias("id_b"),
-        F.col("datasetA._v").alias("_va"),
-        F.col("datasetB._v").alias("_vb"),
     ).filter(F.col("id_a") < F.col("id_b"))
+    va = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    vb = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
     return (
-        pairs.select(
-            "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("_sim")
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.try_divide(
+                dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
+            ).alias("_sim"),
         )
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b")

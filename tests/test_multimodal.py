@@ -423,3 +423,23 @@ def test_extract_features_real_decode_on_png(spark):
     assert abs(f[0] - 1.0) < 1e-6          # mean R == 255/255
     assert abs(f[1] - 128 / 255) < 1e-6    # mean G
     assert f[3] < 1e-6 and f[4] < 1e-6     # zero std within channels
+
+
+def test_pngcodec_roundtrip_property():
+    """Property: ANY uint8 RGB array round-trips through encode(cycle)
+    -> decode bit-exactly (hypothesis over shapes and pixel content)."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from adguard2clickhouse_spark.operators.pngcodec import decode_png, encode_png
+
+    @given(
+        st.integers(1, 12), st.integers(1, 12), st.integers(0, 2**31 - 1)
+    )
+    @settings(max_examples=60, deadline=None)
+    def _roundtrip(h, w, seed):
+        arr = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+        assert (decode_png(encode_png(arr, "cycle")) == arr).all()
+
+    _roundtrip()
