@@ -2587,6 +2587,27 @@ def q_tfidf_search(spark, sf_dir):
     return tfidf_search(_t(spark, sf_dir, "documents"), _TFIDF_QUERY, k=20)
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """X4 quality signal: per-document unigram LM log-probability
+    (CCNet-shape filtering input). Per-vocab-term micro-log terms are
+    floored to int64 BEFORE the per-doc sum, so the aggregation is
+    order-independent and the DuckDB oracle replays it exactly."""
+    from adguard2clickhouse_spark.operators.retrieval import unigram_logprob
+
+    return unigram_logprob(_t(spark, sf_dir, "documents"))
+
+
+def q_bm25_topk(spark, sf_dir):
+    """X4 retrieval: top-20 BM25 (k1=1.2, b=0.75) in exact integer
+    arithmetic — the dl/avgdl normalization is the exact rational
+    (44*total*tf) div (20*total*tf + 6*total + 18*dl*N), so the oracle
+    matches bit-for-bit; the one float op is idf's ln on an exact
+    rational."""
+    from adguard2clickhouse_spark.operators.retrieval import bm25_search
+
+    return bm25_search(_t(spark, sf_dir, "documents"), _TFIDF_QUERY, k=20)
+
+
 def q_interleave(spark, sf_dir):
     """Deterministic source-interleaved training order
     (operators/mixture.py::interleave_sources): pos = (rank−1)·k + i —
@@ -3151,6 +3172,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_minhash_lsh_ml": q_minhash_lsh_ml,
         "x4_vocab": q_vocab,
         "x4_tfidf_search": q_tfidf_search,
+        "x4_unigram_logprob": q_unigram_logprob,
+        "x4_bm25_topk": q_bm25_topk,
         "x7_hash_split": q_hash_split,
         "x7_shard_export": q_shard_export,
         "x7_kfold": q_kfold,
@@ -4426,6 +4449,39 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score, n_hits, "
             "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk "
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "x4_unigram_logprob": (
+            "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term "
+            "FROM documents), "
+            "vocab AS (SELECT term, count(*) AS cnt FROM toks GROUP BY 1), "
+            "tot AS (SELECT sum(cnt) AS total FROM vocab), "
+            "ts AS (SELECT term, CAST(floor(1000000 * ln(CAST(cnt AS DOUBLE) / total)) "
+            "AS BIGINT) AS term_micro FROM vocab, tot), "
+            "tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2) "
+            "SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens, "
+            "CAST(sum(tf * term_micro) AS BIGINT) AS logprob_micro "
+            "FROM tf JOIN ts USING (term) GROUP BY doc_id"
+        ),
+        "x4_bm25_topk": (
+            "WITH base AS (SELECT doc_id, str_split(text, ' ') AS toks FROM documents), "
+            "dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM base), "
+            "tot AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, "
+            "CAST(sum(dl) AS BIGINT) AS total FROM dl), "
+            "toks AS (SELECT doc_id, unnest(toks) AS term FROM base), "
+            "tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM toks "
+            f"WHERE term IN ({', '.join(repr(t) for t in _TFIDF_QUERY)}) GROUP BY 1, 2), "
+            "dfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), "
+            "idf AS (SELECT term, CAST(floor(1000000 * "
+            "ln(CAST(2 * n_docs + 2 AS DOUBLE) / (2 * df + 1))) AS BIGINT) "
+            "AS idf_micro FROM dfreq, tot), "
+            "s AS (SELECT tf.doc_id, "
+            "CAST(sum((idf_micro * 44 * total * tf) // "
+            "(20 * total * tf + 6 * total + 18 * dl * n_docs)) AS BIGINT) "
+            "AS score_micro, CAST(count(*) AS BIGINT) AS n_hits "
+            "FROM tf JOIN idf USING (term) JOIN dl USING (doc_id), tot GROUP BY 1) "
+            "SELECT doc_id, score_micro, n_hits, "
+            "CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id) AS BIGINT) AS rnk "
+            "FROM s ORDER BY score_micro DESC, doc_id LIMIT 20"
         ),
         "x7_upsample": (
             "WITH n_per AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), "

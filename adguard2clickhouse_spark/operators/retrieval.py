@@ -285,3 +285,137 @@ def tfidf_search(
         .withColumn("rnk", F.row_number().over(w).cast("long"))
         .select(F.col("_id").alias(id_col), "score", "n_hits", "rnk")
     )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document unigram language-model score — the CCNet-style
+    quality signal (docs whose tokens are corpus-improbable score very
+    negative; boilerplate scores high). ``logprob_micro`` =
+    Σ over token occurrences of floor(10⁶ · ln(count(t)/total)).
+
+    Engine-portable by construction: each per-distinct-token term is
+    floored to an int64 BEFORE the per-doc sum, so the aggregation is
+    order-independent integer arithmetic; the only float op is one
+    ln() per vocabulary entry on an exactly-representable quotient of
+    two int64s (identical IEEE division both engines, libm ln agreeing
+    to <1 ulp — the floor boundary risk is per-vocab-entry, verified
+    against the DuckDB oracle on the driver corpus).
+
+    Plan shape: one explode → two aggregations (per-token corpus
+    counts; per-(doc,token) tf) → tf ⋈ vocab on the token (plain hash
+    join — vocab can be millions of rows at corpus scale, no broadcast
+    hint) → per-doc integer sum. The corpus total rides in a 1-row
+    broadcast (allowlisted nested-loop shape).
+
+    Returns (doc_id, n_tokens, logprob_micro).
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), " ")).alias("term"),
+    )
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("_cnt"))
+    total = vocab.agg(F.sum("_cnt").alias("_total"))
+    term_score = vocab.join(F.broadcast(total)).select(
+        "term",
+        F.floor(
+            F.lit(1_000_000)
+            * F.log(F.col("_cnt").cast("double") / F.col("_total"))
+        )
+        .cast("long")
+        .alias("_term_micro"),
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("_tf"))
+    return (
+        tf.join(term_score, "term")
+        .groupBy("_id")
+        .agg(
+            F.sum("_tf").cast("long").alias("n_tokens"),
+            F.sum(F.col("_tf") * F.col("_term_micro")).cast("long").alias("logprob_micro"),
+        )
+        .select(F.col("_id").alias(id_col), "n_tokens", "logprob_micro")
+    )
+
+
+def bm25_search(
+    df: DataFrame,
+    query_terms: Sequence[str],
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-``k`` BM25 (k1=1.2, b=0.75) retrieval over the corpus, in
+    EXACT integer arithmetic so the oracle replays it bit-for-bit.
+
+    The float-free trick: with k1=6/5 and b=3/4, the per-term fraction
+    tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)) — where avgdl = total/N —
+    is the exact rational (44·total·tf) / (20·total·tf + 6·total +
+    18·dl·N) in int64s; the score term is idf_micro · that, integer
+    DIV, summed per doc (order-independent). The one float op is
+    idf_micro = floor(10⁶·ln((2N+2)/(2df+1))) on an exact rational, as
+    in :func:`unigram_logprob`. Int64 headroom: numerator peaks at
+    ~idf_micro·44·total·tf — safe beyond 10⁹ corpus tokens; shard the
+    scoring (or drop idf to milli units) past that.
+
+    Plan shape mirrors tfidf_search: explode filtered to the query
+    term set BEFORE any aggregation, df/idf relation broadcast (its
+    row count is bounded by |query_terms|), doc lengths join on id,
+    corpus totals in a 1-row broadcast, top-k as
+    TakeOrderedAndProject. Returns (doc_id, score_micro, n_hits, rnk).
+    """
+    terms = [t for t in query_terms if t]
+    base = df.select(
+        F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    dl = base.select("_id", F.size("_toks").cast("long").alias("_dl"))
+    totals = dl.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs"),
+        F.sum("_dl").cast("long").alias("_total"),
+    )
+    toks = base.select("_id", F.explode("_toks").alias("term")).filter(
+        F.col("term").isin(list(terms))
+    )
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).cast("long").alias("_tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("_df"))
+    idf = dfreq.join(F.broadcast(totals)).select(
+        "term",
+        F.floor(
+            F.lit(1_000_000)
+            * F.log(
+                (F.lit(2) * F.col("_n_docs") + F.lit(2)).cast("double")
+                / (F.lit(2) * F.col("_df") + F.lit(1))
+            )
+        )
+        .cast("long")
+        .alias("_idf_micro"),
+    )
+    scored = (
+        tf.join(F.broadcast(idf), "term")
+        .join(dl, "_id")
+        .join(F.broadcast(totals))
+        .select(
+            "_id",
+            # integer `div`, NOT `/`: long / long is a double divide in
+            # Spark, and the numerator peaks ~7.5e16 > 2^53 — a double
+            # round-trip would corrupt low bits and break the oracle.
+            F.expr(
+                "(_idf_micro * 44 * _total * _tf) div "
+                "(20 * _total * _tf + 6 * _total + 18 * _dl * _n_docs)"
+            ).cast("long").alias("_term_score"),
+        )
+        .groupBy("_id")
+        .agg(
+            F.sum("_term_score").cast("long").alias("score_micro"),
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+        )
+    )
+    w = Window.orderBy(F.desc("score_micro"), F.asc("_id"))
+    return (
+        scored.orderBy(F.desc("score_micro"), F.asc("_id"))
+        .limit(k)
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .select(F.col("_id").alias(id_col), "score_micro", "n_hits", "rnk")
+    )

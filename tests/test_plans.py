@@ -416,6 +416,8 @@ def test_shuffle_budgets_hold(spark):
         "q20_part_promotion",  # 1-row broadcast of (Σqty, n) for the threshold
         "q22_dormant_customers",  # 1-row broadcast of (Σbal, n) for the threshold
         "q11_important_share",  # 1-row broadcast of the total traded value
+        "x4_unigram_logprob",  # 1-row broadcast of the corpus token total
+        "x4_bm25_topk",  # 1-row broadcast of (N docs, total tokens)
     }
     over, nested = {}, {}
     for name, budget in budgets.items():

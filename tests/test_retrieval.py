@@ -200,3 +200,58 @@ def test_oov_rate_counts_against_vocab(spark):
     assert (out["s0"].n_tokens, out["s0"].n_oov, out["s0"].oov_permille) == (4, 1, 250)
     # empty tokens from the double space are dropped
     assert (out["s1"].n_tokens, out["s1"].n_oov, out["s1"].oov_permille) == (4, 2, 500)
+
+
+def test_unigram_logprob_matches_hand_computation(spark):
+    """Tiny corpus where the unigram model is computable by hand:
+    every per-token micro term and the per-doc integer sums."""
+    import math
+
+    from adguard2clickhouse_spark.operators.retrieval import unigram_logprob
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    # counts: a=2, b=2, c=1; total=5
+    t = {tok: math.floor(1e6 * math.log(c / 5)) for tok, c in
+         {"a": 2, "b": 2, "c": 1}.items()}
+    got = {r.doc_id: (r.n_tokens, r.logprob_micro)
+           for r in unigram_logprob(df).collect()}
+    assert got[1] == (3, 2 * t["a"] + t["b"])
+    assert got[2] == (2, t["b"] + t["c"])
+    # sanity: the rarer-token doc scores lower per token
+    assert got[2][1] / 2 < got[1][1] / 3
+
+
+def test_bm25_matches_hand_computation(spark):
+    """BM25 with k1=6/5, b=3/4 on a 3-doc corpus, scored by hand via
+    the exact rational form (44*total*tf) // (20*total*tf + 6*total +
+    18*dl*N)."""
+    import math
+
+    from adguard2clickhouse_spark.operators.retrieval import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "x x y"), (2, "x z z z"), (3, "y z w")], ["doc_id", "text"]
+    )
+    # N=3, total=10; query {x}: df=2, idf_micro=floor(1e6*ln(8/5))
+    idf = math.floor(1e6 * math.log(8 / 5))
+    def frac(tf, dl):
+        return (idf * 44 * 10 * tf) // (20 * 10 * tf + 6 * 10 + 18 * dl * 3)
+    got = {r.doc_id: (r.score_micro, r.n_hits, r.rnk)
+           for r in bm25_search(df, ["x"], k=10).collect()}
+    assert got[1] == (frac(2, 3), 1, 1)   # tf=2, dl=3 wins
+    assert got[2] == (frac(1, 4), 1, 2)
+    assert 3 not in got
+
+
+def test_bm25_length_normalization_orders_equal_tf(spark):
+    """Equal tf: the shorter document must score higher (the b-term
+    at work), and rnk reflects it."""
+    from adguard2clickhouse_spark.operators.retrieval import bm25_search
+
+    df = spark.createDataFrame(
+        [(1, "q a"), (2, "q a a a a a a a")], ["doc_id", "text"]
+    )
+    got = {r.doc_id: r.rnk for r in bm25_search(df, ["q"], k=10).collect()}
+    assert got[1] == 1 and got[2] == 2
