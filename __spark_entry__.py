@@ -99,6 +99,14 @@ def q_a8(spark, sf_dir):
     return agg.upstream_stats(log2_from_events(spark, sf_dir))
 
 
+def q_a14_domain_entropy(spark, sf_dir):
+    """A14 extension: DGA-signal — per distinct real domain, integer-
+    exact character entropy of the host label + query volume. Distinct
+    domains BEFORE the char explode keeps the explode bounded by the
+    domain universe, not query volume."""
+    return agg.domain_label_entropy(log2_from_events(spark, sf_dir))
+
+
 def q_a9_latency(spark, sf_dir):
     """A9 — the aggregate the reference's users ask for next: per-
     upstream latency profile over Elapsed (ns). Integer sums and
@@ -3041,6 +3049,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a5_rcode_stats": q_a5,
         "a6_stats2": q_a6,
         "a7_tld_stats": q_a7,
+        "a14_domain_entropy": q_a14_domain_entropy,
         "a8_upstream_stats": q_a8,
         "a9_latency_stats": q_a9_latency,
         "a10_domain_hierarchy": q_a10_domain_hierarchy,
@@ -3500,6 +3509,20 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS blocked, "
             "CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT) AS visited "
             "FROM log2 GROUP BY IP, time_bucket(INTERVAL '10 minutes', date_time)"
+        ),
+        "a14_domain_entropy": oracle_cte(
+            f", labels AS (SELECT str_split(QH, '.')[1] AS label, "
+            f"count(*) AS n_queries FROM log2 WHERE {f3} GROUP BY 1), "
+            "l2 AS (SELECT label, CAST(len(label) AS BIGINT) AS label_len, n_queries FROM labels), "
+            "chars AS (SELECT label, label_len, substr(label, CAST(p AS INT), 1) AS ch "
+            "FROM l2, unnest(generate_series(1, CAST(label_len AS INT))) t(p)), "
+            "pc AS (SELECT label, label_len, ch, count(*) AS nc FROM chars GROUP BY 1, 2, 3), "
+            "ent AS (SELECT label, label_len, "
+            "CAST(sum(nc * CAST(floor(1000000 * ln(CAST(label_len AS DOUBLE) / nc)) AS BIGINT)) "
+            "// label_len AS BIGINT) AS entropy_micro "
+            "FROM pc GROUP BY 1, 2) "
+            "SELECT ent.label, label_len, CAST(n_queries AS BIGINT) AS n_queries, entropy_micro "
+            "FROM ent JOIN l2 USING (label, label_len)"
         ),
         "a7_tld_stats": oracle_cte(
             f"SELECT str_split(QH, '.')[-1] AS tld, count(*) AS \"count\" "

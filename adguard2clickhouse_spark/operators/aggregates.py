@@ -138,3 +138,62 @@ AGGREGATE_KEYS = {
     "tld_stats": ["tld"],
     "upstream_stats": ["Upstream"],
 }
+
+
+def domain_label_entropy(log2: DataFrame) -> DataFrame:
+    """A14 extension — DGA-style domain profiling: per distinct real
+    domain, the character entropy of the leftmost (host) label plus
+    query volume. Algorithmically-generated domains show high label
+    entropy at length; boilerplate infra names score low — the
+    standard first-pass DGA signal over a resolver log.
+
+    Integer-exact entropy (engine-portable like bm25/logprob):
+    H = Σ_c (n_c/L)·ln(L/n_c) becomes
+    ``entropy_micro = (Σ_c n_c · floor(10⁶·ln(L/n_c))) div L`` — each
+    per-character term is floored to int64 before the sum, so the
+    aggregation is order-independent and DuckDB replays it exactly.
+
+    Scale shape: queries collapse to DISTINCT domains *before* the
+    character explode, so the explode is bounded by |domains|·label_len
+    — never by query volume; the volume count rides along from the
+    same pre-collapse aggregation. Returns
+    (label, label_len, n_queries, entropy_micro).
+    """
+    labels = (
+        log2.filter(_real_domain("QH"))
+        .select(F.element_at(F.split(F.col("QH"), r"\."), 1).alias("label"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .withColumn("label_len", F.length("label").cast("long"))
+    )
+    chars = labels.select(
+        "label",
+        "label_len",
+        F.explode(F.sequence(F.lit(1), F.length("label"))).alias("_p"),
+    ).select("label", "label_len", F.expr("substr(label, _p, 1)").alias("_ch"))
+    per_char = chars.groupBy("label", "label_len", "_ch").agg(
+        F.count(F.lit(1)).alias("_nc")
+    )
+    ent = (
+        per_char.select(
+            "label",
+            "label_len",
+            (
+                F.col("_nc")
+                * F.floor(
+                    F.lit(1_000_000)
+                    * F.log(F.col("label_len").cast("double") / F.col("_nc"))
+                ).cast("long")
+            ).alias("_term"),
+        )
+        .groupBy("label", "label_len")
+        .agg(F.sum("_term").alias("_hsum"))
+        .select(
+            "label",
+            "label_len",
+            F.expr("_hsum div label_len").cast("long").alias("entropy_micro"),
+        )
+    )
+    return ent.join(labels.select("label", "n_queries"), "label").select(
+        "label", "label_len", "n_queries", "entropy_micro"
+    )

@@ -95,3 +95,32 @@ def test_additivity_invariant(log2_df):
         ["visited", "blocked"],
     )
     assert folded == whole
+
+
+def test_domain_label_entropy_hand_computed(spark):
+    """'aaaa' has zero entropy; 'abcd' has ln(4); 'aabb' has ln(2) —
+    all in the floored-micro integer form the operator emits. Distinct
+    domains collapse before the char explode (n_queries counts rows)."""
+    import math
+
+    from adguard2clickhouse_spark.operators.aggregates import domain_label_entropy
+
+    rows = [
+        ("aaaa.example.com",), ("aaaa.example.com",),
+        ("abcd.example.com",),
+        ("aabb.example.com",),
+        ("1.2.3.4",),        # IP literal: excluded by the F3 predicate
+        ("localhost",),      # single label: excluded
+    ]
+    log2 = spark.createDataFrame(rows, ["QH"])
+    got = {r.label: (r.label_len, r.n_queries, r.entropy_micro)
+           for r in domain_label_entropy(log2).collect()}
+    assert set(got) == {"aaaa", "abcd", "aabb"}
+    assert got["aaaa"] == (4, 2, 0)
+    # abcd: 4 chars nc=1 each: term = floor(1e6*ln(4)) per char; sum*4 // 4
+    t4 = math.floor(1e6 * math.log(4.0))
+    assert got["abcd"] == (4, 1, (4 * t4) // 4)
+    t2 = math.floor(1e6 * math.log(2.0))
+    assert got["aabb"] == (4, 1, (2 * t2 + 2 * t2) // 4)
+    # ordering sanity: random-looking > repeated
+    assert got["abcd"][2] > got["aabb"][2] > got["aaaa"][2]
