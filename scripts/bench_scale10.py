@@ -1,0 +1,110 @@
+"""Third scaling point: sf1 -> sf10 (100x the driver's bench SF).
+
+BENCH_sf1.json measures 0.1 -> 1; this script measures 1 -> 10 on a
+100x replica (scripts/gen_scale.py --mult 100), completing a
+three-point slope for the linear-plan query families. The quadratic-
+by-semantics queries (uncapped exact Jaccard) are deliberately NOT in
+this list — their term is measured and explained at sf1; re-measuring
+a known sum(df^2) at 60M rows buys nothing for an hour of compute.
+
+Writes BENCH_sf10.json. Usage:
+    python scripts/gen_scale.py --mult 100 --out /root/repo/.localdata/sf10
+    python scripts/bench_scale10.py
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+from adguard2clickhouse_spark.session import get_spark
+from bench import _calibrate, CALIBRATION_REF
+
+# Linear-plan families: reference-parity aggregates, the Arrow DNS UDF,
+# relational shapes, and the scale-path dedup/ANN variants.
+QUERIES = [
+    "a1_blocked_domains",
+    "a3_clients_stats",
+    "a6_stats2",
+    "a7_tld_stats",
+    "a14_domain_entropy",
+    "p7_dns_parse",
+    "q1_pricing_summary",
+    "x_join_revenue_by_nation",
+    "x_window_rank",
+    "e_sessions",
+    "x1_dedup_count",
+    "x2_ngram_jaccard_capped",
+    "x2_minhash_lsh",
+    "x3_topk_cosine",
+    "x4_quality",
+    "x4_unigram_logprob",
+    "x4_bm25_topk",
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/repo/.localdata/sf1")
+    ap.add_argument("--big", default="/root/repo/.localdata/sf10")
+    ap.add_argument("--threshold", type=float, default=15.0)
+    args = ap.parse_args()
+
+    calibration = _calibrate()
+    spark = get_spark(app_name="bench_scale10")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    for name in QUERIES:  # warmup (JIT/codegen) at sf0.001
+        qs[name](spark, "/root/testdata/sf0.001").count()
+
+    results = {}
+    for tag, sf_dir in [("base", args.base), ("big", args.big)]:
+        print(f"== {tag} ({sf_dir}) ==", file=sys.stderr)
+        t = {}
+        for name in QUERIES:
+            t0 = time.time()
+            qs[name](spark, sf_dir).count()
+            t[name] = round(time.time() - t0, 3)
+            print(f"  {name}: {t[name]}s", file=sys.stderr)
+        results[tag] = t
+
+    base, big = results["base"], results["big"]
+    queries, flagged = {}, []
+    for name in QUERIES:
+        ratio = round(big[name] / base[name], 2) if base[name] > 0 else None
+        entry = {"sec_sf1": base[name], "sec_sf10": big[name], "ratio": ratio}
+        if ratio is not None and ratio > args.threshold:
+            flagged.append(name)
+            entry["flag"] = f"ratio {ratio} > {args.threshold}"
+        queries[name] = entry
+
+    result = {
+        "metric": "scaling_ratio_sf10_vs_sf1",
+        "sf_base": 1.0,
+        "sf_big": 10.0,
+        "data_mult": 10,
+        "threshold": args.threshold,
+        "host_calibration_sec": calibration,
+        "calibration_ref_sec": CALIBRATION_REF,
+        "total_sf1_sec": round(sum(base.values()), 3),
+        "total_sf10_sec": round(sum(big.values()), 3),
+        "total_ratio": round(sum(big.values()) / sum(base.values()), 2),
+        "queries": queries,
+        "flagged": flagged,
+    }
+    (Path(__file__).resolve().parent.parent / "BENCH_sf10.json").write_text(
+        json.dumps(result, indent=1) + "\n"
+    )
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
