@@ -82,8 +82,12 @@ def replicate_documents(base: str, out: str, mult: int):
         c["n_chars"] = c["text"].str.len()
         frames.append(c)
     allf = pd.concat(frames, ignore_index=True)
+    # row_group_size matters: a single-row-group file makes Spark's
+    # byte-range split collapse to ONE reader task (row-group
+    # granularity), serializing every downstream scan — measured as a
+    # 10s straggler on the sf10 documents file.
     pq.write_table(pa.Table.from_pandas(allf, preserve_index=False),
-                   f"{out}/documents.parquet")
+                   f"{out}/documents.parquet", row_group_size=16384)
 
 
 def replicate_embeddings(base: str, out: str, mult: int):
@@ -112,7 +116,7 @@ def replicate_embeddings(base: str, out: str, mult: int):
          ("label", pa.int32())]
     )
     pq.write_table(pa.Table.from_pandas(allf, schema=schema, preserve_index=False),
-                   f"{out}/embeddings.parquet")
+                   f"{out}/embeddings.parquet", row_group_size=16384)
 
 
 def main():
