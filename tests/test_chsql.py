@@ -1,0 +1,126 @@
+"""ClickHouse-SQL compat layer (functions/chsql.py): the reference's
+own MV SQL, executed on Spark, must equal the native aggregates.
+
+The drop-in parity claim, executed: the DDL text is read VERBATIM from
+/root/reference/README.md (lines 24-189) at test time — nothing is
+copied into this repo — parsed into (select body, summing keys,
+measures) per view, transpiled, and run against the same log2 frame
+as operators/aggregates.py.
+"""
+
+from __future__ import annotations
+
+import pathlib
+import re
+
+import pytest
+
+from adguard2clickhouse_spark.functions import chsql
+from adguard2clickhouse_spark.operators import aggregates as agg
+
+REF_README = pathlib.Path("/root/reference/README.md")
+
+
+def _reference_ddl() -> str:
+    if not REF_README.exists():
+        pytest.skip("reference README not available in this environment")
+    text = REF_README.read_text()
+    return "\n".join(re.findall(r"```sql\n(.*?)```", text, re.DOTALL))
+
+
+@pytest.fixture(scope="module")
+def log2(spark):
+    from adguard2clickhouse_spark.sources.events_bridge import log2_from_events
+
+    return log2_from_events(spark, "/root/testdata/sf0.001")
+
+
+# -- transpiler unit coverage (self-contained, no reference needed) ---------
+
+def test_indexing_rewrite_is_one_based():
+    assert (
+        chsql._rewrite_indexing("SELECT arr[1] FROM t")
+        == "SELECT element_at(arr, 1) FROM t"
+    )
+    assert (
+        chsql._rewrite_indexing("f(g(x), h(y))[2]")
+        == "element_at(f(g(x), h(y)), 2)"
+    )
+    # nested + qualified names
+    assert (
+        chsql._rewrite_indexing("t.arr[3] + other[1]")
+        == "element_at(t.arr, 3) + element_at(other, 1)"
+    )
+
+
+def test_transpile_strips_db_and_sizes_arrays():
+    out = chsql.transpile("SELECT length(splitByChar('.', QH)) FROM AdGuardHome.log2")
+    assert out == "SELECT size(splitByChar('.', QH)) FROM log2"
+
+
+def test_clickhouse_functions_semantics(spark):
+    chsql.register_clickhouse_functions(spark)
+    rows = spark.sql(
+        "SELECT element_at(arrayRotateRight(splitByChar('.', 'x.example.com'), 1), 1) AS tld, "
+        "isIPv4String('10.0.0.1') AS v4, isIPv4String('10.0.0.256') AS not_v4, "
+        "isIPv6String('::1') AS v6, isIPv6String('x.com') AS not_v6, "
+        "toStartOfInterval(timestamp'2024-01-01 00:17:45', toIntervalMinute(10)) AS bucket"
+    ).collect()[0]
+    assert rows.tld == "com"
+    assert rows.v4 and not rows.not_v4
+    assert rows.v6 and not rows.not_v6
+    assert str(rows.bucket) == "2024-01-01 00:10:00"
+
+
+def test_sql_udfs_inline_into_codegen(spark):
+    """The shims are scalar SQL UDFs — Catalyst inlines them; the plan
+    must contain no Python/Batch EvalPython stage."""
+    chsql.register_clickhouse_functions(spark)
+    df = spark.range(10).selectExpr(
+        "element_at(arrayRotateRight(splitByChar('.', concat('h', id, '.ex.com')), 1), 1) AS tld"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
+    assert df.count() == 10
+
+
+# -- the drop-in claim: reference MV SQL == native aggregates ----------------
+
+# MV name (as in the reference DDL) → our native aggregate.
+# upstream_stats is absent: the reference's upstream_stats MV
+# (README.md:159-168) is a verbatim copy-paste of the tld MV — the
+# parser surfaces that bug as a name collision (asserted below).
+_MV_TO_NATIVE = {
+    "blocked_domains_mv": "blocked_domains",
+    "client_stats_mv": "clients_stats",
+    "qt_stats_mv": "qt_stats",
+    "rcode_stats_mv": "rcode_stats",
+    "stats2_mv": "stats2",
+    "tld_stats_mv": "tld_stats",
+    "visited_domains_mv": "visited_domains",
+}
+
+
+def test_reference_mv_sql_matches_native_aggregates(spark, log2):
+    ddl = _reference_ddl()
+    mvs = chsql.parse_mv_ddl(ddl)
+    missing = set(_MV_TO_NATIVE) - set(mvs)
+    assert not missing, f"MVs not parsed from reference DDL: {missing}"
+    for mv_name, native_name in _MV_TO_NATIVE.items():
+        got_df = chsql.mv_aggregate(spark, log2, mvs[mv_name])
+        native_df = agg.ALL_AGGREGATES[native_name](log2)
+        cols = sorted(native_df.columns)
+        got = {tuple(r) for r in got_df.select(*cols).collect()}
+        want = {tuple(r) for r in native_df.select(*cols).collect()}
+        assert got == want, f"{mv_name} != native {native_name}"
+
+
+def test_reference_upstream_mv_bug_surfaces_as_collision(spark):
+    """README.md:159-168 defines upstream_stats' MV as a second
+    tld_stats_mv writing TO tld_stats — the parser must expose the
+    copy-paste (no MV targets upstream_stats), matching SURVEY §2.5
+    A8's de-bugged-intent note."""
+    ddl = _reference_ddl()
+    mvs = chsql.parse_mv_ddl(ddl)
+    assert not any(m["target"] == "upstream_stats" for m in mvs.values())
+    assert "upstream_stats" not in {m["target"] for m in mvs.values()}
