@@ -38,6 +38,7 @@ from __future__ import annotations
 import re
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from adguard2clickhouse_spark.functions.net import IPV4_RE, IPV6_RE
 
@@ -196,17 +197,35 @@ def mv_aggregate(
     feed its SummingMergeTree target; the GROUP BY + sum() applies the
     fold the target's engine performs at merge time. ClickHouse's
     ``ORDER BY`` inside an MV body is inert for the summed result
-    (README semantics; SURVEY §2.7 R2) and is dropped."""
+    (README semantics; SURVEY §2.7 R2) and is dropped.
+
+    Thread-safe by construction: the source frame binds through
+    Spark's templated ``spark.sql(..., log2=df)`` — no shared temp
+    views, so the streaming pipeline can fan these out concurrently
+    inside foreachBatch."""
     register_clickhouse_functions(spark)
     body = transpile(mv["select"], database)
     body = re.sub(r"ORDER\s+BY(?:(?!FROM).)*$", "", body, flags=re.IGNORECASE | re.DOTALL)
-    log2.createOrReplaceTempView("log2")
-    delta = spark.sql(body)
+    body = re.sub(r"\bFROM\s+log2\b", "FROM {log2}", body, flags=re.IGNORECASE)
+    delta = spark.sql(body, log2=log2)
     if not mv["keys"]:
         return delta
-    sums = [f"sum({m}) AS {m}" for m in mv["measures"]]
-    delta.createOrReplaceTempView("_mv_delta")
-    return spark.sql(
-        f"SELECT {', '.join(mv['keys'])}, {', '.join(sums)} "
-        f"FROM _mv_delta GROUP BY {', '.join(mv['keys'])}"
+    return delta.groupBy(*mv["keys"]).agg(
+        *[F.sum(m).alias(m) for m in mv["measures"]]
     )
+
+
+def aggregates_from_clickhouse_ddl(ddl_text: str, database: str = "AdGuardHome"):
+    """Verbatim reference DDL → the pipeline's custom-aggregate spec:
+    ``{target_table: (fn, keys, measures)}`` where ``fn(log2_df)``
+    computes the batch delta. Drop this straight into
+    ``QuerylogPipeline(custom_aggregates=...)`` and the engine
+    maintains YOUR ClickHouse MVs as streaming summing sinks — the
+    bring-your-own-MV-DDL path."""
+    out = {}
+    for mv in parse_mv_ddl(ddl_text).values():
+        def fn(log2, _mv=mv):
+            return mv_aggregate(log2.sparkSession, log2, _mv, database)
+
+        out[mv["target"]] = (fn, mv["keys"], mv["measures"])
+    return out

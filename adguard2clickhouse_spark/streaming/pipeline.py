@@ -65,7 +65,8 @@ class QuerylogPipeline:
     """source dir → parse → fact append + 8 additive aggregates."""
 
     def __init__(self, spark: SparkSession, source_dir: str, out_dir: str,
-                 checkpoint_dir: str | None = None, clickhouse=None):
+                 checkpoint_dir: str | None = None, clickhouse=None,
+                 custom_aggregates=None):
         self.spark = spark
         # Micro-batches are small relative to the static shuffle-partition
         # count; AQE coalescing (on by default since Spark 3.2, explicit
@@ -82,7 +83,19 @@ class QuerylogPipeline:
         self.checkpoint_dir = checkpoint_dir or os.path.join(out_dir, "_checkpoint")
         self.log2_path = os.path.join(out_dir, "log2")
         self.dead_letter_path = os.path.join(out_dir, "dead_letter")
+        # Aggregate spec: the reference-parity eight by default, plus
+        # any bring-your-own MVs — ``custom_aggregates`` is
+        # {name: (fn, keys, measures)}, exactly what
+        # functions.chsql.aggregates_from_clickhouse_ddl() returns from
+        # a user's verbatim ClickHouse MV DDL. Custom entries with a
+        # parity name override the built-in (the user's SQL wins).
+        self.aggregates = dict(ALL_AGGREGATES)
         self.sinks = aggregate_sinks(out_dir)
+        for name, (fn, keys, measures) in (custom_aggregates or {}).items():
+            self.aggregates[name] = fn
+            self.sinks[name] = SummingParquetSink(
+                os.path.join(out_dir, name), keys=keys, measures=measures
+            )
         # Optional ClickHouse fact insert (the reference's north-star
         # sink, src/collector.py:73-75): a foreachBatch-compatible
         # writer (sinks/clickhouse.py). Aggregates stay in the parquet
@@ -139,10 +152,10 @@ class QuerylogPipeline:
             # submit their jobs concurrently — on a cluster this keeps
             # executors busy instead of serializing eight small shuffles;
             # Spark's scheduler interleaves the jobs safely.
-            with ThreadPoolExecutor(max_workers=len(ALL_AGGREGATES)) as pool:
+            with ThreadPoolExecutor(max_workers=len(self.aggregates)) as pool:
                 futures = [
                     pool.submit(self.sinks[name].apply_delta, fn(good), epoch_id)
-                    for name, fn in ALL_AGGREGATES.items()
+                    for name, fn in self.aggregates.items()
                 ]
                 for f in futures:
                     f.result()  # propagate the first failure, fail the batch
@@ -219,8 +232,8 @@ class QuerylogPipeline:
         keep appending — the next epoch folds onto the rebuilt base."""
         log2 = self.read_log2().persist()
         try:
-            for name in names or list(ALL_AGGREGATES):
+            for name in names or list(self.aggregates):
                 sink = self.sinks[name]
-                sink.replace(ALL_AGGREGATES[name](log2))
+                sink.replace(self.aggregates[name](log2))
         finally:
             log2.unpersist()

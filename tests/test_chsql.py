@@ -124,3 +124,47 @@ def test_reference_upstream_mv_bug_surfaces_as_collision(spark):
     mvs = chsql.parse_mv_ddl(ddl)
     assert not any(m["target"] == "upstream_stats" for m in mvs.values())
     assert "upstream_stats" not in {m["target"] for m in mvs.values()}
+
+
+def test_pipeline_maintains_user_mv_ddl_streaming(spark, tmp_path):
+    """Bring-your-own-MV-DDL, end to end: the pipeline maintains
+    aggregates parsed from the reference's VERBATIM ClickHouse DDL as
+    streaming summing sinks, and after two micro-batch rounds each
+    custom sink equals the one-shot batch answer. The fan-out runs the
+    MV SQL from several threads at once — exercising mv_aggregate's
+    no-temp-view thread safety."""
+    import json as _json
+
+    from adguard2clickhouse_spark.operators.dnswire import build_answer_b64
+    from adguard2clickhouse_spark.operators.parse import parse_querylog
+    from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+    ddl = _reference_ddl()
+    custom = chsql.aggregates_from_clickhouse_ddl(ddl)
+    assert set(custom) >= {"blocked_domains", "clients_stats", "stats2", "tld_stats"}
+
+    def line(i, f):
+        return _json.dumps({
+            "T": f"2024-01-01T00:{i % 40:02d}:{i % 60:02d}+00:00",
+            "QH": f"d{i % 5}.example.com", "QT": "A", "QC": "IN", "CP": "",
+            "Upstream": f"up{i % 2}", "IP": f"10.9.0.{i % 3}",
+            "Result": {"IsFiltered": f}, "Elapsed": 100 + i, "Cached": False,
+            "Answer": build_answer_b64(a=["1.2.3.4"]),
+        })
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    batches = [[line(i, i % 3 == 0) for i in range(30)],
+               [line(i, i % 4 == 0) for i in range(30, 50)]]
+    pipe = QuerylogPipeline(spark, str(src), str(out), custom_aggregates=custom)
+    for i, lines in enumerate(batches):
+        (src / f"log-{i}.jsonl").write_text("\n".join(lines) + "\n")
+        pipe.run_available()
+
+    raw = spark.createDataFrame([(l,) for b in batches for l in b], ["value"])
+    good, _ = parse_querylog(raw)
+    for name, (fn, keys, measures) in custom.items():
+        want = {tuple(r) for r in fn(good).collect()}
+        got = {tuple(r) for r in
+               pipe.read_aggregate(name).select(*keys, *measures).collect()}
+        assert got == want, f"custom sink {name} diverged from batch answer"
