@@ -209,6 +209,27 @@ class QuerylogPipeline:
     def read_aggregate(self, name: str) -> DataFrame | None:
         return self.sinks[name].read(self.spark)
 
+    def sql(self, query: str) -> DataFrame:
+        """Query the engine's tables in ClickHouse dialect — the SELECT
+        side of drop-in parity. Registers every aggregate sink plus
+        ``log2`` as temp views, the ClickHouse function shims
+        (functions/chsql.py), and transpiles the dialect differences
+        (1-based ``expr[n]``, db prefixes, array ``length``), so a
+        query a reference user runs against their ClickHouse today —
+        e.g. ``SELECT QH, count FROM blocked_domains ORDER BY count
+        DESC LIMIT 10`` or anything using ``splitByChar`` /
+        ``toStartOfInterval`` — runs unchanged here."""
+        from adguard2clickhouse_spark.functions import chsql
+
+        chsql.register_clickhouse_functions(self.spark)
+        for name, sink in self.sinks.items():
+            df = sink.read(self.spark)
+            if df is not None:
+                df.createOrReplaceTempView(name)
+        if os.path.isdir(self.log2_path):
+            self.read_log2().createOrReplaceTempView("log2")
+        return self.spark.sql(chsql.transpile(query))
+
     def read_log2(self, merge_schema: bool = False) -> DataFrame:
         """``merge_schema=True`` reconciles files written before and
         after a column was added to the fact schema (parquet schema

@@ -168,3 +168,39 @@ def test_pipeline_maintains_user_mv_ddl_streaming(spark, tmp_path):
         got = {tuple(r) for r in
                pipe.read_aggregate(name).select(*keys, *measures).collect()}
         assert got == want, f"custom sink {name} diverged from batch answer"
+
+
+def test_pipeline_sql_reads_sinks_in_clickhouse_dialect(spark, tmp_path):
+    """The SELECT side of drop-in parity: pipe.sql() answers
+    ClickHouse-dialect queries over the maintained tables unchanged."""
+    import json as _json
+
+    from adguard2clickhouse_spark.operators.dnswire import build_answer_b64
+    from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    lines = [
+        _json.dumps({
+            "T": f"2024-01-01T00:00:{i:02d}+00:00",
+            "QH": f"d{i % 3}.example.com", "QT": "A", "QC": "IN", "CP": "",
+            "Upstream": "up0", "IP": "10.9.1.1",
+            "Result": {"IsFiltered": i % 2 == 0}, "Elapsed": 1, "Cached": False,
+            "Answer": build_answer_b64(a=["1.2.3.4"]),
+        })
+        for i in range(12)
+    ]
+    (src / "log.jsonl").write_text("\n".join(lines) + "\n")
+    pipe = QuerylogPipeline(spark, str(src), str(out))
+    pipe.run_available()
+
+    top = pipe.sql(
+        "SELECT QH, count FROM blocked_domains ORDER BY count DESC, QH LIMIT 2"
+    ).collect()
+    assert [r.QH for r in top] == ["d0.example.com", "d1.example.com"]
+    # dialect functions + 1-based indexing against the fact table
+    tlds = pipe.sql(
+        "SELECT arrayRotateRight(splitByChar('.', QH), 1)[1] AS tld, count(*) AS n "
+        "FROM AdGuardHome.log2 GROUP BY tld"
+    ).collect()
+    assert [(r.tld, r.n) for r in tlds] == [("com", 12)]
