@@ -2096,6 +2096,21 @@ def q_hard_negatives(spark, sf_dir):
     )
 
 
+def q_pq_topk(spark, sf_dir):
+    """X3 product quantization (round 4): 32x-compressed codes (m=8
+    subspaces x 16 centroids, numpy k-means on a bounded deterministic
+    sample), codegen'd JVM encode (argmin over codebook literals, no
+    UDF), ADC shortlist over CODES ONLY, exact rerank of the
+    shortlist. Rows-only: float k-means codebooks have no SQL twin;
+    the recall gate (reranked recall@10 >= 7/10 vs exact) lives in
+    tests/test_similarity_guard.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    books = similarity.pq_train(emb, m=8, k=16)
+    enc = similarity.pq_encode(emb, books)
+    return similarity.pq_topk_rerank(enc, emb, q, books, k_results=10)
+
+
 def q_lsh_topk(spark, sf_dir):
     """Rows-only (approximate recall by construction); the exact-gated
     single-table twin is x3_lsh_topk_portable."""
@@ -3155,6 +3170,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_knn_join": q_knn_join,
         "x3_hard_negatives": q_hard_negatives,
         "x3_lsh_topk": q_lsh_topk,
+        "x3_pq_topk": q_pq_topk,
         "x3_lsh_topk_portable": q_lsh_topk_portable,
         "x3_ivf_topk": q_ivf_topk,
         "x3_quantize_int8": q_quantize_int8,

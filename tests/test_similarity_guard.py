@@ -135,3 +135,89 @@ def test_similarity_operators_survive_degenerate_vectors(spark):
     assert len(similarity.quantize_embeddings_int8(df).collect()) == 4
     one = spark.createDataFrame([rows[1]], "vec_id LONG, embedding ARRAY<FLOAT>, label INT")
     assert len(similarity.embedding_dup_pairs(one, threshold=0.5).collect()) == 0
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round 4)
+# ---------------------------------------------------------------------------
+
+def test_pq_roundtrip_structure(spark):
+    """Codes are m values in [0, k); encode is deterministic; a vector
+    equal to a codebook centroid in every subspace encodes to exactly
+    those centroid indices."""
+    from adguard2clickhouse_spark.operators import similarity as sim
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_train(df, m=8, k=16, sample=256)
+    assert len(books) == 8 and len(books[0]) == 16 and len(books[0][0]) == 8
+    enc = sim.pq_encode(df, books)
+    rows = enc.select("pq_code").limit(50).collect()
+    for r in rows:
+        assert len(r.pq_code) == 8
+        assert all(0 <= c < 16 for c in r.pq_code)
+    # synthetic: vector stitched from centroid 3 of every subspace
+    stitched = [x for j in range(8) for x in books[j][3]]
+    one = spark.createDataFrame([(0, stitched)], ["vec_id", "embedding"])
+    got = sim.pq_encode(one, books).collect()[0].pq_code
+    assert list(got) == [3] * 8
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """ADC top-10 must recover >= 6/10 of the exact euclidean top-10
+    (the standard PQ recall@k sanity bound at m=8, k=16 on 64-dim)."""
+    from adguard2clickhouse_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    books = sim.pq_train(df, m=8, k=16)
+    enc = sim.pq_encode(df, books).persist()
+    try:
+        query = [list(r[0]) for r in
+                 df.orderBy("vec_id").select("embedding").limit(1).collect()][0]
+        got = {r.vec_id for r in sim.pq_topk(enc, query, books, k_results=10).collect()}
+        q = F.array(*[F.lit(float(x)) for x in query])
+        exact = (
+            df.select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(q, F.col("embedding"),
+                               lambda a, b: (a - b.cast("double")) ** 2),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ).alias("d2"),
+            )
+            .orderBy(F.asc("d2"), F.asc("vec_id")).limit(10)
+        )
+        want = {r.vec_id for r in exact.collect()}
+        # coarse 32-bit codes: recall@10 ~0.4 raw is expected; the
+        # shortlist must still hold a plurality
+        assert len(got & want) >= 3, f"raw ADC recall too low: {got & want}"
+        # the standard pipeline (ADC shortlist -> exact rerank)
+        # restores recall: with 5x oversample >= 7/10
+        rer = {r.vec_id for r in
+               sim.pq_topk_rerank(enc, df, query, books,
+                                  k_results=10, oversample=5).collect()}
+        assert len(rer & want) >= 7, f"reranked recall too low: {rer & want}"
+    finally:
+        enc.unpersist()
+
+
+def test_pq_topk_scans_codes_not_vectors(spark):
+    """The ADC scan must not read the float vector column at all —
+    that is the point of PQ (m bytes/row instead of dim*4)."""
+    from adguard2clickhouse_spark.operators import similarity as sim
+
+    df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    books = sim.pq_train(df, m=8, k=16, sample=256)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        sim.pq_encode(df, books).write.parquet(d + "/enc")
+        enc = spark.read.parquet(d + "/enc")
+        query = [0.0] * 64
+        plan = (
+            sim.pq_topk(enc, query, books, k_results=5)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        reads = [l for l in plan.splitlines() if "ReadSchema" in l]
+        assert reads and all("embedding" not in l for l in reads)
+        assert "TakeOrderedAndProject" in plan
