@@ -2111,6 +2111,17 @@ def q_pq_topk(spark, sf_dir):
     return similarity.pq_topk_rerank(enc, emb, q, books, k_results=10)
 
 
+def q_ivfadc_topk(spark, sf_dir):
+    """X3 IVFADC (round 4): the FAISS billion-scale layout composed
+    from the ivf_* and pq_* primitives - Lloyd cells, PQ codes over
+    RESIDUALS, per-cell ADC tables, exact rerank of the shortlist.
+    Rows-only; recall gate in tests/test_similarity_guard.py."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = _query_vec(spark, sf_dir, 0)
+    index, cents, books = similarity.ivfadc_build(emb, n_cells=16, m=8, k=16)
+    return similarity.ivfadc_topk(index, emb, q, cents, books, k_results=10, nprobe=8)
+
+
 def q_lsh_topk(spark, sf_dir):
     """Rows-only (approximate recall by construction); the exact-gated
     single-table twin is x3_lsh_topk_portable."""
@@ -3171,6 +3182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x3_hard_negatives": q_hard_negatives,
         "x3_lsh_topk": q_lsh_topk,
         "x3_pq_topk": q_pq_topk,
+        "x3_ivfadc_topk": q_ivfadc_topk,
         "x3_lsh_topk_portable": q_lsh_topk_portable,
         "x3_ivf_topk": q_ivf_topk,
         "x3_quantize_int8": q_quantize_int8,

