@@ -74,14 +74,30 @@ def build_parser() -> argparse.ArgumentParser:
         "--report-progress", action="store_true",
         help="print per-run ingest throughput (rows, batches) to stderr",
     )
+    p.add_argument(
+        "--mv-ddl", default=None, metavar="FILE",
+        help="path to a ClickHouse MV DDL file (SummingMergeTree targets "
+        "+ materialized views, the reference's format verbatim): each "
+        "parsed MV is maintained as an additional streaming aggregate "
+        "sink (functions/chsql.py)",
+    )
     return p
 
 
 def run(argv: list[str] | None = None) -> None:
     args = build_parser().parse_args(argv)
     spark = get_spark(app_name="adguard-collector", master=args.master)
+    custom = None
+    if args.mv_ddl:
+        from adguard2clickhouse_spark.functions.chsql import (
+            aggregates_from_clickhouse_ddl,
+        )
+
+        with open(args.mv_ddl) as f:
+            custom = aggregates_from_clickhouse_ddl(f.read())
     pipe = QuerylogPipeline(
-        spark, args.source, args.out, clickhouse=writer_from_env()
+        spark, args.source, args.out, clickhouse=writer_from_env(),
+        custom_aggregates=custom,
     )
     if args.rebuild:
         pipe.rebuild_aggregates()

@@ -204,3 +204,44 @@ def test_pipeline_sql_reads_sinks_in_clickhouse_dialect(spark, tmp_path):
         "FROM AdGuardHome.log2 GROUP BY tld"
     ).collect()
     assert [(r.tld, r.n) for r in tlds] == [("com", 12)]
+
+
+def test_collector_cli_accepts_mv_ddl_file(spark, tmp_path):
+    """--mv-ddl FILE on the deployable entrypoint: a user's DDL file
+    becomes live aggregate sinks through the collector CLI."""
+    import json as _json
+
+    from adguard2clickhouse_spark.collector import run
+    from adguard2clickhouse_spark.operators.dnswire import build_answer_b64
+
+    ddl = tmp_path / "user.sql"
+    ddl.write_text(
+        "create table by_upstream (Upstream String, count UInt32) "
+        "engine = SummingMergeTree ORDER BY Upstream;\n"
+        "CREATE MATERIALIZED VIEW by_upstream_mv TO by_upstream (\n"
+        " `Upstream` String, `count` UInt8\n) AS\n"
+        "SELECT Upstream, 1 AS count FROM AdGuardHome.log2;\n"
+    )
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    lines = [
+        _json.dumps({
+            "T": f"2024-01-01T00:00:{i:02d}+00:00", "QH": "d.example.com",
+            "QT": "A", "QC": "IN", "CP": "", "Upstream": f"up{i % 2}",
+            "IP": "10.0.0.1", "Result": {}, "Elapsed": 1, "Cached": False,
+            "Answer": build_answer_b64(a=["1.2.3.4"]),
+        })
+        for i in range(10)
+    ]
+    (src / "log.jsonl").write_text("\n".join(lines) + "\n")
+    run(["--source", str(src), "--out", str(out), "--once",
+         "--mv-ddl", str(ddl)])
+
+    import os
+
+    from adguard2clickhouse_spark.sinks.summing import SummingParquetSink
+
+    sink = SummingParquetSink(os.path.join(str(out), "by_upstream"),
+                              keys=["Upstream"], measures=["count"])
+    got = {r.Upstream: r["count"] for r in sink.read(spark).collect()}
+    assert got == {"up0": 5, "up1": 5}
