@@ -2621,6 +2621,16 @@ def q_tfidf_search(spark, sf_dir):
     return tfidf_search(_t(spark, sf_dir, "documents"), _TFIDF_QUERY, k=20)
 
 
+def q_hashed_bow(spark, sf_dir):
+    """X4 hashing-trick bag-of-words (round 4): token -> stable md5
+    bucket in [0,64), counted per doc - the engine-portable feature
+    map that connects the text tables to the vector operators. Exact
+    integer rows, fully hash-gated."""
+    from adguard2clickhouse_spark.operators.text import hashed_bow
+
+    return hashed_bow(_t(spark, sf_dir, "documents"), dim=64)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """X4 quality signal: per-document unigram LM log-probability
     (CCNet-shape filtering input). Per-vocab-term micro-log terms are
@@ -3210,6 +3220,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_vocab": q_vocab,
         "x4_tfidf_search": q_tfidf_search,
         "x4_unigram_logprob": q_unigram_logprob,
+        "x4_hashed_bow": q_hashed_bow,
         "x4_bm25_topk": q_bm25_topk,
         "x7_hash_split": q_hash_split,
         "x7_shard_export": q_shard_export,
@@ -4500,6 +4511,13 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score, n_hits, "
             "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk "
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "x4_hashed_bow": (
+            "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok "
+            "FROM documents) "
+            "SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 8))::BIGINT % 64 "
+            "AS INT) AS bucket, CAST(count(*) AS BIGINT) AS n "
+            "FROM toks GROUP BY 1, 2"
         ),
         "x4_unigram_logprob": (
             "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS term "

@@ -267,3 +267,64 @@ def common_ngram_density(
     finally:
         sh.unpersist()
     return out
+
+
+def hashed_bow(
+    df: "DataFrame",
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> "DataFrame":
+    """Hashing-trick bag-of-words: token → stable md5 bucket in
+    [0, dim), counted per document. The deterministic, engine-portable
+    stand-in for a neural embedding — it connects the text tables to
+    the vector operators (cosine top-k, LSH/PQ dedup) with a feature
+    map any engine can replay, so the WHOLE text→embed→similarity
+    pipeline sits under the hash gate.
+
+    Returns (id, bucket, n) integer rows — the exact-SQL-twin shape;
+    :func:`hashed_embedding` pivots to the array form for the vector
+    operators."""
+    from adguard2clickhouse_spark.operators.sampling import hash_bucket
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), " ")).alias("_tok"),
+    )
+    return (
+        toks.groupBy(id_col, hash_bucket(F.col("_tok"), dim).alias("bucket"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def hashed_embedding(
+    df: "DataFrame",
+    dim: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> "DataFrame":
+    """Dense L2-normalized array<double> form of :func:`hashed_bow`:
+    per doc, counts pivot into a dim-length array via map_from_entries
+    + a sequence transform (pure JVM — no UDF, one groupBy shuffle).
+    Zero-token docs yield the zero vector (cosine() treats it as
+    directionless, never similar)."""
+    bow = hashed_bow(df, dim, text_col, id_col)
+    as_map = bow.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bucket"), F.col("n")))
+        ).alias("_m")
+    )
+    counts = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(F.element_at("_m", j), F.lit(0)).cast("double"),
+    )
+    nrm = F.sqrt(
+        F.aggregate(counts, F.lit(0.0), lambda acc, v: acc + v * v)
+    )
+    return as_map.select(
+        F.col(id_col),
+        F.when(nrm == 0, counts)
+        .otherwise(F.transform(counts, lambda v: v / nrm))
+        .alias(vec_col),
+    )

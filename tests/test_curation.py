@@ -435,3 +435,28 @@ def test_shingle_helpers_match_python_reference(spark):
         assert row["nh"] == len(expect)
 
     check()
+
+
+def test_hashed_embedding_composes_with_vector_ops(spark):
+    """Text -> hashed embedding -> similarity: identical docs land at
+    cosine 1, disjoint docs at 0, vectors are unit-norm, and the
+    frame plugs straight into embedding_dup_pairs."""
+    import math
+
+    from adguard2clickhouse_spark.operators.similarity import embedding_dup_pairs
+    from adguard2clickhouse_spark.operators.text import hashed_embedding
+
+    df = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a b a c"), (3, "x y z w q")], ["doc_id", "text"]
+    )
+    emb = hashed_embedding(df)
+    rows = {r.doc_id: r.embedding for r in emb.collect()}
+    for v in rows.values():
+        assert abs(math.fsum(x * x for x in v) - 1.0) < 1e-9
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in embedding_dup_pairs(
+            emb.withColumnRenamed("doc_id", "vec_id"), threshold=0.99
+        ).collect()
+    }
+    assert pairs == {(1, 2)}
