@@ -46,6 +46,9 @@ QUERIES = [
     "x4_quality",
     "x4_unigram_logprob",
     "x4_bm25_topk",
+    "x4_hashed_bow",
+    "x3_pq_topk",
+    "x3_ivfadc_topk",
 ]
 
 
