@@ -258,3 +258,48 @@ class QuerylogPipeline:
                 sink.replace(self.aggregates[name](log2))
         finally:
             log2.unpersist()
+
+    def replay_dead_letters(self) -> dict:
+        """Re-parse the dead-letter channel — the operational recovery
+        the reference cannot do (its failed lines go to stdout and are
+        gone, src/collector.py:76-78). After a parser fix or an
+        upstream data repair, lines that NOW parse are appended to
+        log2 and every aggregate is rebuilt from the fact table
+        (atomic pointer swap per sink — exactly-once by construction,
+        no epoch-id games with the streaming checkpoint); lines that
+        still fail replace the dead-letter channel.
+
+        Run while the stream is stopped (the dead-letter directory is
+        rewritten in place). Returns {"replayed", "still_dead"}.
+        """
+        import shutil
+        import tempfile
+
+        if not os.path.isdir(self.dead_letter_path):
+            return {"replayed": 0, "still_dead": 0}
+        from adguard2clickhouse_spark.operators.parse import parse_querylog
+
+        dead = self.spark.read.parquet(self.dead_letter_path)
+        good, still_dead = parse_querylog(dead, "raw_line")
+        n_good = good.count()
+        # materialize the survivors BEFORE touching the source dir
+        tmp = tempfile.mkdtemp(dir=self.out_dir)
+        still_path = os.path.join(tmp, "dead_letter")
+        still_dead.write.parquet(still_path)
+        n_dead = self.spark.read.parquet(still_path).count()
+        if n_good:
+            (
+                good.withColumn("date", F.to_date("date_time"))
+                .sortWithinPartitions("date_time")
+                .write.mode("append")
+                .partitionBy("date")
+                .parquet(self.log2_path)
+            )
+            if self.clickhouse is not None:
+                self.clickhouse.insert_batch(good, "log2")
+        shutil.rmtree(self.dead_letter_path)
+        os.replace(still_path, self.dead_letter_path)
+        shutil.rmtree(tmp, ignore_errors=True)
+        if n_good:
+            self.rebuild_aggregates()
+        return {"replayed": n_good, "still_dead": n_dead}
