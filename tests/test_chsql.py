@@ -245,3 +245,44 @@ def test_collector_cli_accepts_mv_ddl_file(spark, tmp_path):
                               keys=["Upstream"], measures=["count"])
     got = {r.Upstream: r["count"] for r in sink.read(spark).collect()}
     assert got == {"up0": 5, "up1": 5}
+
+
+def test_log2_schema_matches_reference_table_verbatim():
+    """Parse the reference's `create table log2` DDL (verbatim at test
+    time) and assert our LOG2_SCHEMA carries exactly its columns, with
+    type mappings consistent with sinks/clickhouse.py's DDL generator
+    (String<->string, DateTime<->timestamp, UInt64<->long/bigint,
+    Bool<->boolean, Array(IPv4/IPv6/String)<->array<string>,
+    LowCardinality(x)<->x, UInt8 rcode<->int)."""
+    import re as _re
+
+    from adguard2clickhouse_spark.schemas import LOG2_SCHEMA
+
+    ddl = _reference_ddl()
+    m = _re.search(r"create\s+table\s+log2\s*\((.*?)\)\s*engine", ddl,
+                   _re.IGNORECASE | _re.DOTALL)
+    assert m, "reference log2 DDL not found"
+    ref_cols = {}
+    for lineno in m.group(1).split(","):
+        parts = lineno.split()
+        if len(parts) >= 2:
+            ref_cols[parts[0].strip("`")] = parts[1]
+    ours = {f.name: f.dataType.simpleString() for f in LOG2_SCHEMA.fields}
+    assert set(ref_cols) == set(ours), (
+        f"column sets differ: ref-only={set(ref_cols) - set(ours)}, "
+        f"ours-only={set(ours) - set(ref_cols)}"
+    )
+    compat = {
+        "String": {"string"},
+        "LowCardinality(String)": {"string"},
+        "LowCardinality(IPv4)": {"string"},
+        "DateTime": {"timestamp"},
+        "UInt64": {"bigint", "long"},
+        "UInt8": {"int", "tinyint", "smallint"},
+        "Bool": {"boolean"},
+        "Array(IPv4)": {"array<string>"},
+        "Array(IPv6)": {"array<string>"},
+        "Array(String)": {"array<string>"},
+    }
+    for name, ch_type in ref_cols.items():
+        assert ours[name] in compat[ch_type], (name, ch_type, ours[name])

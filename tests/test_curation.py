@@ -460,3 +460,32 @@ def test_hashed_embedding_composes_with_vector_ops(spark):
         ).collect()
     }
     assert pairs == {(1, 2)}
+
+
+def test_normalize_unicode_nfkc_known_pairs(spark):
+    """Real NFKC: ligatures, full-width ASCII, superscripts, and
+    composed/decomposed accents fold to canonical forms; NFC leaves
+    compatibility characters alone; nulls survive."""
+    from adguard2clickhouse_spark.operators.scrub import normalize_unicode
+
+    rows = [
+        (1, "ﬁle"),            # LATIN SMALL LIGATURE FI
+        (2, "Ｆｕｌｌｗｉｄｔｈ"),  # full-width letters
+        (3, "x²"),         # superscript two
+        (4, "étude"),     # decomposed accent
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    got = {r.id: r.text for r in normalize_unicode(df).collect()}
+    assert got[1] == "file"
+    assert got[2] == "Fullwidth"
+    assert got[3] == "x2"
+    assert got[4] == "étude"     # composed é
+    assert got[5] is None
+    # NFC: canonical composition only — the ligature survives
+    nfc = {r.id: r.text for r in normalize_unicode(df, form="NFC").collect()}
+    assert nfc[1] == "ﬁle" and nfc[4] == "étude"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        normalize_unicode(df, form="XXX")
