@@ -53,6 +53,21 @@ _MAX_EPOCHS_TRACKED = 1000
 _BUCKET = "_sps_bucket"
 
 
+# Per-measure fold functions. "sum" is SummingMergeTree; the rest make
+# this sink the AggregatingMergeTree analog: any fold that is
+# commutative, associative, and idempotent-mergeable keeps the
+# (state ∪ delta) ⊕ keys contract exact. "hll_union" folds Spark's
+# native DataSketches HLL binary sketches — registers are identical
+# whether built whole or merged from partials, so streaming
+# count-distinct state stays exactly consistent with a batch sketch.
+_FOLDS = {
+    "sum": F.sum,
+    "max": F.max,
+    "min": F.min,
+    "hll_union": lambda c: F.hll_union_agg(c, F.lit(False)),
+}
+
+
 class SummingParquetSink:
     def __init__(
         self,
@@ -60,12 +75,26 @@ class SummingParquetSink:
         keys: list[str],
         measures: list[str],
         n_buckets: int = 8,
+        folds: dict[str, str] | None = None,
     ):
+        """``folds``: optional measure→fold-name map ({"sum", "max",
+        "min", "hll_union"}); unlisted measures fold with "sum" — the
+        default SummingMergeTree behavior, so existing sinks are
+        unchanged."""
         self.path = path
         self.keys = keys
         self.measures = measures
         self.n_buckets = n_buckets
+        self.folds = dict(folds or {})
+        for m, f in self.folds.items():
+            if f not in _FOLDS:
+                raise ValueError(f"unknown fold {f!r} for measure {m!r}")
         os.makedirs(path, exist_ok=True)
+
+    def _fold_exprs(self):
+        return [
+            _FOLDS[self.folds.get(m, "sum")](m).alias(m) for m in self.measures
+        ]
 
     # -- pointer management -------------------------------------------------
     def _pointer(self) -> dict:
@@ -211,9 +240,7 @@ class SummingParquetSink:
                 unioned = current.unionByName(tagged)
             else:
                 unioned = tagged
-            merged = unioned.groupBy(_BUCKET, *self.keys).agg(
-                *[F.sum(m).alias(m) for m in self.measures]
-            )
+            merged = unioned.groupBy(_BUCKET, *self.keys).agg(*self._fold_exprs())
             self._install(merged, touched, meta, epoch_id)
         finally:
             tagged.unpersist()
