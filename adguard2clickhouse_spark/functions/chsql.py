@@ -80,16 +80,28 @@ def register_clickhouse_functions(spark: SparkSession) -> None:
 def _rewrite_indexing(sql: str) -> str:
     """``expr[n]`` → ``element_at(expr, n)`` (ClickHouse 1-based).
 
-    Finds every ``[digits]`` postfix and back-scans the balanced
-    expression it applies to: a closing paren walks to its matching
-    opener plus any preceding function identifier; otherwise a plain
-    identifier/qualified name. Quoted strings are left untouched."""
+    Finds every ``[digits]`` postfix OUTSIDE single-quoted string
+    literals and back-scans the balanced expression it applies to: a
+    closing paren walks to its matching opener plus any preceding
+    function identifier; otherwise a plain identifier/qualified name.
+    Terminates because each rewrite removes one bracket pair
+    (``a[1][2]`` resolves inside-out to nested element_at)."""
+
+    def in_string(text: str, pos: int) -> bool:
+        # count unescaped quotes before pos; odd = inside a literal
+        # ('' is the SQL escape — each pair toggles twice, net even)
+        return text.count("'", 0, pos) % 2 == 1
+
     out = sql
     pat = re.compile(r"\[(\d+)\]")
+    search_from = 0
     while True:
-        m = pat.search(out)
+        m = pat.search(out, search_from)
         if m is None:
             return out
+        if in_string(out, m.start()):
+            search_from = m.end()
+            continue
         idx = m.group(1)
         end = m.start()
         i = end - 1

@@ -286,3 +286,17 @@ def test_log2_schema_matches_reference_table_verbatim():
     }
     for name, ch_type in ref_cols.items():
         assert ours[name] in compat[ch_type], (name, ch_type, ours[name])
+
+
+def test_indexing_rewrite_skips_string_literals():
+    """Brackets inside SQL string literals must survive; brackets
+    outside them still rewrite; chained indexing resolves inside-out."""
+    assert (
+        chsql._rewrite_indexing("SELECT 'x[1]' AS s, arr[2] FROM t")
+        == "SELECT 'x[1]' AS s, element_at(arr, 2) FROM t"
+    )
+    assert (
+        chsql._rewrite_indexing("a[1][2]")
+        == "element_at(element_at(a, 1), 2)"
+    )
+    assert chsql._rewrite_indexing("'only [3] inside'") == "'only [3] inside'"
