@@ -358,3 +358,39 @@ def test_collector_entrypoint_inserts_via_env(tmp_path, spark, monkeypatch):
         assert spark.read.parquet(str(tmp_path / "out" / "log2")).count() == 12
     finally:
         srv.shutdown()
+
+
+def test_decode_rowbinary_truncation_always_valueerror(spark):
+    """Advisor hardening (r3): EVERY truncation of a valid RowBinary
+    payload must raise ValueError ('truncated'), never IndexError or
+    struct.error — the decoder is bounds-checked at each read."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from adguard2clickhouse_spark.sinks.clickhouse import (
+        decode_rowbinary,
+        encode_rowbinary,
+    )
+
+    schema = T.StructType([
+        T.StructField("s", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("arr", T.ArrayType(T.StringType())),
+        T.StructField("b", T.BooleanType()),
+    ])
+    rows = [("hello", 7, ["a", "bb", ""], True), ("x" * 200, 2**40, [], False)]
+    payload = encode_rowbinary(rows, schema)
+    assert decode_rowbinary(payload, schema) == rows
+    for cut in range(1, len(payload)):
+        # a cut at a row boundary is itself a valid (shorter) payload —
+        # RowBinary has no row-count header, so that case must decode
+        # to a strict prefix; every OTHER cut must raise ValueError,
+        # never IndexError/struct.error
+        try:
+            got = decode_rowbinary(payload[:cut], schema)
+        except ValueError:
+            continue
+        assert got == rows[: len(got)] and len(got) < len(rows), cut
+    # malformed LEB128: unterminated continuation bytes
+    with _pytest.raises(ValueError):
+        decode_rowbinary(b"\xff" * 12, schema)
