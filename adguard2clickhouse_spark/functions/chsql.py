@@ -131,6 +131,21 @@ def _rewrite_indexing(sql: str) -> str:
         out = out[:start] + f"element_at({expr}, {idx})" + out[m.end():]
 
 
+# Aggregate-function renames (CREATE FUNCTION is scalar-only, so
+# these go through textual rewrite): the read-side ClickHouse
+# aggregates a reference user types against the maintained tables.
+_AGG_RENAMES = [
+    (r"\buniqExact\(", "count(DISTINCT "),
+    (r"\buniq\(", "approx_count_distinct("),
+    (r"\bcountIf\(", "count_if("),
+    # NOT mapped: sumIf (Spark has no sum_if and the CASE rewrite
+    # needs argument reordering, outside this textual subset — write
+    # sum(if(cond, x, 0)) instead, which works verbatim in both).
+    (r"\btoDate\(", "to_date("),
+    (r"\btoHour\(", "hour("),
+]
+
+
 def transpile(sql: str, database: str = "AdGuardHome") -> str:
     """ClickHouse SELECT body → Spark SQL (reference-dialect subset)."""
     out = sql.replace(f"{database}.", "")
@@ -138,6 +153,8 @@ def transpile(sql: str, database: str = "AdGuardHome") -> str:
     # array length → size (this dialect subset applies length to
     # arrays; see module docstring for scope)
     out = re.sub(r"\blength\(", "size(", out)
+    for pat, repl in _AGG_RENAMES:
+        out = re.sub(pat, repl, out)
     return out
 
 

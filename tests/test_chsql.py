@@ -300,3 +300,42 @@ def test_indexing_rewrite_skips_string_literals():
         == "element_at(element_at(a, 1), 2)"
     )
     assert chsql._rewrite_indexing("'only [3] inside'") == "'only [3] inside'"
+
+
+def test_read_side_aggregate_renames(spark, tmp_path):
+    """Common ClickHouse read-side aggregates transpile: uniq/
+    uniqExact/countIf/toDate/toHour run unchanged through pipe.sql."""
+    assert chsql.transpile("SELECT uniqExact(IP), uniq(QH), countIf(IsFiltered) FROM t") == (
+        "SELECT count(DISTINCT IP), approx_count_distinct(QH), "
+        "count_if(IsFiltered) FROM t"
+    )
+    import json as _json
+
+    from adguard2clickhouse_spark.operators.dnswire import build_answer_b64
+    from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    lines = [
+        _json.dumps({
+            "T": f"2024-01-0{1 + i % 2}T0{i % 9}:00:00+00:00",
+            "QH": f"d{i % 4}.example.com", "QT": "A", "QC": "IN", "CP": "",
+            "Upstream": "u", "IP": f"10.7.0.{i % 5}",
+            "Result": {"IsFiltered": i % 3 == 0}, "Elapsed": 1, "Cached": False,
+            "Answer": build_answer_b64(a=["1.2.3.4"]),
+        })
+        for i in range(20)
+    ]
+    (src / "log.jsonl").write_text("\n".join(lines) + "\n")
+    pipe = QuerylogPipeline(spark, str(src), str(out))
+    pipe.run_available()
+    row = pipe.sql(
+        "SELECT uniqExact(IP) AS u_ip, uniqExact(QH) AS u_qh, "
+        "countIf(IsFiltered) AS blocked, "
+        "uniqExact(toDate(date_time)) AS days, "
+        "uniqExact(toHour(date_time)) AS hours "
+        "FROM AdGuardHome.log2"
+    ).collect()[0]
+    assert row.u_ip == 5 and row.u_qh == 4
+    assert row.blocked == 7  # i % 3 == 0 for i in 0..19
+    assert row.days == 2 and row.hours == 9
