@@ -2631,6 +2631,16 @@ def q_hashed_bow(spark, sf_dir):
     return hashed_bow(_t(spark, sf_dir, "documents"), dim=64)
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """X6 KMV distinct sketch (round 4): engine-portable k-minimum-
+    values over md5 60-bit hashes - unlike HLL, the sketch VALUES
+    replay exactly in DuckDB, so an approximate-distinct estimator
+    sits fully under the hash gate (kth hash + integer estimator)."""
+    from adguard2clickhouse_spark.operators.sketch import kmv_sketch
+
+    return kmv_sketch(_t(spark, sf_dir, "events"), "user_id", "event_type", k=64)
+
+
 def q_unigram_logprob(spark, sf_dir):
     """X4 quality signal: per-document unigram LM log-probability
     (CCNet-shape filtering input). Per-vocab-term micro-log terms are
@@ -3220,6 +3230,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_vocab": q_vocab,
         "x4_tfidf_search": q_tfidf_search,
         "x4_unigram_logprob": q_unigram_logprob,
+        "x6_kmv_distinct": q_kmv_distinct,
         "x4_hashed_bow": q_hashed_bow,
         "x4_bm25_topk": q_bm25_topk,
         "x7_hash_split": q_hash_split,
@@ -4511,6 +4522,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id, score, n_hits, "
             "CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rnk "
             "FROM s ORDER BY score DESC, doc_id LIMIT 20"
+        ),
+        "x6_kmv_distinct": (
+            "WITH h AS (SELECT DISTINCT event_type, "
+            "('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS hv "
+            "FROM events), "
+            "r AS (SELECT event_type, hv, "
+            "row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn FROM h), "
+            "a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_kept, "
+            "max(hv) AS kth_hash FROM r WHERE rn <= 64 GROUP BY 1) "
+            "SELECT event_type, n_kept, kth_hash, "
+            "CASE WHEN n_kept < 64 THEN n_kept ELSE "
+            "CAST((63 * 1152921504606846976::HUGEINT) // kth_hash AS BIGINT) END "
+            "AS est_distinct FROM a"
         ),
         "x4_hashed_bow": (
             "WITH toks AS (SELECT doc_id, unnest(str_split(text, ' ')) AS tok "

@@ -207,3 +207,54 @@ def countmin_estimate(
         .groupBy(col)
         .agg(F.min(F.coalesce(F.col("cell_count"), F.lit(0))).alias("est_count"))
     )
+
+
+def kmv_sketch(
+    df: DataFrame,
+    key_col: str,
+    group_col,
+    k: int = 64,
+    out_est: str = "est_distinct",
+) -> DataFrame:
+    """K-minimum-values distinct sketch, engine-portable and therefore
+    HASH-GATED — the property HLL can't give (DuckDB's HLL registers
+    differ from DataSketches'). Each key hashes to a 60-bit integer
+    (md5 first 15 hex chars — the repo's portable-hash convention);
+    per group the k smallest distinct hashes are kept and the
+    estimator is the classic (k-1)·2⁶⁰ div h_k (integer div, exact
+    cross-engine). Groups with < k distinct keys report their exact
+    distinct count.
+
+    Scale shape: the per-group state is a bounded k-array; the heavy
+    lifting is one distinct + one groupBy over (group, hash) — hashes
+    (8 bytes) shuffle, never keys. KMV sketches are mergeable (union =
+    k smallest of the concatenation), so the same state can ride the
+    aggregating sink if needed.
+
+    Returns (group, n_kept, kth_hash, est_distinct) — all integers.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashes = (
+        df.select(g.alias("_g"), h.alias("_h"))
+        .distinct()
+        .groupBy("_g")
+        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins"))
+    )
+    n_kept = F.size("_mins")
+    kth = F.element_at("_mins", n_kept)
+    two60 = F.lit(1 << 60)
+    est = F.when(n_kept < F.lit(k), n_kept.cast("long")).otherwise(
+        F.expr(f"CAST((({k} - 1) * CAST({1 << 60} AS DECIMAL(38,0))) div _kth AS BIGINT)")
+    )
+    return (
+        hashes.withColumn("_kth", kth)
+        .select(
+            F.col("_g").alias(group_col if isinstance(group_col, str) else "group"),
+            n_kept.cast("long").alias("n_kept"),
+            F.col("_kth").alias("kth_hash"),
+            est.alias(out_est),
+        )
+    )

