@@ -77,8 +77,34 @@ def register_clickhouse_functions(spark: SparkSession) -> None:
         spark.sql(ddl)
 
 
+def _in_string(text: str, pos: int) -> bool:
+    # count unescaped quotes before pos; odd = inside a literal
+    # ('' is the SQL escape — each pair toggles twice, net even)
+    return text.count("'", 0, pos) % 2 == 1
+
+
+def _sub_outside_strings(pattern: str, repl: str, text: str) -> str:
+    """re.sub that skips matches inside single-quoted SQL literals —
+    every textual rewrite in this module goes through here so a
+    function name inside a string constant is never rewritten."""
+    out = []
+    last = 0
+    for m in re.finditer(pattern, text):
+        if _in_string(text, m.start()):
+            continue
+        out.append(text[last : m.start()])
+        out.append(m.expand(repl))
+        last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
 def _rewrite_indexing(sql: str) -> str:
-    """``expr[n]`` → ``element_at(expr, n)`` (ClickHouse 1-based).
+    """``expr[n]`` → ``element_at(expr, n)`` (ClickHouse 1-based;
+    negative n counts from the end in BOTH dialects — ``arr[-1]`` is
+    the last element in ClickHouse and in ``element_at``, so the same
+    rewrite is exact for it; left as raw ``[n]`` it would silently
+    evaluate 0-based).
 
     Finds every ``[digits]`` postfix OUTSIDE single-quoted string
     literals and back-scans the balanced expression it applies to: a
@@ -87,13 +113,9 @@ def _rewrite_indexing(sql: str) -> str:
     Terminates because each rewrite removes one bracket pair
     (``a[1][2]`` resolves inside-out to nested element_at)."""
 
-    def in_string(text: str, pos: int) -> bool:
-        # count unescaped quotes before pos; odd = inside a literal
-        # ('' is the SQL escape — each pair toggles twice, net even)
-        return text.count("'", 0, pos) % 2 == 1
-
+    in_string = _in_string
     out = sql
-    pat = re.compile(r"\[(\d+)\]")
+    pat = re.compile(r"\[(-?\d+)\]")
     search_from = 0
     while True:
         m = pat.search(out, search_from)
@@ -147,14 +169,21 @@ _AGG_RENAMES = [
 
 
 def transpile(sql: str, database: str = "AdGuardHome") -> str:
-    """ClickHouse SELECT body → Spark SQL (reference-dialect subset)."""
-    out = sql.replace(f"{database}.", "")
+    """ClickHouse SELECT body → Spark SQL (reference-dialect subset).
+
+    Every textual rewrite here is string-literal-aware (via
+    :func:`_sub_outside_strings`): ``'uniq(x)'`` inside a quoted
+    constant survives untouched. Dialect-subset caveat: ``length()``
+    maps to array ``size()`` — in this subset ``length`` is applied to
+    arrays (the reference's MVs use it only on splitByChar output);
+    ``length()`` on a String column is OUTSIDE the supported subset
+    (write ``char_length()``, valid in both dialects, instead)."""
+    out = _sub_outside_strings(re.escape(f"{database}."), "", sql)
     out = _rewrite_indexing(out)
-    # array length → size (this dialect subset applies length to
-    # arrays; see module docstring for scope)
-    out = re.sub(r"\blength\(", "size(", out)
+    # array length → size (see docstring for the dialect-subset scope)
+    out = _sub_outside_strings(r"\blength\(", "size(", out)
     for pat, repl in _AGG_RENAMES:
-        out = re.sub(pat, repl, out)
+        out = _sub_outside_strings(pat, repl, out)
     return out
 
 

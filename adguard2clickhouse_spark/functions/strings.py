@@ -51,7 +51,10 @@ def tld(col: Column | str) -> Column:
 
     Reference computes ``arrayRotateRight(splitByChar('.',QH),1)[1]``
     (README.md:145); rotate-right-then-head ≡ last element, so the
-    Spark-first plan is a single ``element_at(..., -1)`` — stays in
-    codegen, no array copy.
+    Spark-first plan is a single ``substring_index(s, '.', -1)`` —
+    stays in codegen with NO regex split and NO array alloc per row
+    (≡ element_at(split,-1): text after the last dot, the whole
+    string when dot-free, '' on a trailing dot — identical in both
+    engines).
     """
-    return F.element_at(split_by_char(col), -1)
+    return F.substring_index(_c(col), ".", -1)

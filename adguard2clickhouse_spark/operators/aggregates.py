@@ -82,12 +82,22 @@ def stats2(log2: DataFrame, bucket: str = "10 minutes") -> DataFrame:
 
 
 def _real_domain(qh) -> F.Column:
-    """F3 (README.md:148): more than one dot-segment and not an IP literal."""
+    """F3 (README.md:148): more than one dot-segment and not an IP literal.
+
+    ``contains('.')`` ⟺ the reference's ``length(splitByChar('.',QH))>1``
+    (split yields >1 element iff a dot exists) without the per-row
+    regex split + array alloc; conjunct ORDER matters — codegen
+    short-circuits, so the cheap contains gates both IP regexes (a
+    dot-free 'localhost'/IPv6 row never runs either). The v6 regex is
+    additionally gated on contains(':') — every IPv6 textual form has
+    a colon, so the guard is exact, and it spares ordinary hostnames
+    the 9-alternative regex (measured ~13% off this filter; the same
+    guard on the v4 regex measured SLOWER, see functions/net.py)."""
     c = F.col(qh) if isinstance(qh, str) else qh
     return (
-        (F.size(F.split(c, r"\.")) > 1)
+        c.contains(".")
         & ~is_ipv4_string(c)
-        & ~is_ipv6_string(c)
+        & ~(c.contains(":") & is_ipv6_string(c))
     )
 
 

@@ -225,23 +225,35 @@ def kmv_sketch(
     cross-engine). Groups with < k distinct keys report their exact
     distinct count.
 
-    Scale shape: the per-group state is a bounded k-array; the heavy
-    lifting is one distinct + one groupBy over (group, hash) — hashes
-    (8 bytes) shuffle, never keys. KMV sketches are mergeable (union =
-    k smallest of the concatenation), so the same state can ride the
-    aggregating sink if needed.
+    Scale shape: the per-group state is bounded O(k) at EVERY stage.
+    distinct() dedups (group, hash) with map-side partial aggregation
+    (hashes — 8 bytes — shuffle, never keys); a row_number window
+    ordered by hash keeps the k smallest per group via Spark's
+    SORT-BASED window operator, which spills to disk — a group with
+    hundreds of millions of distinct keys (the regime KMV targets)
+    sorts externally instead of materializing an O(distinct) array in
+    one aggregation-buffer row; only the ≤k survivors reach
+    collect_list, so the output array and its buffer are k-bounded.
+    KMV sketches are mergeable (union = k smallest of the
+    concatenation), so the same state can ride the aggregating sink if
+    needed.
 
     Returns (group, n_kept, kth_hash, est_distinct) — all integers.
     """
+    from pyspark.sql.window import Window
+
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     h = F.conv(F.substring(F.md5(F.col(key_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
+    w = Window.partitionBy("_g").orderBy("_h")
     hashes = (
         df.select(g.alias("_g"), h.alias("_h"))
         .distinct()
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
         .groupBy("_g")
-        .agg(F.slice(F.array_sort(F.collect_set("_h")), 1, k).alias("_mins"))
+        .agg(F.array_sort(F.collect_list("_h")).alias("_mins"))
     )
     n_kept = F.size("_mins")
     kth = F.element_at("_mins", n_kept)

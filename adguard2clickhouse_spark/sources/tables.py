@@ -1,8 +1,21 @@
 """Loader for the driver-provided parquet tables (TESTDATA.md).
 
 Plain ``spark.read.parquet`` — the vectorized reader plus Catalyst
-column pruning / predicate pushdown make this the 100 TB-ready scan;
-nothing custom to add. ``register_views`` exposes them to spark.sql.
+column pruning / predicate pushdown make this the 100 TB-ready scan.
+``register_views`` exposes them to spark.sql.
+
+Row-group trap note (measured r5, kept as a warning to future
+editors): the driver's sf* files are single-row-group, so these scans
+are ONE task. A read-side ``repartition(cores)`` looks like the fix
+but measured ~2× SLOWER end-to-end on the aggregate fan: Catalyst
+pushes cheap-looking-but-actually-expensive predicates (the
+real-domain regexes) BELOW the exchange (PushPredicateThroughNonJoin),
+so the regex still runs serially inside the one scan task and the
+round-robin shuffle (serial write + local sort for determinism) is
+pure added cost. The right levers are (a) generating fixtures with
+``row_group_size=16384`` (scripts/gen_scale.py does) and (b) making
+per-row expressions cheap (functions/strings.py::tld,
+operators/aggregates.py::_real_domain).
 """
 
 from __future__ import annotations

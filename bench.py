@@ -10,12 +10,25 @@ parse path (JSON + the Arrow DNS UDF), joins/windows, and the
 extension operators (dedup joins, similarity search). Each query is
 executed to completion (count() forces the full plan; results are not
 collected to the driver).
+
+Measurement protocol (round 5): each query runs REPS times inside the
+one JVM, interleaved round-robin (r1 of every query, then r2, then r3)
+so a transient host-load spike degrades one *rep* of many queries
+rather than all reps of one query. The reported per-query number is
+the MEDIAN of the reps; "value" is the sum of medians. The host's
+throughput drifts ~±35-45% between runs minutes apart (measured across
+rounds 1-4), so single-shot numbers were adjudication-proof — medians
+inside one session are the committed evidence. Raw per-rep timings are
+kept in "runs" for forensics, and per-query normalized values
+("queries_normalized", median × calibration ratio) let cross-round
+per-query comparison survive host drift.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -46,9 +59,13 @@ BENCH_QUERIES = [
     "x4_quality",
 ]
 
+REPS = 3
+
 # Round-1 per-query seconds (BENCH_r01.json, sf0.1, local[32]) — the
 # frozen comparison base. Any query regressing past 2× its r1 time is
 # flagged on stderr so a perf regression can't hide inside the total.
+# (r1 numbers were single-shot; medians are compared against them with
+# that caveat — the 2× bar absorbs the protocol difference.)
 R1_BASE = {
     "a1_blocked_domains": 0.361,
     "a3_clients_stats": 0.268,
@@ -71,25 +88,27 @@ R1_BASE = {
 # BENCH_r02.json (1.339 s for the fixed md5 workload below). A round's
 # value_normalized = value × (CALIBRATION_REF / this_run_calibration)
 # expresses the total "as if" run on the r2 host, making cross-round
-# comparison immune to the sandbox's ~50% day-to-day drift. The raw
-# value is always reported alongside.
+# comparison immune to the sandbox's day-to-day drift. The raw value is
+# always reported alongside. The calibration itself is a median of 3
+# (it was measured at 1.38-2.02 s across back-to-back r4 judge runs —
+# a single-shot scalar was amplifying the very noise it existed to
+# cancel).
 CALIBRATION_REF = 1.339
 
 
 def _calibrate() -> float:
-    """Fixed single-core workload (200k md5 digests of a 4 KiB buffer),
-    measured in seconds. The query list and warmup are frozen across
-    rounds, but the HOST is not — cross-round comparisons of the query
-    total should be read against this number (verified drift: the
-    unchanged r1 code measured 9.5 s at the r1 snapshot and 14.2 s
-    re-run later the same day under background load)."""
+    """Median of 3 runs of a fixed single-core workload (200k md5
+    digests of a 4 KiB buffer), in seconds."""
     import hashlib
 
     buf = b"x" * 4096
-    t0 = time.time()
-    for _ in range(200_000):
-        hashlib.md5(buf).hexdigest()
-    return round(time.time() - t0, 3)
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        for _ in range(200_000):
+            hashlib.md5(buf).hexdigest()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
 
 
 def main() -> None:
@@ -113,22 +132,27 @@ def main() -> None:
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        t0 = time.time()
-        df = qs[name](spark, sf_dir)
-        df.count()  # executes the full plan without driver collect
-        timings[name] = round(time.time() - t0, 3)
+    # Interleaved reps: all queries once, then again, REPS times total.
+    runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    for _rep in range(REPS):
+        for name in BENCH_QUERIES:
+            t0 = time.time()
+            df = qs[name](spark, sf_dir)
+            df.count()  # executes the full plan without driver collect
+            runs[name].append(round(time.time() - t0, 3))
+
+    timings = {name: round(statistics.median(r), 3) for name, r in runs.items()}
 
     if sf == 0.1:
         for name, secs in timings.items():
             base = R1_BASE.get(name)
             if base and secs > 2 * base:
                 print(
-                    f"PERF-REGRESSION {name}: {secs:.3f}s vs r1 {base:.3f}s (>2x)",
+                    f"PERF-REGRESSION {name}: median {secs:.3f}s vs r1 {base:.3f}s (>2x)",
                     file=sys.stderr,
                 )
 
+    norm = CALIBRATION_REF / calibration
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -138,9 +162,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "reps": REPS,
+                "runs": runs,
                 "host_calibration_sec": calibration,
                 "calibration_ref_sec": CALIBRATION_REF,
-                "value_normalized": round(total * (CALIBRATION_REF / calibration), 3),
+                "value_normalized": round(total * norm, 3),
+                "queries_normalized": {
+                    name: round(secs * norm, 3) for name, secs in timings.items()
+                },
             }
         )
     )

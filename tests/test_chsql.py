@@ -339,3 +339,33 @@ def test_read_side_aggregate_renames(spark, tmp_path):
     assert row.u_ip == 5 and row.u_qh == 4
     assert row.blocked == 7  # i % 3 == 0 for i in 0..19
     assert row.days == 2 and row.hours == 9
+
+
+def test_negative_indexing_maps_to_element_at(spark):
+    """ClickHouse arr[-1] is the LAST element; element_at shares that
+    negative-index semantics, so the rewrite is exact — and leaving
+    the subscript alone would silently evaluate Spark 0-based
+    (advisor finding r4: chsql.py:96)."""
+    assert (
+        chsql._rewrite_indexing("SELECT arr[-1] FROM t")
+        == "SELECT element_at(arr, -1) FROM t"
+    )
+    row = spark.sql(
+        chsql.transpile("SELECT splitByChar('.', 'a.b.c')[-1] AS last")
+    ).collect()[0]
+    assert row.last == "c"
+
+
+def test_transpile_rewrites_skip_string_literals():
+    """All textual rewrites (db prefix, length→size, aggregate
+    renames) are literal-aware — a function name inside a quoted
+    constant survives verbatim (advisor finding r4: chsql.py:155)."""
+    sql = (
+        "SELECT uniq(QH), 'uniq(QH) length(x) AdGuardHome.log2 toDate(y)' AS doc "
+        "FROM AdGuardHome.log2 WHERE note != 'countIf(z)'"
+    )
+    out = chsql.transpile(sql)
+    assert "approx_count_distinct(QH)" in out
+    assert "'uniq(QH) length(x) AdGuardHome.log2 toDate(y)'" in out
+    assert "'countIf(z)'" in out
+    assert out.endswith("FROM log2 WHERE note != 'countIf(z)'")

@@ -6,10 +6,12 @@ allowed in the package are
 
 - ``session.py`` — the ``scoped_conf`` save-and-restore helper (and
   the session builder itself, which uses ``.config`` not ``conf.set``),
-- ``sources/tables.py`` — parquet-quirk confs (nanosAsLong, UTC
-  session timezone, NTZ inference) that MUST outlive the call because
-  the returned DataFrames are lazy and re-consult them at action time;
-  documented in that module's docstring.
+- ``sources/tables.py`` — parquet-quirk confs (nanosAsLong, NTZ
+  inference) scoped to the read via ``scoped_conf`` (the eager
+  schema resolution at load_table time is what consults them;
+  ``test_load_table_restores_parquet_confs`` below asserts the
+  restore). The one deliberate PERMANENT set is the UTC session
+  timezone, documented in that module's docstring.
 
 Everything else goes through ``scoped_conf``, which restores (or
 unsets) the caller's previous values on exit.
