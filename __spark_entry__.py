@@ -2256,6 +2256,41 @@ def q_embedding_dup_lsh(spark, sf_dir):
     )
 
 
+def q_embedding_dup_lsh_capped(spark, sf_dir):
+    """Rows-only: the LINEAR-scaling production form of embedding LSH
+    near-dup. Two levers vs the fixed-bits demo query:
+
+    - bits auto-scale with corpus size, bits = clamp(6..16,
+      ceil(log2(n / 64))), read from the parquet FOOTER (driver-side
+      metadata, no Spark action) — buckets stay ~64 vectors as n
+      grows, so candidate pairs are ~(64/2)·n·n_tables = O(n) instead
+      of the fixed-bits O(n²/2^bits).
+    - max_bucket=256 drops skew-exploded buckets from the join (the
+      max_df move; recall-only effect, verified pairs stay exact).
+
+    What auto-bits costs: recall on MARGINAL pairs (cos≈threshold)
+    drops as bits grow — but true duplicates (cos→1) collide in
+    every table at ANY bit width (p(bit agrees)→1), so the pairs a
+    dedup run exists to find survive the scaling; the quadratic
+    candidate noise near the threshold is what gets pruned. At the
+    test SFs (n≤2000) auto-bits resolves to the demo's 6 bits, so
+    the recall gate (tests/test_extensions.py::
+    test_embedding_lsh_capped_recall) measures the same ~0.4 recall
+    as the uncapped demo query.
+    """
+    import math
+
+    import pyarrow.parquet as _pq
+
+    n = _pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    bits = max(6, min(16, math.ceil(math.log2(max(n, 2) / 64))))
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_dup_pairs_lsh(
+        emb, threshold=0.35, bits=bits, n_tables=8,
+        dim=len(_query_vec(spark, sf_dir, 0)), max_bucket=256,
+    )
+
+
 def q_embedding_dup_lsh_portable(spark, sf_dir):
     """X2d's LSH path under the hash gate: strict-fold sign signatures
     (literal hyperplanes), signature-equality buckets, exact cosine
@@ -2989,6 +3024,26 @@ def q_dedup_clusters(spark, sf_dir):
     return comp.select("doc_id", F.col("component").cast("long").alias("component"))
 
 
+def q_dedup_clusters_capped(spark, sf_dir):
+    """X1 transitive closure over the df-CAPPED edge generator — the
+    form that survives a replicated/hot-shingle corpus. The exact-edge
+    form (x1_dedup_clusters) embeds the uncapped inverted-index join,
+    whose candidate count is sum over shingles of df² — measured at
+    sf10 (500k docs, every doc ≥10 exact copies → every df ×10,
+    candidates ×100) it exhausts an 8 GB heap. max_df=50 bounds every
+    shingle's contribution to ≤ 50²/2 pairs; the EDGES it can drop are
+    only those whose every common shingle is boilerplate (df > 50),
+    i.e. pairs whose similarity evidence is non-discriminative —
+    cluster assignments for true near-dup groups are unchanged (the
+    oracle proves the exact capped semantics relationally)."""
+    from adguard2clickhouse_spark.operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=50)
+    comp = connected_components(docs.select("doc_id"), pairs)
+    return comp.select("doc_id", F.col("component").cast("long").alias("component"))
+
+
 def q_pagerank(spark, sf_dir):
     """Rows-only: PageRank over the exact-Jaccard near-dup graph
     (operators/graph.py::pagerank) — connectivity-based importance for
@@ -3177,6 +3232,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x1_dedup_groups": q_dedup_groups,
         "x1_dedup_count": q_dedup_count,
         "x1_dedup_clusters": q_dedup_clusters,
+        "x1_dedup_clusters_capped": q_dedup_clusters_capped,
         "x12_pagerank": q_pagerank,
         "x1_incremental_dedup": q_incremental_dedup,
         "x4_token_stats": q_token_stats,
@@ -3196,6 +3252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_winnow_md5": q_winnow_md5,
         "x2_embedding_dup": q_embedding_dup,
         "x2_embedding_dup_lsh": q_embedding_dup_lsh,
+        "x2_embedding_dup_lsh_capped": q_embedding_dup_lsh_capped,
         "x2_embedding_dup_lsh_portable": q_embedding_dup_lsh_portable,
         "x3_topk_cosine": q_topk_cosine,
         "x3_knn_join": q_knn_join,
@@ -4804,6 +4861,22 @@ def oracle_sql() -> dict[str, str]:
             f"WITH RECURSIVE {_SHINGLE_CTE}, "
             "pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
             "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT da, db FROM pr JOIN sz x ON da = x.doc_id "
+            "JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)), "
+            "edges AS (SELECT da AS u, db AS v FROM pairs "
+            "UNION SELECT db, da FROM pairs), "
+            "reach(u, r) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) "
+            "SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component "
+            "FROM reach GROUP BY u"
+        ),
+        "x1_dedup_clusters_capped": (
+            f"WITH RECURSIVE {_SHINGLE_CTE}, "
+            "rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50), "
+            "shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), "
+            "pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
             "pairs AS (SELECT da, db FROM pr JOIN sz x ON da = x.doc_id "
             "JOIN sz y ON db = y.doc_id "
             "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)), "

@@ -409,12 +409,24 @@ def embedding_dup_pairs_lsh(
     n_tables: int = 4,
     seed: int = 42,
     dim: int | None = None,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates from signature
     equality in any of n_tables independent LSH tables (equi-join on
     (table, signature) — a hash shuffle, never O(n²)), then the exact
     cosine verify. Output is a subset of the exact result (recall < 1
     by construction) → driver records a rows-only check.
+
+    ``max_bucket`` is the skew knob (same move as ngram Jaccard's
+    ``max_df``): a bucket holding m vectors contributes m·(m-1)/2
+    candidate pairs per table, so at FIXED bits the candidate count is
+    quadratic in corpus size (n/2^bits per bucket → n²/2^bits pairs).
+    Buckets larger than max_bucket are dropped from the join
+    (semi-join on (table, signature) — ids only), bounding per-bucket
+    work; recall may drop, reported pairs stay exact-verified.
+    Production sizing picks bits ≈ log2(n / target_bucket) so buckets
+    stay constant-size as the corpus grows and the cap only catches
+    skewed clusters — see the auto-scaled queries() entry.
 
     Pass ``dim`` explicitly — the fallback probes one row on the
     driver, a hidden action that library code shouldn't pay per call.
@@ -447,6 +459,15 @@ def embedding_dup_pairs_lsh(
             ])
         ).alias("_b"),
     ).select("_id", F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s"))
+
+    if max_bucket is not None:
+        small = (
+            sigs.groupBy("_t", "_s")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .filter(F.col("_c") <= max_bucket)
+            .select("_t", "_s")
+        )
+        sigs = sigs.join(small, ["_t", "_s"], "left_semi")
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (

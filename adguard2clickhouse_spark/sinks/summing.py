@@ -100,12 +100,19 @@ class SummingParquetSink:
     def _pointer(self) -> dict:
         p = os.path.join(self.path, _POINTER)
         if not os.path.exists(p):
-            return {"version": 0, "buckets": {}, "epochs": [], "epoch_hwm": None}
+            return {
+                "version": 0,
+                "buckets": {},
+                "epochs": [],
+                "epoch_hwm": None,
+                "replay_tokens": [],
+            }
         with open(p) as f:
             meta = json.load(f)
         meta.setdefault("buckets", {})
         meta.setdefault("epochs", [])
         meta.setdefault("epoch_hwm", None)
+        meta.setdefault("replay_tokens", [])
         return meta
 
     def _write_pointer(self, meta: dict) -> None:
@@ -143,12 +150,23 @@ class SummingParquetSink:
         hwm = meta["epoch_hwm"]
         return epoch_id in meta["epochs"] or (hwm is not None and epoch_id <= hwm)
 
+    def applied_token(self, token: str) -> bool:
+        """Out-of-band (non-stream) delta idempotency: replay and other
+        maintenance folds identify by an opaque token instead of an
+        epoch id — stream epoch ids are MONOTONIC and ``applied`` treats
+        everything ≤ hwm as folded, so an out-of-band fold must never
+        touch epochs/epoch_hwm (a low id would read as already-applied,
+        a high one would make the sink drop every future stream epoch).
+        """
+        return token in self._pointer()["replay_tokens"]
+
     def _install(
         self,
         frame: DataFrame,
         touched: list[int],
         meta: dict,
         epoch_id: int | None,
+        token: str | None = None,
     ) -> None:
         """Write ``frame`` (already bucket-tagged, already folded) as the
         next version of the ``touched`` buckets and swap the pointer."""
@@ -183,12 +201,16 @@ class SummingParquetSink:
         if epoch_id is not None:
             epochs = (epochs + [epoch_id])[-_MAX_EPOCHS_TRACKED:]
             hwm = epoch_id if hwm is None else max(hwm, epoch_id)
+        tokens = meta["replay_tokens"]
+        if token is not None:
+            tokens = (tokens + [token])[-_MAX_EPOCHS_TRACKED:]
         self._write_pointer(
             {
                 "version": new_version,
                 "buckets": buckets,
                 "epochs": epochs,
                 "epoch_hwm": hwm,
+                "replay_tokens": tokens,
             }
         )
         # post-swap cleanup: superseded bucket versions + stage leftovers
@@ -205,12 +227,22 @@ class SummingParquetSink:
         tagged = self._with_bucket(full)
         self._install(tagged, list(range(self.n_buckets)), meta, epoch_id=None)
 
-    def apply_delta(self, delta: DataFrame, epoch_id: int | None = None) -> None:
-        """Fold a delta frame into the table (idempotent per epoch_id),
-        rewriting only the hash buckets the delta touches."""
+    def apply_delta(
+        self,
+        delta: DataFrame,
+        epoch_id: int | None = None,
+        token: str | None = None,
+    ) -> None:
+        """Fold a delta frame into the table (idempotent per epoch_id
+        for stream epochs, per ``token`` for out-of-band folds like
+        dead-letter replay — see ``applied_token`` for why those two
+        must be separate ledgers), rewriting only the hash buckets the
+        delta touches."""
         meta = self._pointer()
         if epoch_id is not None and self.applied(epoch_id):
             return  # retry of an applied epoch — exactly-once no-op
+        if token is not None and token in meta["replay_tokens"]:
+            return  # retry of an applied out-of-band fold — no-op
 
         spark = delta.sparkSession
         tagged = self._with_bucket(delta).persist()
@@ -222,12 +254,19 @@ class SummingParquetSink:
                 r[0] for r in tagged.select(_BUCKET).distinct().collect()
             )
             if not touched:
-                # empty delta: still record the epoch for idempotency
-                if epoch_id is not None:
-                    epochs = (meta["epochs"] + [epoch_id])[-_MAX_EPOCHS_TRACKED:]
-                    hwm = meta["epoch_hwm"]
-                    hwm = epoch_id if hwm is None else max(hwm, epoch_id)
-                    self._write_pointer({**meta, "epochs": epochs, "epoch_hwm": hwm})
+                # empty delta: still record the epoch/token for idempotency
+                if epoch_id is not None or token is not None:
+                    epochs, hwm = meta["epochs"], meta["epoch_hwm"]
+                    if epoch_id is not None:
+                        epochs = (epochs + [epoch_id])[-_MAX_EPOCHS_TRACKED:]
+                        hwm = epoch_id if hwm is None else max(hwm, epoch_id)
+                    tokens = meta["replay_tokens"]
+                    if token is not None:
+                        tokens = (tokens + [token])[-_MAX_EPOCHS_TRACKED:]
+                    self._write_pointer(
+                        {**meta, "epochs": epochs, "epoch_hwm": hwm,
+                         "replay_tokens": tokens}
+                    )
                 return
 
             current_paths = [
@@ -241,6 +280,6 @@ class SummingParquetSink:
             else:
                 unioned = tagged
             merged = unioned.groupBy(_BUCKET, *self.keys).agg(*self._fold_exprs())
-            self._install(merged, touched, meta, epoch_id)
+            self._install(merged, touched, meta, epoch_id, token=token)
         finally:
             tagged.unpersist()

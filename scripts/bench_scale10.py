@@ -49,6 +49,16 @@ QUERIES = [
     "x4_hashed_bow",
     "x3_pq_topk",
     "x3_ivfadc_topk",
+    # r5 (VERDICT ask #3): the two previously-unmeasured heavies, plus
+    # the linear-scaling capped twin measured BESIDE the fixed-bits
+    # demo form (same pairing as ngram_jaccard / _capped). The demo
+    # form's candidate count is n²/2^bits by construction (6-bit
+    # buckets grow linearly with n), so its ratio is expected
+    # superlinear — the capped entry is the production plan.
+    "x1_dedup_clusters",
+    "x1_dedup_clusters_capped",
+    "x2_embedding_dup_lsh",
+    "x2_embedding_dup_lsh_capped",
 ]
 
 
@@ -58,6 +68,17 @@ def main():
     ap.add_argument("--big", default="/root/repo/.localdata/sf10")
     ap.add_argument("--threshold", type=float, default=15.0)
     args = ap.parse_args()
+
+    # Heap sizing: 60M rows / 500k docs across 32 local threads on the
+    # default 8g heap is ~250 MB/thread — an order of magnitude below
+    # any real executor (measured r5: the uncapped exact-Jaccard edge
+    # join inside x1_dedup_clusters OOMs there). 48g on the 128 GiB
+    # host models a realistic executor memory/core ratio; the
+    # LOW-memory behavior is measured separately and deliberately by
+    # scripts/bench_spill.py (capped heap + spill metrics).
+    import os
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     calibration = _calibrate()
     spark = get_spark(app_name="bench_scale10")

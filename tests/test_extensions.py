@@ -534,6 +534,41 @@ def test_embedding_lsh_recall_vs_exact(fixture_emb):
     assert recall >= 0.30, recall
 
 
+def test_embedding_lsh_capped_recall(spark, fixture_emb):
+    """The auto-scaled/capped production entry (r5): max_bucket and
+    corpus-scaled bits must stay a verified SUBSET of the exact
+    answer, with usable recall at the near-dup threshold 0.9."""
+    import __spark_entry__ as entrymod
+
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_dup_pairs(fixture_emb, threshold=0.35).collect()
+    }
+    approx = {
+        (r.id_a, r.id_b)
+        for r in entrymod.queries()["x2_embedding_dup_lsh_capped"](
+            spark, SF0001
+        ).collect()
+    }
+    assert approx <= exact, "capped LSH must be exact-verified subset"
+    assert exact, "fixture must contain >=0.35-cosine pairs"
+    recall = len(exact & approx) / len(exact)
+    # at this corpus size auto-bits = the demo's 6 bits × 8 tables →
+    # same ~0.41 measured recall; the cap (256 ≫ every bucket here)
+    # must not change it
+    assert recall >= 0.30, recall
+
+
+def test_embedding_lsh_max_bucket_bounds_candidates(fixture_emb):
+    """max_bucket semi-join drops oversized buckets BEFORE the pair
+    join: with max_bucket=1 no bucket can pair, so zero candidates
+    survive — the degenerate bound proving the cap gates the join."""
+    out = similarity.embedding_dup_pairs_lsh(
+        fixture_emb, threshold=0.0, bits=2, n_tables=2, dim=64, max_bucket=1
+    )
+    assert out.count() == 0
+
+
 def test_ivf_topk_recall_vs_brute_force(fixture_emb):
     q = [float(x) for x in fixture_emb.filter("vec_id=0").select("embedding").head()[0]]
     exact = [r.vec_id for r in similarity.topk_cosine(fixture_emb, q, k=10).collect()]

@@ -4,6 +4,7 @@ equivalence, additivity across micro-batches, exactly-once retries."""
 from __future__ import annotations
 
 import json
+import os
 
 import pytest
 
@@ -562,11 +563,45 @@ def test_replay_dead_letters_recovers_fixed_lines(tmp_path, spark):
         ["raw_line"],
     ).write.parquet(str(out / "dead_letter"))
 
+    # snapshot every bucket file of one sink: the delta replay must
+    # rewrite ONLY the buckets the 5 recovered lines touch (they share
+    # one QH → one visited_domains bucket), leaving the rest of the
+    # history byte-identical (VERDICT r4 #6 Done-criterion)
+    def _files(d):
+        import hashlib
+        return {
+            os.path.relpath(os.path.join(r, f), d): hashlib.md5(
+                open(os.path.join(r, f), "rb").read()
+            ).hexdigest()
+            for r, _, fs in os.walk(d)
+            for f in fs
+            # bucket data files only: the version pointer (CURRENT.json)
+            # legitimately changes on every fold
+            if os.path.relpath(r, d).startswith("b")
+        }
+
+    vd_dir = str(out / "visited_domains")
+    before = _files(vd_dir)
+
     stats = pipe.replay_dead_letters()
     assert stats == {"replayed": 5, "still_dead": 2}
     assert pipe.read_log2().count() == 15
     dead_after = spark.read.parquet(str(out / "dead_letter"))
     assert dead_after.count() == 2
+
+    after = _files(vd_dir)
+    survivors = set(before) & set(after)
+    assert survivors, "some untouched bucket files must persist"
+    for p in survivors:
+        assert before[p] == after[p], f"untouched bucket rewritten: {p}"
+    changed_buckets = {
+        p.split("/")[0] for p in (set(before) ^ set(after)) if p.startswith("b")
+    }
+    assert len(changed_buckets) == 1, (
+        f"delta replay should touch exactly the one bucket the recovered "
+        f"QH hashes to, got {changed_buckets}"
+    )
+
     # aggregates equal the batch answer over ALL 15 effective lines
     expected = _batch_answer(spark, lines + recoverable)
     for name in agg.ALL_AGGREGATES:
@@ -576,3 +611,16 @@ def test_replay_dead_letters_recovers_fixed_lines(tmp_path, spark):
     stats2 = pipe.replay_dead_letters()
     assert stats2 == {"replayed": 0, "still_dead": 2}
     assert pipe.read_log2().count() == 15
+
+    # a crashed replay rerun: applying the same token again must no-op
+    # at the sink level even though the delta frame is non-empty
+    good, _ = parse_querylog(
+        spark.createDataFrame([(l,) for l in recoverable], ["raw_line"]), "raw_line"
+    )
+    token = [t for s in [pipe.sinks["visited_domains"]._pointer()]
+             for t in s["replay_tokens"]][-1]
+    pipe.sinks["visited_domains"].apply_delta(
+        agg.ALL_AGGREGATES["visited_domains"](good), None, token
+    )
+    got = {tuple(r) for r in pipe.read_aggregate("visited_domains").collect()}
+    assert got == expected["visited_domains"], "token retry double-counted"
