@@ -1,0 +1,123 @@
+"""Memory-pressure proof (VERDICT r4 #8): 100 TB means spill, not just
+shuffle counts.
+
+Runs the most shuffle-heavy queries at sf10 with EXECUTION MEMORY
+deliberately starved (spark.memory.fraction lowered from 0.6 to 0.15
+— the VERDICT-prescribed knob: same heap, ~4x less room for hash
+maps/sorts/joins before they must go to disk) and records, per query:
+completion, wall time, and the stage-level memoryBytesSpilled /
+diskBytesSpilled totals from the Spark UI REST API. The claim being
+proven: every blocking operator in these plans (hash aggregate, sort,
+sort-merge join, the KMV row_number window) degrades to external
+spill under pressure instead of OOMing — the property that lets the
+same plans run when the data no longer fits.
+
+Usage: python scripts/bench_spill.py [sf_dir]
+Default sf_dir: .localdata/sf10. Writes BENCH_spill_r5.json.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+import urllib.request
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+
+# Shuffle-heavy spread: inverted-index join (capped), banded minhash
+# join, exact-dedup groupBy, windowed stats2, the KMV sort-window, and
+# the hashed-BOW pivot.
+QUERIES = [
+    "x2_ngram_jaccard_capped",
+    "x2_minhash_lsh",
+    "x1_dedup_count",
+    "a6_stats2",
+    "x6_kmv_distinct",
+    "x4_hashed_bow",
+]
+
+
+def fetch_json(url: str):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        return json.loads(r.read())
+
+
+def completed_stage_spill(sc) -> tuple[int, int, int]:
+    """(n_stages, memory_spilled, disk_spilled) across completed stages."""
+    base = f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+    stages = fetch_json(f"{base}/stages?status=complete")
+    mem = sum(s.get("memoryBytesSpilled", 0) for s in stages)
+    disk = sum(s.get("diskBytesSpilled", 0) for s in stages)
+    return len(stages), mem, disk
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(REPO / ".localdata" / "sf10")
+
+    from adguard2clickhouse_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="spill-bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # starve execution memory: 15% of (heap - 300MB) for all
+            # joins/aggs/sorts across 32 concurrent tasks
+            "spark.memory.fraction": "0.15",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    sc = spark.sparkContext
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    for name in QUERIES:  # codegen warmup
+        qs[name](spark, "/root/testdata/sf0.001").count()
+
+    results = {}
+    for name in QUERIES:
+        n0, m0, d0 = completed_stage_spill(sc)
+        t0 = time.time()
+        try:
+            rows = qs[name](spark, sf_dir).count()
+            ok = True
+        except Exception as e:  # noqa: BLE001
+            rows, ok = None, False
+            results[name] = {"completed": False, "error": str(e)[:300]}
+            continue
+        wall = round(time.time() - t0, 2)
+        n1, m1, d1 = completed_stage_spill(sc)
+        results[name] = {
+            "completed": ok,
+            "rows": rows,
+            "wall_s": wall,
+            "stages": n1 - n0,
+            "memory_spilled_mb": round((m1 - m0) / 1e6, 1),
+            "disk_spilled_mb": round((d1 - d0) / 1e6, 1),
+        }
+        print(f"  {name}: {wall}s, spill mem {results[name]['memory_spilled_mb']}MB "
+              f"disk {results[name]['disk_spilled_mb']}MB", file=sys.stderr)
+
+    total_disk = sum(r.get("disk_spilled_mb", 0) for r in results.values())
+    out = {
+        "metric": "memory_pressure_spill",
+        "sf_dir": sf_dir,
+        "memory_fraction": 0.15,
+        "heap": "8g (default)",
+        "queries": results,
+        "all_completed": all(r.get("completed") for r in results.values()),
+        "total_disk_spilled_mb": round(total_disk, 1),
+    }
+    (REPO / "BENCH_spill_r5.json").write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+    spark.stop()
+    if not out["all_completed"]:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
