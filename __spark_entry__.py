@@ -1988,13 +1988,18 @@ def q_threshold_sweep(spark, sf_dir):
 
 def q_ngram_jaccard_capped(spark, sf_dir):
     """X2a at scale settings: the document-frequency-capped inverted
-    index (max_df drops boilerplate shingles from the JOIN only, so a
+    index (the cap drops boilerplate shingles from the JOIN only, so a
     shingle in m docs can no longer contribute m²/2 candidate pairs —
-    the plan that survives a hot-shingle corpus). The oracle applies
-    the identical cap relationally, so this is hash-gated, not
-    rows-only: precision preservation is proven, not asserted."""
+    the plan that survives a hot-shingle corpus). The cap is a RATIO
+    of corpus size (1% of docs — the r4 absolute cap of 50 silently
+    zeroed recall on the 10×/100× replicas where typical df scales
+    with the corpus; 'boilerplate' must mean 'more than a fixed share
+    of the corpus' at every scale). The oracle applies the identical
+    relational cap incl. the scalar-subquery corpus count, so this is
+    hash-gated, not rows-only: precision preservation is proven, not
+    asserted."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=50)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df_ratio=0.01)
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -3030,16 +3035,18 @@ def q_dedup_clusters_capped(spark, sf_dir):
     form (x1_dedup_clusters) embeds the uncapped inverted-index join,
     whose candidate count is sum over shingles of df² — measured at
     sf10 (500k docs, every doc ≥10 exact copies → every df ×10,
-    candidates ×100) it exhausts an 8 GB heap. max_df=50 bounds every
-    shingle's contribution to ≤ 50²/2 pairs; the EDGES it can drop are
-    only those whose every common shingle is boilerplate (df > 50),
+    candidates ×100) it exhausts an 8 GB heap. The 1%-of-corpus df
+    cap (ratio, not absolute — see q_ngram_jaccard_capped for why an
+    absolute cap mistunes under replication) bounds every shingle's
+    contribution to ≤ (0.01n)²/2 pairs; the EDGES it can drop are
+    only those whose every common shingle is corpus-boilerplate,
     i.e. pairs whose similarity evidence is non-discriminative —
     cluster assignments for true near-dup groups are unchanged (the
     oracle proves the exact capped semantics relationally)."""
     from adguard2clickhouse_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df=50)
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, max_df_ratio=0.01)
     comp = connected_components(docs.select("doc_id"), pairs)
     return comp.select("doc_id", F.col("component").cast("long").alias("component"))
 
@@ -4336,7 +4343,8 @@ def oracle_sql() -> dict[str, str]:
         # document frequency <= 50; sizes keep the full shingle counts
         "x2_ngram_jaccard_capped": (
             f"WITH {_SHINGLE_CTE}, "
-            "rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50), "
+            "rare AS (SELECT s FROM sh GROUP BY s "
+            "HAVING count(*) <= ceil(0.01 * (SELECT count(*) FROM documents))), "
             "shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), "
             "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
             "FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
@@ -4873,7 +4881,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x1_dedup_clusters_capped": (
             f"WITH RECURSIVE {_SHINGLE_CTE}, "
-            "rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50), "
+            "rare AS (SELECT s FROM sh GROUP BY s "
+            "HAVING count(*) <= ceil(0.01 * (SELECT count(*) FROM documents))), "
             "shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), "
             "pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
             "FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "

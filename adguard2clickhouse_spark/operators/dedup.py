@@ -219,6 +219,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.8,
     max_df: int | None = None,
+    max_df_ratio: float | None = None,
     balance: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
@@ -269,15 +270,31 @@ def ngram_jaccard_pairs(
         # full counts, so reported Jaccard never inflates (common can
         # only shrink → strictly precision-preserving, recall may drop).
         # Exact mode (max_df=None) is what the oracle checks.
+        #
+        # max_df_ratio is the PRODUCTION form of the knob: cap =
+        # ceil(ratio · n_docs), computed inside the plan (1-row count
+        # off the cached array frame, broadcast cross-join — no driver
+        # action). An ABSOLUTE cap silently mistunes when typical df
+        # scales with the corpus: measured r5, max_df=50 on the 10×/
+        # 100× replicas (median shingle df 69 at sf1) dropped the
+        # MAJORITY of shingles and returned ZERO pairs — the r4 scale
+        # rows for the capped query were measuring empty results. A
+        # ratio cap keeps "boilerplate" meaning "appears in more than
+        # ratio of the corpus" at every scale.
+        if max_df is not None and max_df_ratio is not None:
+            raise ValueError("pass max_df or max_df_ratio, not both")
         join_inv = inv
-        if max_df is not None:
-            rare = (
-                inv.groupBy("_h")
-                .agg(F.count(F.lit(1)).alias("_df"))
-                .filter(F.col("_df") <= max_df)
-                .select("_h")
-            )
-            join_inv = inv.join(rare, "_h", "left_semi")
+        if max_df is not None or max_df_ratio is not None:
+            dfreq = inv.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+            if max_df is not None:
+                kept = dfreq.filter(F.col("_df") <= max_df)
+            else:
+                total = arr.select(F.count(F.lit(1)).alias("_ndocs"))
+                kept = dfreq.crossJoin(F.broadcast(total)).filter(
+                    F.col("_df")
+                    <= F.ceil(F.lit(float(max_df_ratio)) * F.col("_ndocs"))
+                )
+            join_inv = inv.join(kept.select("_h"), "_h", "left_semi")
 
         a, b = join_inv.alias("a"), join_inv.alias("b")
         common = (

@@ -469,6 +469,41 @@ def test_ngram_jaccard_max_df_is_precision_preserving(spark):
     assert (1, 2) in capped
 
 
+def test_ngram_jaccard_ratio_cap_scales_with_corpus(spark):
+    """The r5 production cap: max_df_ratio computes the threshold as
+    ceil(ratio·n_docs) inside the plan. Found because the ABSOLUTE
+    cap (max_df=50) silently returned ZERO pairs on the 10×/100×
+    replicas, where typical shingle df scales with the corpus — an
+    absolute cap stops meaning 'boilerplate' the moment the corpus
+    grows. ratio=1.0 (cap=n_docs) must equal the exact answer;
+    a sub-1/n ratio (cap=1) must return nothing; passing both knobs
+    is an error."""
+    import pytest as _pytest
+
+    from adguard2clickhouse_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta"),
+            (3, "totally different words live here in this doc"),
+            (4, "unrelated words entirely " + " ".join(f"u{i}" for i in range(12))),
+        ],
+        "doc_id INT, text STRING",
+    )
+    exact = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert exact == {(1, 2)}
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.3, max_df_ratio=1.0).collect()
+    }
+    assert full == exact
+    none = ngram_jaccard_pairs(docs, threshold=0.3, max_df_ratio=0.01).count()
+    assert none == 0  # cap = ceil(0.01*4) = 1: every shared shingle dropped
+    with _pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, max_df=2, max_df_ratio=0.5)
+
+
 # ---------------------------------------------------------------------------
 # Recall gates: every approximate path measured against its exact twin
 # on the driver-generated fixture corpus (bounds set from measured
