@@ -169,9 +169,13 @@ def domain_label_entropy(log2: DataFrame) -> DataFrame:
     same pre-collapse aggregation. Returns
     (label, label_len, n_queries, entropy_micro).
     """
+    # substring_index ≡ element_at(split, 1) (text before the first
+    # dot; the filter guarantees a dot) with no per-row regex split /
+    # array alloc — same move as tld(), the dominant per-row cost on
+    # the 10M-row sf10 scan.
     labels = (
         log2.filter(_real_domain("QH"))
-        .select(F.element_at(F.split(F.col("QH"), r"\."), 1).alias("label"))
+        .select(F.substring_index(F.col("QH"), ".", 1).alias("label"))
         .groupBy("label")
         .agg(F.count(F.lit(1)).alias("n_queries"))
         .withColumn("label_len", F.length("label").cast("long"))
