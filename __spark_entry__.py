@@ -4344,7 +4344,7 @@ def oracle_sql() -> dict[str, str]:
         "x2_ngram_jaccard_capped": (
             f"WITH {_SHINGLE_CTE}, "
             "rare AS (SELECT s FROM sh GROUP BY s "
-            "HAVING count(*) <= ceil(0.01 * (SELECT count(*) FROM documents))), "
+            "HAVING (count(*) - 1) * 100 < (SELECT count(*) FROM documents)), "
             "shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), "
             "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
             "FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
@@ -4882,7 +4882,7 @@ def oracle_sql() -> dict[str, str]:
         "x1_dedup_clusters_capped": (
             f"WITH RECURSIVE {_SHINGLE_CTE}, "
             "rare AS (SELECT s FROM sh GROUP BY s "
-            "HAVING count(*) <= ceil(0.01 * (SELECT count(*) FROM documents))), "
+            "HAVING (count(*) - 1) * 100 < (SELECT count(*) FROM documents)), "
             "shr AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)), "
             "pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
             "FROM shr a JOIN shr b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "

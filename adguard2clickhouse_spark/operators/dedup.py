@@ -289,10 +289,21 @@ def ngram_jaccard_pairs(
             if max_df is not None:
                 kept = dfreq.filter(F.col("_df") <= max_df)
             else:
+                # Integer-exact cap test. The contract is df ≤ ceil(r·n)
+                # with r = num/denom taken from the DECIMAL LITERAL the
+                # caller wrote (Fraction(str(r)) — never the float's
+                # binary expansion); for integers that is exactly
+                # num·n > (df−1)·denom, so both Spark and any oracle
+                # engine evaluate pure BIGINT arithmetic and the hash
+                # gate cannot be broken by float-vs-DECIMAL rounding at
+                # an integer boundary for ANY ratio value.
+                from fractions import Fraction
+
+                frac = Fraction(str(max_df_ratio))
                 total = arr.select(F.count(F.lit(1)).alias("_ndocs"))
                 kept = dfreq.crossJoin(F.broadcast(total)).filter(
-                    F.col("_df")
-                    <= F.ceil(F.lit(float(max_df_ratio)) * F.col("_ndocs"))
+                    (F.col("_df") - F.lit(1)) * F.lit(frac.denominator)
+                    < F.lit(frac.numerator) * F.col("_ndocs")
                 )
             join_inv = inv.join(kept.select("_h"), "_h", "left_semi")
 

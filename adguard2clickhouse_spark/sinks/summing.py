@@ -157,6 +157,18 @@ class SummingParquetSink:
         everything ≤ hwm as folded, so an out-of-band fold must never
         touch epochs/epoch_hwm (a low id would read as already-applied,
         a high one would make the sink drop every future stream epoch).
+
+        Ledger window: unlike epochs, tokens have no monotonic order, so
+        there is no hwm-style fallback — the ledger keeps only the most
+        recent ``_MAX_EPOCHS_TRACKED`` (1000) tokens. A replay retried
+        after ≥1000 SUBSEQUENT out-of-band folds would no longer be
+        recognized and would double-fold. That window is an operational
+        contract, not a latent bug: replays run while the stream is
+        stopped and retries happen immediately after a crash, so a
+        thousand interleaved maintenance folds before the retry is not
+        a real schedule. If it ever becomes one, raise
+        ``_MAX_EPOCHS_TRACKED`` — the ledger is a pointer-file list,
+        cost is bytes, not IO.
         """
         return token in self._pointer()["replay_tokens"]
 

@@ -260,17 +260,31 @@ class QuerylogPipeline:
             log2.unpersist()
 
     def _dead_letter_digest(self) -> str:
-        """Deterministic identity of the CURRENT dead-letter directory
-        (file names + sizes). Stable across retries of one replay (the
-        directory is only swapped at the very end), different for any
-        later replay (the swap changes the listing)."""
+        """Deterministic identity of the CURRENT dead-letter directory:
+        file names + sizes + a CRC of each file's CONTENT. Stable across
+        retries of one replay (the directory is only swapped at the very
+        end, so a crashed replay re-reads identical bytes), different
+        for any later replay — including the pathological case of two
+        distinct dead-letter populations whose (name, size) listings
+        happen to coincide, which a listing-only digest would conflate
+        and wrongly skip. Dead-letter directories hold failed lines only,
+        so hashing their content is cheap relative to the replay itself.
+
+        The token is checked against ``SummingParquetSink``'s
+        ``replay_tokens`` ledger, which keeps the most recent 1000
+        entries (see ``applied_token`` for the window contract)."""
         import zlib
 
         listing = []
         for root, _dirs, files in os.walk(self.dead_letter_path):
             rel = os.path.relpath(root, self.dead_letter_path)
             for f in sorted(files):
-                listing.append((rel, f, os.path.getsize(os.path.join(root, f))))
+                p = os.path.join(root, f)
+                crc = 0
+                with open(p, "rb") as fh:
+                    while chunk := fh.read(1 << 20):
+                        crc = zlib.crc32(chunk, crc)
+                listing.append((rel, f, os.path.getsize(p), crc))
         return f"replay-{zlib.crc32(repr(sorted(listing)).encode()):08x}"
 
     def replay_dead_letters(self, mode: str = "delta") -> dict:
@@ -316,34 +330,40 @@ class QuerylogPipeline:
         dead = self.spark.read.parquet(self.dead_letter_path)
         good, still_dead = parse_querylog(dead, "raw_line")
         good.persist()
-        n_good = good.count()
-        token = self._dead_letter_digest()
-        # materialize the survivors BEFORE touching the source dir
-        tmp = tempfile.mkdtemp(dir=self.out_dir)
-        still_path = os.path.join(tmp, "dead_letter")
-        still_dead.write.parquet(still_path)
-        n_dead = self.spark.read.parquet(still_path).count()
-        if n_good:
-            (
-                good.withColumn("date", F.to_date("date_time"))
-                .sortWithinPartitions("date_time")
-                .write.mode("append")
-                .partitionBy("date")
-                .parquet(self.log2_path)
-            )
-            if self.clickhouse is not None:
-                self.clickhouse.insert_batch(good, "log2", dedup_token=token)
-            if mode == "delta":
-                with ThreadPoolExecutor(max_workers=len(self.aggregates)) as pool:
-                    futures = [
-                        pool.submit(
-                            self.sinks[name].apply_delta, fn(good), None, token
-                        )
-                        for name, fn in self.aggregates.items()
-                    ]
-                    for f in futures:
-                        f.result()
-        good.unpersist()
+        try:
+            n_good = good.count()
+            token = self._dead_letter_digest()
+            # materialize the survivors BEFORE touching the source dir
+            tmp = tempfile.mkdtemp(dir=self.out_dir)
+            still_path = os.path.join(tmp, "dead_letter")
+            still_dead.write.parquet(still_path)
+            n_dead = self.spark.read.parquet(still_path).count()
+            if n_good:
+                (
+                    good.withColumn("date", F.to_date("date_time"))
+                    .sortWithinPartitions("date_time")
+                    .write.mode("append")
+                    .partitionBy("date")
+                    .parquet(self.log2_path)
+                )
+                if self.clickhouse is not None:
+                    self.clickhouse.insert_batch(good, "log2", dedup_token=token)
+                if mode == "delta":
+                    with ThreadPoolExecutor(
+                        max_workers=len(self.aggregates)
+                    ) as pool:
+                        futures = [
+                            pool.submit(
+                                self.sinks[name].apply_delta, fn(good), None, token
+                            )
+                            for name, fn in self.aggregates.items()
+                        ]
+                        for f in futures:
+                            f.result()
+        finally:
+            # a failed append/insert/fold must not leave the parsed frame
+            # pinned in executor memory for the rest of the session
+            good.unpersist()
         shutil.rmtree(self.dead_letter_path)
         os.replace(still_path, self.dead_letter_path)
         shutil.rmtree(tmp, ignore_errors=True)

@@ -18,7 +18,7 @@ of the corpus. That is the design; this artifact is the measurement.
 
 Usage: python scripts/bench_skew.py [n_rows] [hot_permille]
 Defaults: 1_000_000 rows, 950 (95% on one key).
-Writes BENCH_skew_r5.json at the repo root.
+Writes BENCH_skew_r6.json at the repo root.
 """
 
 from __future__ import annotations
@@ -180,9 +180,20 @@ def main() -> None:
             (s_src / f"log-{f:02d}.jsonl").write_text("\n".join(chunk) + "\n")
     del lines
 
-    mark = len(fetch_json(
-        f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}/stages?status=complete"
-    ))
+    # Stage ids are app-global and monotonic: every stage completed so
+    # far (warmup + batch fan) has stageId <= mark_id, and the stream's
+    # stages get strictly larger ids. Partition the FILTERED summaries
+    # by stageId — never by list position: stage_task_summaries drops
+    # small/no-summary stages, so a position slice against a RAW count
+    # can silently exclude genuine stream stages from the gate (or
+    # re-check batch stages as stream ones).
+    mark_id = max(
+        (s["stageId"] for s in fetch_json(
+            f"{sc.uiWebUrl}/api/v1/applications/{sc.applicationId}"
+            "/stages?status=complete"
+        )),
+        default=-1,
+    )
     pipe = QuerylogPipeline(spark, str(s_src), str(s_out))
     t0 = time.time()
     q = pipe.start(available_now=True, max_files_per_trigger=2)
@@ -191,7 +202,7 @@ def main() -> None:
     assert pipe.read_log2().count() == stream_rows
 
     all_stages = stage_task_summaries(sc)
-    stream_stages = all_stages[mark:] if mark < len(all_stages) else all_stages
+    stream_stages = [s for s in all_stages if s["stage_id"] > mark_id]
     stream_violations = straggler_violations(stream_stages)
 
     worst = sorted(
@@ -226,7 +237,7 @@ def main() -> None:
     }
     ok = not (batch_violations or stream_violations)
     result["pass"] = ok
-    (REPO / "BENCH_skew_r5.json").write_text(json.dumps(result, indent=1) + "\n")
+    (REPO / "BENCH_skew_r6.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     spark.stop()
     shutil.rmtree(work, ignore_errors=True)

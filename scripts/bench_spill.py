@@ -13,7 +13,13 @@ spill under pressure instead of OOMing — the property that lets the
 same plans run when the data no longer fits.
 
 Usage: python scripts/bench_spill.py [sf_dir]
-Default sf_dir: .localdata/sf10. Writes BENCH_spill_r5.json.
+Default sf_dir: .localdata/sf10. Writes BENCH_spill_r6.json.
+
+r6 (VERDICT r5 #1): every query MUST return rows — the r5 artifact
+committed a 0-row x2_ngram_jaccard_capped measurement (the pre-fix
+absolute-cap query), i.e. the spill evidence for the heaviest plan
+measured nothing. A zero-row result now marks the run failed so a
+silent empty result can never again read as evidence.
 """
 
 from __future__ import annotations
@@ -41,9 +47,15 @@ QUERIES = [
 ]
 
 
-def fetch_json(url: str):
-    with urllib.request.urlopen(url, timeout=30) as r:
-        return json.loads(r.read())
+def fetch_json(url: str, attempts: int = 3):
+    for i in range(attempts):
+        try:
+            with urllib.request.urlopen(url, timeout=30) as r:
+                return json.loads(r.read())
+        except Exception:
+            if i == attempts - 1:
+                raise
+            time.sleep(2 * (i + 1))
 
 
 def completed_stage_spill(sc) -> tuple[int, int, int]:
@@ -91,6 +103,17 @@ def main() -> None:
             continue
         wall = round(time.time() - t0, 2)
         n1, m1, d1 = completed_stage_spill(sc)
+        if rows == 0:
+            # an empty result measures nothing — fail loudly (r5 #1)
+            results[name] = {
+                "completed": False,
+                "rows": 0,
+                "wall_s": wall,
+                "error": "ZERO ROWS: query returned an empty result under "
+                         "this corpus — stale/mistuned parameters; spill "
+                         "evidence void",
+            }
+            continue
         results[name] = {
             "completed": ok,
             "rows": rows,
@@ -112,7 +135,7 @@ def main() -> None:
         "all_completed": all(r.get("completed") for r in results.values()),
         "total_disk_spilled_mb": round(total_disk, 1),
     }
-    (REPO / "BENCH_spill_r5.json").write_text(json.dumps(out, indent=1) + "\n")
+    (REPO / "BENCH_spill_r6.json").write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     spark.stop()
     if not out["all_completed"]:

