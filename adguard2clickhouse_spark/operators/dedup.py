@@ -344,6 +344,107 @@ def ngram_jaccard_pairs(
     return out
 
 
+def ngram_jaccard_pairs_ppjoin(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.8,
+    balance: bool = True,
+) -> DataFrame:
+    """Exact Jaccard pairs via PPJoin-style prefix filtering — the
+    measured ALTERNATIVE to ``ngram_jaccard_pairs``'s full inverted
+    index, kept so the trade can be re-measured at any scale
+    (VERDICT r5 #6; same output contract, bit-identical results).
+
+    Prefix principle (Chaudhuri et al. SSJoin / Xiao et al. PPJoin):
+    order every document's shingle hashes by a GLOBAL canonical order —
+    ascending (document frequency, hash) — and index only each doc's
+    first |d| − ⌈t·|d|⌉ + 1 hashes. Two docs with J ≥ t must share at
+    least one prefix token under that order, so the candidate join
+    touches only prefix postings (the rarest ~(1−t) fraction of each
+    doc) instead of the full index. Candidates then verify with one
+    array_intersect over the cached shingle arrays. A length filter
+    (t·|A| ≤ |B|) prunes cross-size candidates inside the join; the
+    positional filter of full PPJoin is deliberately omitted — it
+    saves candidates only when prefixes are long (low t), and at
+    t = 0.8 prefixes are ~1/5 of a doc already.
+
+    All threshold arithmetic is integer-exact (num/denom from the
+    decimal literal), same as the inverted-index form.
+    """
+    from fractions import Fraction
+
+    fr = Fraction(str(threshold))
+    num, den = fr.numerator, fr.denominator
+    from pyspark.sql import Window
+
+    arr = (
+        _balanced(df, balance)
+        .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        .select("_id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("_arr"))
+        .persist()
+    )
+    try:
+        inv = arr.select(
+            "_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_h")
+        )
+        dfreq = inv.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        # Rank each doc's hashes in the global (df, hash) order. The
+        # window shuffles by doc id — same volume as the full index
+        # explode, but it runs ONCE and the expensive self-join after
+        # it only sees prefix rows. ceil(t·sz) in integers:
+        # ceil(num·sz/den) = (num·sz + den − 1) DIV den; values are
+        # far below 2^53 so the double division inside floor is exact.
+        w = Window.partitionBy("_id").orderBy("_df", "_h")
+        prefix_len = (
+            F.col("_sz")
+            - F.floor((F.lit(num) * F.col("_sz") + F.lit(den - 1)) / F.lit(den))
+            + F.lit(1)
+        )
+        pref = (
+            inv.join(dfreq, "_h")
+            .withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= prefix_len)
+            .select("_id", "_sz", "_h")
+        )
+        pa, pb = pref.alias("pa"), pref.alias("pb")
+        cand = (
+            pa.join(
+                pb,
+                (F.col("pa._h") == F.col("pb._h"))
+                & (F.col("pa._id") < F.col("pb._id"))
+                # length filter: J ≥ t forces t·|A| ≤ |B| and t·|B| ≤ |A|
+                & (F.lit(num) * F.col("pa._sz") <= F.lit(den) * F.col("pb._sz"))
+                & (F.lit(num) * F.col("pb._sz") <= F.lit(den) * F.col("pa._sz")),
+            )
+            .select(F.col("pa._id").alias("doc_a"), F.col("pb._id").alias("doc_b"))
+            .distinct()
+        )
+        # verify: one array_intersect per surviving candidate pair
+        aa, ab = arr.alias("aa"), arr.alias("ab")
+        out = (
+            cand.join(aa, F.col("doc_a") == F.col("aa._id"))
+            .join(ab, F.col("doc_b") == F.col("ab._id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                F.size(F.array_intersect("aa._arr", "ab._arr")).alias("common"),
+                F.size("aa._arr").alias("size_a"),
+                F.size("ab._arr").alias("size_b"),
+            )
+            .filter(
+                F.col("common") * F.lit(1_000_000)
+                >= F.lit(int(threshold * 1_000_000))
+                * (F.col("size_a") + F.col("size_b") - F.col("common"))
+            )
+        )
+        out = out.localCheckpoint(eager=True)
+    finally:
+        arr.unpersist()
+    return out
+
+
 def duplicated_ngram_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", n: int = 3
 ) -> DataFrame:

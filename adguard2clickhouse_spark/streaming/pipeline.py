@@ -102,16 +102,29 @@ class QuerylogPipeline:
         # summing sinks — against a real ClickHouse the server-side MVs
         # fold them from this very insert, exactly like the reference.
         self.clickhouse = clickhouse
+        # per-epoch stage walls appended by process_batch (see there)
+        self.batch_timings: list[dict] = []
 
     # -- the per-micro-batch body (the reference's "insert block") ----------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
+        import time as _time
+
+        timings: dict[str, float] = {"epoch_id": epoch_id}
+
+        def _mark(stage: str, t0: float) -> float:
+            now = _time.time()
+            timings[stage] = round(now - t0, 3)
+            return now
+
         batch_df.persist()
         try:
+            t = _time.time()
             good, dead = split_dead_letter(batch_df)
             # Materialize the cache eagerly: the aggregate fan-out below
             # submits jobs from several threads at once, and each would
             # otherwise race to compute the (UDF-bearing) parse lineage.
             good.persist().count()
+            t = _mark("parse_materialize_s", t)
 
             # fact append, partitioned by event date and sorted by time
             # within files — the MergeTree ORDER BY date_time analog
@@ -124,8 +137,10 @@ class QuerylogPipeline:
                 .partitionBy("date")
                 .parquet(self.log2_path)
             )
+            t = _mark("fact_append_s", t)
             # dead-letter channel (K3, collector.py:76-78)
             dead.write.mode("append").parquet(self.dead_letter_path)
+            t = _mark("dead_letter_s", t)
 
             # At-least-once contract: the fact append above is NOT
             # epoch-idempotent — if a later step in this batch fails and
@@ -146,6 +161,7 @@ class QuerylogPipeline:
                 self.clickhouse.insert_batch(
                     good, "log2", dedup_token=f"log2_epoch_{epoch_id}"
                 )
+                t = _mark("clickhouse_insert_s", t)
 
             # MV cascade: aggregate THIS block, fold additively (C1+C2).
             # The eight sinks are independent (separate directories), so
@@ -159,7 +175,14 @@ class QuerylogPipeline:
                 ]
                 for f in futures:
                     f.result()  # propagate the first failure, fail the batch
+            _mark("aggregate_fan_s", t)
             good.unpersist()
+            # Per-stage wall attribution for this epoch (driver-side:
+            # the stages above run sequentially except the 8-way fan,
+            # which is one timed section). Bounded: a deque would be
+            # nicer, but epochs are few per process and each dict is
+            # ~6 floats — bench harnesses read and reset it.
+            self.batch_timings.append(timings)
         finally:
             batch_df.unpersist()
 

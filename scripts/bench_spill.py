@@ -70,6 +70,22 @@ def completed_stage_spill(sc) -> tuple[int, int, int]:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(REPO / ".localdata" / "sf10")
 
+    import os
+
+    # Heap: the 48g the sf10 scale bench uses (bench_scale10.py — an
+    # executor-realistic memory/core ratio). Measured r6 at the old 8g
+    # default: the ratio-capped jaccard's candidate join at sf10 dies
+    # with raw JVM "Java heap space" in the scan/join stage — USER
+    # memory (task row buffers, cached shingle arrays), which the
+    # memory manager cannot spill; only the managed execution/storage
+    # region degrades gracefully. So the starvation knob stays on the
+    # MANAGED region (fraction=0.15 → ~3.6g execution+storage for 32
+    # concurrent tasks at sf10 working sets) while user memory is
+    # sized to the workload — that is the property a real cluster
+    # tunes for, and the spill columns below prove the managed side
+    # degrades to disk instead of failing.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
     from adguard2clickhouse_spark.session import get_spark
 
     spark = get_spark(
@@ -130,7 +146,15 @@ def main() -> None:
         "metric": "memory_pressure_spill",
         "sf_dir": sf_dir,
         "memory_fraction": 0.15,
-        "heap": "8g (default)",
+        "heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
+        "note_8g": (
+            "r6 finding: at the former 8g default heap, "
+            "x2_ngram_jaccard_capped at sf10 dies with raw JVM 'Java heap "
+            "space' (unmanaged user memory — task row buffers/cached "
+            "arrays — which cannot spill); the managed-memory starvation "
+            "this harness proves graceful is fraction=0.15 on the 48g "
+            "heap the sf10 scale bench uses"
+        ),
         "queries": results,
         "all_completed": all(r.get("completed") for r in results.values()),
         "total_disk_spilled_mb": round(total_disk, 1),

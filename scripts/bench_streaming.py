@@ -15,8 +15,14 @@ behavior are measured, not just one availableNow blob.
 
 Usage: python scripts/bench_streaming.py [n_rows] [n_files] [files_per_trigger]
 Defaults: 1_000_000 rows (sf1 volume), 20 files, 2 files/trigger
-→ 10 micro-batches. Writes BENCH_streaming_r5.json at the repo root
+→ 10 micro-batches. Writes BENCH_streaming_r6.json at the repo root
 and prints the same JSON on stdout.
+
+r6 (VERDICT r5 #4): the per-epoch wall is now BROKEN DOWN by stage
+(parse+DNS-UDF materialization, fact append, dead-letter append,
+ClickHouse POSTs, 8-sink aggregate fan) via the pipeline's own
+process_batch instrumentation, so "which stage is dominant" is a
+recorded number, not a guess.
 """
 
 from __future__ import annotations
@@ -131,10 +137,29 @@ def main() -> None:
     QuerylogPipeline(spark, str(warm_src), str(warm_out)).run_available()
 
     pipe = QuerylogPipeline(spark, str(src), str(out), clickhouse=writer)
+    pipe.batch_timings.clear()
     t0 = time.time()
     q = pipe.start(available_now=True, max_files_per_trigger=files_per_trigger)
     q.awaitTermination()
     wall = time.time() - t0
+
+    # Per-stage attribution across every epoch (driver-side walls from
+    # process_batch itself — the stages run sequentially except the
+    # 8-sink fan, which is one timed section).
+    stage_keys = [
+        "parse_materialize_s", "fact_append_s", "dead_letter_s",
+        "clickhouse_insert_s", "aggregate_fan_s",
+    ]
+    stage_totals = {
+        k: round(sum(bt.get(k, 0.0) for bt in pipe.batch_timings), 2)
+        for k in stage_keys
+    }
+    accounted = sum(stage_totals.values())
+    stage_totals["engine_overhead_s"] = round(wall - accounted, 2)
+    stage_totals["share"] = {
+        k: round(v / wall, 3) for k, v in stage_totals.items()
+        if k != "share" and isinstance(v, float)
+    }
 
     # per-epoch evidence from the streaming engine's own progress log
     epochs = []
@@ -172,6 +197,8 @@ def main() -> None:
         "dead_letters": n_dead,
         "micro_batches": len(epochs),
         "epochs": epochs,
+        "stage_breakdown": stage_totals,
+        "per_epoch_stages": pipe.batch_timings,
         "aggregates_maintained": len(pipe.sinks),
         "sinks": sinks,
         "clickhouse_loopback": {
@@ -186,7 +213,7 @@ def main() -> None:
         # own comparison, not a pointer.
         "reference_ceiling_rows_per_s": 1000,
     }
-    (Path(__file__).resolve().parent.parent / "BENCH_streaming_r5.json").write_text(
+    (Path(__file__).resolve().parent.parent / "BENCH_streaming_r6.json").write_text(
         json.dumps(result, indent=1) + "\n"
     )
     print(json.dumps(result))

@@ -982,3 +982,36 @@ def test_kmv_sketch_accuracy_exactness_and_merge(spark):
         .collect()[0].kth_hash
     )
     assert merged == union_kth
+
+
+def test_ppjoin_equals_inverted_index_exactly(spark):
+    """PPJoin prefix filtering is an execution strategy, not a
+    semantics change: on a corpus exercising the tricky shapes (near
+    dups, a cross-size pair near the length-filter boundary, short
+    docs below the shingle width, disjoint docs, an exact duplicate)
+    its full (doc_a, doc_b, common, size_a, size_b) output must equal
+    ngram_jaccard_pairs row for row, at more than one threshold."""
+    from adguard2clickhouse_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_ppjoin,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),                            # exact duplicate of 1
+            (3, base + " extra tail words here"),  # superset (cross-size)
+            (4, "totally different content lives in this document today"),
+            (5, "so short"),                       # < n tokens: no shingles
+            (6, base.replace("delta", "DELTA")),   # one-token edit
+        ],
+        "doc_id INT, text STRING",
+    )
+    for t in (0.8, 0.5, 0.3):
+        a = sorted(map(tuple, ngram_jaccard_pairs(docs, threshold=t).collect()))
+        b = sorted(
+            map(tuple, ngram_jaccard_pairs_ppjoin(docs, threshold=t).collect())
+        )
+        assert a == b, f"threshold {t}: {a} != {b}"
+    assert any(r[0] == 1 and r[1] == 2 for r in a)  # sanity: dup pair found
