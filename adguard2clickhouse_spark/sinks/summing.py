@@ -244,12 +244,24 @@ class SummingParquetSink:
         delta: DataFrame,
         epoch_id: int | None = None,
         token: str | None = None,
+        dense: bool = False,
     ) -> None:
         """Fold a delta frame into the table (idempotent per epoch_id
         for stream epochs, per ``token`` for out-of-band folds like
         dead-letter replay — see ``applied_token`` for why those two
         must be separate ledgers), rewriting only the hash buckets the
-        delta touches."""
+        delta touches.
+
+        ``dense=True`` skips the touched-bucket discovery job and folds
+        the delta into EVERY bucket in one Spark job. Measured r6 on
+        the streaming fan: a micro-batch's keyed delta (thousands of
+        keys into 8 buckets) touches all buckets essentially every
+        epoch, so the discovery job (delta aggregation + distinct +
+        driver collect, per sink per epoch) only ever discovered "all
+        of them" — pure overhead on the hot path. The sparse path
+        remains the default for out-of-band folds (dead-letter replay:
+        a 100-line delta touches few buckets of a huge table, and the
+        discovery job is what keeps untouched buckets byte-identical)."""
         meta = self._pointer()
         if epoch_id is not None and self.applied(epoch_id):
             return  # retry of an applied epoch — exactly-once no-op
@@ -257,6 +269,23 @@ class SummingParquetSink:
             return  # retry of an applied out-of-band fold — no-op
 
         spark = delta.sparkSession
+        if dense:
+            tagged = self._with_bucket(delta)
+            current_paths = [
+                self._bucket_dir(int(b), v) for b, v in meta["buckets"].items()
+            ]
+            if current_paths:
+                current = self._with_bucket(spark.read.parquet(*current_paths))
+                unioned = current.unionByName(tagged)
+            else:
+                unioned = tagged
+            merged = unioned.groupBy(_BUCKET, *self.keys).agg(*self._fold_exprs())
+            # every bucket may change; _install no-ops buckets with no
+            # staged output (and additive folds cannot empty a bucket)
+            self._install(
+                merged, list(range(self.n_buckets)), meta, epoch_id, token=token
+            )
+            return
         tagged = self._with_bucket(delta).persist()
         try:
             # Touched-bucket discovery: a ≤ n_buckets-row collect (n is

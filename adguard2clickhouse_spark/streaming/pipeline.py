@@ -66,7 +66,8 @@ class QuerylogPipeline:
 
     def __init__(self, spark: SparkSession, source_dir: str, out_dir: str,
                  checkpoint_dir: str | None = None, clickhouse=None,
-                 custom_aggregates=None):
+                 custom_aggregates=None,
+                 parse_parallelism: int | str | None = None):
         self.spark = spark
         # Micro-batches are small relative to the static shuffle-partition
         # count; AQE coalescing (on by default since Spark 3.2, explicit
@@ -102,6 +103,25 @@ class QuerylogPipeline:
         # summing sinks — against a real ClickHouse the server-side MVs
         # fold them from this very insert, exactly like the reference.
         self.clickhouse = clickhouse
+        # Optional round-robin repartition of the RAW LINES below the
+        # parse. Hypothesis (r6): micro-batch partitioning follows the
+        # file count per trigger (2 files = 2 partitions), starving the
+        # UDF/encode/write stages of cores. MEASURED at 1M rows / 10
+        # epochs on a quiet host: OFF 25.4-27.9k rows/s; 32 -> 20.9k;
+        # 8 -> 22.4k — the added per-epoch exchange plus 8 sinks x more
+        # shuffle-map tasks cost MORE than the parallelism buys, and
+        # per-stage attribution shows parse_materialize barely moves
+        # (the leg is dominated by scan + persist + job overhead, not
+        # by per-row CPU). Same lesson as the r5 batch finding: don't
+        # repartition your way out of a cost that isn't per-row CPU.
+        # The knob stays for genuinely CPU-dense parses (real DNS blobs
+        # rather than 5 memoized variants); round-robin repartition is
+        # deterministic across epoch retries (sorts before exchanging),
+        # so ClickHouse dedup tokens stay stable. "auto" =
+        # defaultParallelism; int pins; None/0 (default) disables.
+        if parse_parallelism == "auto":
+            parse_parallelism = spark.sparkContext.defaultParallelism
+        self.parse_parallelism = parse_parallelism or None
         # per-epoch stage walls appended by process_batch (see there)
         self.batch_timings: list[dict] = []
 
@@ -168,9 +188,17 @@ class QuerylogPipeline:
             # submit their jobs concurrently — on a cluster this keeps
             # executors busy instead of serializing eight small shuffles;
             # Spark's scheduler interleaves the jobs safely.
+            # dense=True: a micro-batch delta touches essentially every
+            # bucket, so the per-sink touched-bucket discovery job is
+            # skipped — one Spark job per sink per epoch (see
+            # SummingParquetSink.apply_delta; replay keeps the sparse
+            # bucket-pruning path).
             with ThreadPoolExecutor(max_workers=len(self.aggregates)) as pool:
                 futures = [
-                    pool.submit(self.sinks[name].apply_delta, fn(good), epoch_id)
+                    pool.submit(
+                        self.sinks[name].apply_delta, fn(good), epoch_id,
+                        dense=True,
+                    )
                     for name, fn in self.aggregates.items()
                 ]
                 for f in futures:
@@ -210,6 +238,8 @@ class QuerylogPipeline:
                 .dropDuplicatesWithinWatermark(["value"])
                 .drop("_ingest_ts")
             )
+        if self.parse_parallelism:
+            raw = raw.repartition(self.parse_parallelism)
         parsed = parse_querylog_lines(raw)
         writer = (
             parsed.writeStream.foreachBatch(self.process_batch)

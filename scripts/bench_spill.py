@@ -68,9 +68,23 @@ def completed_stage_spill(sc) -> tuple[int, int, int]:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else str(REPO / ".localdata" / "sf10")
-
+    import argparse
     import os
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf_dir", nargs="?",
+                    default=str(REPO / ".localdata" / "sf10"))
+    # Two envelopes are recorded for r6: fraction 0.15 on the 48g heap
+    # (7.2g managed — the capped jaccard spills tens of GB and still
+    # completes) and fraction 0.02 (0.96g managed, TIGHTER than r5's
+    # 8g x 0.15 = 1.2g) for the remaining queries, which at 7.2g no
+    # longer need to spill at all.
+    ap.add_argument("--fraction", default="0.15")
+    ap.add_argument("--queries", default=",".join(QUERIES))
+    ap.add_argument("--out", default="BENCH_spill_r6.json")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    queries = [q for q in args.queries.split(",") if q]
 
     # Heap: the 48g the sf10 scale bench uses (bench_scale10.py — an
     # executor-realistic memory/core ratio). Measured r6 at the old 8g
@@ -94,7 +108,7 @@ def main() -> None:
             "spark.ui.enabled": "true",
             # starve execution memory: 15% of (heap - 300MB) for all
             # joins/aggs/sorts across 32 concurrent tasks
-            "spark.memory.fraction": "0.15",
+            "spark.memory.fraction": args.fraction,
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,11 +117,11 @@ def main() -> None:
     import __spark_entry__ as entrymod
 
     qs = entrymod.queries()
-    for name in QUERIES:  # codegen warmup
+    for name in queries:  # codegen warmup
         qs[name](spark, "/root/testdata/sf0.001").count()
 
     results = {}
-    for name in QUERIES:
+    for name in queries:
         n0, m0, d0 = completed_stage_spill(sc)
         t0 = time.time()
         try:
@@ -145,7 +159,7 @@ def main() -> None:
     out = {
         "metric": "memory_pressure_spill",
         "sf_dir": sf_dir,
-        "memory_fraction": 0.15,
+        "memory_fraction": float(args.fraction),
         "heap": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "note_8g": (
             "r6 finding: at the former 8g default heap, "
@@ -159,7 +173,7 @@ def main() -> None:
         "all_completed": all(r.get("completed") for r in results.values()),
         "total_disk_spilled_mb": round(total_disk, 1),
     }
-    (REPO / "BENCH_spill_r6.json").write_text(json.dumps(out, indent=1) + "\n")
+    (REPO / args.out).write_text(json.dumps(out, indent=1) + "\n")
     print(json.dumps(out))
     spark.stop()
     if not out["all_completed"]:

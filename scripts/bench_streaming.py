@@ -107,6 +107,9 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     n_files = int(sys.argv[2]) if len(sys.argv) > 2 else 20
     files_per_trigger = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    # 4th arg: parse_parallelism ("auto", an int, or 0 to disable)
+    pp_arg = sys.argv[4] if len(sys.argv) > 4 else "auto"
+    parse_parallelism = pp_arg if pp_arg == "auto" else int(pp_arg)
 
     work = Path(tempfile.mkdtemp(prefix="stream_bench_"))
     src, out = work / "src", work / "out"
@@ -136,7 +139,8 @@ def main() -> None:
     (warm_src / "w.jsonl").write_text("\n".join(make_lines(500)) + "\n")
     QuerylogPipeline(spark, str(warm_src), str(warm_out)).run_available()
 
-    pipe = QuerylogPipeline(spark, str(src), str(out), clickhouse=writer)
+    pipe = QuerylogPipeline(spark, str(src), str(out), clickhouse=writer,
+                            parse_parallelism=parse_parallelism)
     pipe.batch_timings.clear()
     t0 = time.time()
     q = pipe.start(available_now=True, max_files_per_trigger=files_per_trigger)

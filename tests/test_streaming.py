@@ -505,11 +505,11 @@ def test_mid_epoch_failure_replay_no_double_count(tmp_path, spark):
     real_apply = victim.apply_delta
     fail_state = {"tripped": False}
 
-    def sabotaged(delta, epoch_id):
+    def sabotaged(delta, epoch_id, **kwargs):
         if epoch_id >= 1 and not fail_state["tripped"]:
             fail_state["tripped"] = True
             raise RuntimeError("injected mid-epoch sink failure")
-        return real_apply(delta, epoch_id)
+        return real_apply(delta, epoch_id, **kwargs)
 
     victim.apply_delta = sabotaged
     try:

@@ -280,3 +280,44 @@ def test_streaming_pipeline_with_hll_sink(tmp_path, spark):
         .collect()
     }
     assert got == want
+
+
+def test_dense_fold_equals_sparse_and_stays_idempotent(tmp_path, spark):
+    """dense=True (the streaming hot path, r6) must produce the SAME
+    table state as the sparse bucket-pruned fold — same rows, same
+    epoch ledger semantics — it only skips the touched-bucket
+    discovery job. Also: a dense retry of an applied epoch no-ops, and
+    a dense fold composes with a later sparse fold."""
+    rows = [(f"key{i}", i) for i in range(64)]
+    d1 = [(f"key{i}", 10) for i in range(0, 64, 3)]
+    d2 = [("key1", 7), ("newkey", 2)]
+
+    sparse = SummingParquetSink(
+        str(tmp_path / "sparse"), keys=["k"], measures=["cnt"]
+    )
+    dense = SummingParquetSink(
+        str(tmp_path / "dense"), keys=["k"], measures=["cnt"]
+    )
+    frames = [
+        spark.createDataFrame(r, ["k", "cnt"]) for r in (rows, d1, d2)
+    ]
+    for e, f in enumerate(frames):
+        sparse.apply_delta(f, epoch_id=e)
+        dense.apply_delta(f, epoch_id=e, dense=True)
+
+    def state(sink):
+        return sorted(
+            (r.k, r.cnt) for r in sink.read(spark).collect()
+        )
+
+    assert state(dense) == state(sparse)
+
+    # dense retry of an applied epoch: no-op (state unchanged)
+    dense.apply_delta(frames[2], epoch_id=2, dense=True)
+    assert state(dense) == state(sparse)
+
+    # dense then sparse compose: one more delta via the pruned path
+    d3 = spark.createDataFrame([("key1", 100)], ["k", "cnt"])
+    sparse.apply_delta(d3, epoch_id=3)
+    dense.apply_delta(d3, epoch_id=3, dense=True)
+    assert state(dense) == state(sparse)
