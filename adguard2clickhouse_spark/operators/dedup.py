@@ -233,14 +233,19 @@ def ngram_jaccard_pairs(
 
     Returns (doc_a, doc_b, common, size_a, size_b) with doc_a < doc_b.
 
-    Considered and rejected: PPJoin-style prefix filtering (index only
-    the first ⌊(1−t)·n⌋+1 sorted hashes, verify candidates with
-    array_intersect). Measured on the sf0.1 corpus it returns the
-    identical 256 pairs 3.5× SLOWER (6.2 s vs 1.8 s): the candidate
-    distinct + double array-carrying verify join costs more than the
-    full hash index saves when shingles are this selective. The
-    pathology prefix filtering targets (hot shingles exploding the
-    index join) is already handled by ``max_df``.
+    The PPJoin-style prefix-filtered twin is
+    ``ngram_jaccard_pairs_ppjoin`` (bit-identical answers, its own
+    registered query + oracle). Crossover MEASURED r6
+    (BENCH_ppjoin_r6.json, one 48g session, median-of-3, parity
+    asserted at both SFs): at sf0.1 the full index wins (1.20 s vs
+    2.23 s — candidates are cheap, the prefix machinery isn't free);
+    at sf1 on the fixed-vocabulary corpus the candidate term dominates
+    and PPJoin wins 6.70 s vs 9.33 s (1.39×) — exactly the regime
+    prefix filtering targets. Production guidance: below corpus-shard
+    scale use this full index; beyond it prefer the prefix twin, the
+    df-ratio cap, or (the true 100 TB path) the banded-MinHash
+    pipeline. The r4 note rejecting PPJoin outright was measured only
+    at sf0.1 and is superseded by the crossover above.
     """
     # Build the shingle-hash ARRAY once and cache it pre-explode: it
     # feeds three consumers (both join sides + the size table). Without
@@ -372,6 +377,11 @@ def ngram_jaccard_pairs_ppjoin(
 
     All threshold arithmetic is integer-exact (num/denom from the
     decimal literal), same as the inverted-index form.
+
+    Measured crossover (BENCH_ppjoin_r6.json): slower than the full
+    index at sf0.1 (2.23 s vs 1.20 s), 1.39× FASTER at sf1 (6.70 s vs
+    9.33 s) — prefix filtering pays exactly when the candidate term
+    dominates, i.e. the regime a growing corpus enters.
     """
     from fractions import Fraction
 

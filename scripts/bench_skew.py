@@ -83,7 +83,12 @@ def straggler_violations(stages: list[dict], factor: float = 4.0,
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # r6: default volume up 1M -> 4M rows (sourced from the sf10
+    # replica) — at 1M/20MB the events file was ONE 128MB-split scan
+    # task and every shuffle coalesced to 1 reduce task, so no stage
+    # ever had the >=8 tasks the straggler rule needs (see the session
+    # conf note below).
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     hot_permille = int(sys.argv[2]) if len(sys.argv) > 2 else 950
 
     import duckdb
@@ -99,7 +104,9 @@ def main() -> None:
     # ONE user_id (one QH + one IP through the bridge — the "one
     # household" regime); row_group_size keeps the file splittable
     # (the single-row-group trap would serialize the whole test).
-    base = REPO / ".localdata" / "sf1"
+    base = REPO / ".localdata" / "sf10"
+    if not base.exists():
+        base = REPO / ".localdata" / "sf1"
     src_events = base / "events.parquet" if base.exists() else Path(
         "/root/testdata/sf0.1/events.parquet"
     )
@@ -119,8 +126,27 @@ def main() -> None:
         shutil.copy(src, skew_dir / f"{t}.parquet")
     n_actual = con.sql(f"SELECT count(*) FROM '{skew_dir}/events.parquet'").fetchone()[0]
 
+    # r6 finding: at 1M-row volume a ~50MB events file is ONE scan
+    # split (maxPartitionBytes=128m) and AQE coalesces every tiny
+    # shuffle to 1 reduce task — so EVERY batch stage had <8 tasks,
+    # the straggler filter dropped them all, and the r5 "zero batch
+    # violations" gate was VACUOUS (it checked nothing; artifact
+    # showed batch_stage_count=0). Shrink the split and advisory
+    # partition sizes so stages run with cluster-like task counts at
+    # bench volume; vacuity now fails the run outright.
     spark = get_spark(
-        app_name="skew-bench", extra_conf={"spark.ui.enabled": "true"}
+        app_name="skew-bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.sql.files.maxPartitionBytes": str(4 * 1024 * 1024),
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes":
+                str(1 * 1024 * 1024),
+            # scale AQE's skew-split trigger to bench volume (defaults
+            # are 256MB partitions — nothing here is that big)
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+                str(8 * 1024 * 1024),
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     sc = spark.sparkContext
@@ -140,6 +166,38 @@ def main() -> None:
         t0 = time.time()
         qs[name](spark, str(skew_dir)).count()
         batch_times[name] = round(time.time() - t0, 3)
+
+    # Skewed shuffle-JOIN leg (r6): the a1-a8 fan never reduce-shuffles
+    # the hot key — map-side partial aggregation collapses 95% of rows
+    # before the exchange (that IS the mechanism; its reduce stages
+    # coalesce to nothing). A join keyed on the hot user DOES move the
+    # hot key's full row volume through one reduce partition; with
+    # broadcast disabled this exercises AQE's skew-join split at
+    # system level, and the straggler rule checks the split worked.
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(str(skew_dir / "events.parquet"))
+    dim = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("user_total"))
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in ("spark.sql.autoBroadcastJoinThreshold",
+                  "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+    for k in saved:
+        spark.conf.set(k, "-1")
+    try:
+        t0 = time.time()
+        jn = (
+            ev.join(dim, "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()[0]["n"]
+        )
+        batch_times["skew_shuffle_join"] = round(time.time() - t0, 3)
+        assert jn == n_actual, (jn, n_actual)
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
     batch_wall = round(time.time() - t_all, 2)
 
     batch_stages = stage_task_summaries(sc)
@@ -235,8 +293,19 @@ def main() -> None:
             for s in worst
         ],
     }
-    ok = not (batch_violations or stream_violations)
+    # an empty stage list is a VACUOUS gate, not a passing one
+    ok = (
+        not (batch_violations or stream_violations)
+        and len(batch_stages) >= 3
+        and len(stream_stages) >= 3
+    )
     result["pass"] = ok
+    if not (batch_stages and stream_stages):
+        result["error"] = (
+            "straggler gate vacuous: a leg produced no stages with >=8 "
+            "tasks — the filter dropped everything, so 'zero violations' "
+            "would measure nothing"
+        )
     (REPO / "BENCH_skew_r6.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     spark.stop()
