@@ -56,15 +56,23 @@ def connected_components(
 
     try:
         for _ in range(max_iters):
-            # neighbor labels: edge (u,v) proposes v's current label to u
+            # neighbor labels: edge (u,v) proposes v's current label to
+            # u. The node's OWN label rides through the SAME aggregation
+            # under a self flag (min over the self rows = the old label,
+            # exactly one per node), so old-vs-new needs no join-back —
+            # one shuffle per round instead of two (r6: the extra
+            # labels ⋈ proposed join was ~half of each round's cost).
             proposed = (
                 sym.join(labels.withColumnRenamed("_u", "_v"), "_v")
-                .select("_u", "_lbl")
-                .unionByName(labels)
+                .select("_u", "_lbl", F.lit(False).alias("_self"))
+                .unionByName(labels.withColumn("_self", F.lit(True)))
                 .groupBy("_u")
-                .agg(F.min("_lbl").alias("_new"))
+                .agg(
+                    F.min("_lbl").alias("_new"),
+                    F.min(F.when(F.col("_self"), F.col("_lbl"))).alias("_lbl"),
+                )
             )
-            merged = labels.join(proposed, "_u").localCheckpoint(eager=True)
+            merged = proposed.localCheckpoint(eager=True)
             changed = merged.filter(F.col("_new") < F.col("_lbl")).count()
             labels = merged.select("_u", F.col("_new").alias("_lbl"))
             if changed == 0:
