@@ -2181,6 +2181,36 @@ def q_semantic_dedup(spark, sf_dir):
     return kept.select("vec_id", F.col("label").cast("long").alias("label"))
 
 
+def q_semantic_dedup_lsh(spark, sf_dir):
+    """Rows-only: the SCALE form of x2_semantic_dedup_keep — the exact
+    all-pairs cosine edge stage swaps for the auto-bits sign-LSH
+    candidate path (similarity.embedding_dup_pairs_lsh, O(n) bucketed
+    candidates), then the identical closure + min-id keep. Registered
+    so the documented "swaps in at scale" claim is an executing,
+    driver-checked pipeline rather than prose; pytest gates the dedup
+    property against the exact form (near-identical vectors never both
+    kept, keep-set ⊆ ids)."""
+    import math
+
+    import pyarrow.parquet as _pq
+
+    from adguard2clickhouse_spark.operators.graph import (
+        dedup_keep_representatives,
+    )
+
+    n = _pq.ParquetFile(os.path.join(sf_dir, "embeddings.parquet")).metadata.num_rows
+    bits = max(6, min(16, math.ceil(math.log2(max(n, 2) / 64))))
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.embedding_dup_pairs_lsh(
+        emb, threshold=0.35, bits=bits, n_tables=8,
+        dim=len(_query_vec(spark, sf_dir, 0)), max_bucket=256,
+    )
+    kept = dedup_keep_representatives(
+        emb, pairs, id_col="vec_id", src_col="id_a", dst_col="id_b"
+    )
+    return kept.select("vec_id", F.col("label").cast("long").alias("label"))
+
+
 def q_radius_search(spark, sf_dir):
     """X3's second canonical query type beside top-k: ALL vectors
     within a cosine radius of the query (the shape retrieval filters
@@ -3308,6 +3338,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_stream_dedup": q_stream_dedup,
         "x2_embedding_dup_brp_ml": q_embedding_dup_brp_ml,
         "x2_semantic_dedup_keep": q_semantic_dedup,
+        "x2_semantic_dedup_keep_lsh": q_semantic_dedup_lsh,
         "x3_radius_search": q_radius_search,
         "x4_source_similarity": q_source_similarity,
         "x2_minhash_lsh_ml": q_minhash_lsh_ml,

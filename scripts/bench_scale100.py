@@ -1,0 +1,132 @@
+"""Fourth scaling decade: sf10 -> sf100 (1000x the driver's bench SF).
+
+Completes the slope 0.1 -> 1 -> 10 -> 100 for the linear-plan query
+families: 600M lineitem rows, 100M events, 5M documents, 20M
+embeddings on one 32-core host. The quadratic-by-semantics forms are
+deliberately excluded (their term is measured and explained at sf10);
+this decade exists to show the production plans keep their per-decade
+ratio when the data is 1000x the correctness-gate SF.
+
+Protocol: one 48g session, per-SF interleaved, median-of-3 per query
+(the BENCH_profile_r6 lesson: single-shot walls deep in a session
+mis-measure by 2-4x). Rows are recorded — a fast empty result must
+never read as a linear plan. Ratios > 6 get flagged for term-by-term
+explanation.
+
+Usage:
+    python scripts/gen_scale.py --mult 1000 --out .localdata/sf100
+    python scripts/bench_scale100.py
+Writes BENCH_sf100.json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPO = Path(__file__).resolve().parent.parent
+
+QUERIES = [
+    "a1_blocked_domains",
+    "a3_clients_stats",
+    "a6_stats2",
+    "a7_tld_stats",
+    "p7_dns_parse",
+    "q1_pricing_summary",
+    "x_join_revenue_by_nation",
+    "x_window_rank",
+    "e_sessions",
+    "x1_dedup_count",
+    "x4_quality",
+    "x3_topk_cosine",
+    "x4_hashed_bow",
+    "x2_minhash_lsh",
+    "x2_near_dedup_clusters",
+]
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default=str(REPO / ".localdata" / "sf10"))
+    ap.add_argument("--big", default=str(REPO / ".localdata" / "sf100"))
+    ap.add_argument("--threshold", type=float, default=6.0)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+    import __spark_entry__ as entrymod
+    from adguard2clickhouse_spark.session import get_spark
+    from bench import CALIBRATION_REF, _calibrate
+
+    calibration = _calibrate()
+    spark = get_spark(app_name="bench_scale100")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    for name in QUERIES:  # codegen warmup
+        qs[name](spark, "/root/testdata/sf0.001").count()
+
+    results: dict[str, dict] = {n: {} for n in QUERIES}
+    for tag, sf_dir in [("sf10", args.base), ("sf100", args.big)]:
+        for rep in range(args.reps):
+            for name in QUERIES:
+                t0 = time.time()
+                rows = qs[name](spark, sf_dir).count()
+                wall = round(time.time() - t0, 3)
+                e = results[name].setdefault(tag, {"walls": [], "rows": rows})
+                e["walls"].append(wall)
+                print(f"  [{tag} rep{rep}] {name}: {wall}s ({rows} rows)",
+                      file=sys.stderr)
+
+    queries, flagged = {}, []
+    for name in QUERIES:
+        m10 = statistics.median(results[name]["sf10"]["walls"])
+        m100 = statistics.median(results[name]["sf100"]["walls"])
+        ratio = round(m100 / m10, 2) if m10 > 0 else None
+        entry = {
+            "sec_sf10": round(m10, 3),
+            "sec_sf100": round(m100, 3),
+            "ratio": ratio,
+            "rows_sf10": results[name]["sf10"]["rows"],
+            "rows_sf100": results[name]["sf100"]["rows"],
+            "walls_sf10": results[name]["sf10"]["walls"],
+            "walls_sf100": results[name]["sf100"]["walls"],
+        }
+        if entry["rows_sf100"] == 0 and name != "x1_dedup_count":
+            entry["flag"] = "ZERO ROWS at sf100 — measurement void"
+            flagged.append(name)
+        elif ratio is not None and ratio > args.threshold:
+            entry["flag"] = f"ratio {ratio} > {args.threshold}"
+            flagged.append(name)
+        queries[name] = entry
+
+    out = {
+        "metric": "scaling_ratio_sf100_vs_sf10",
+        "sf_base": 10.0,
+        "sf_big": 100.0,
+        "data_mult": 10,
+        "threshold": args.threshold,
+        "protocol": "one 48g session, per-SF interleaved, median-of-%d" % args.reps,
+        "host_calibration_sec": calibration,
+        "calibration_ref_sec": CALIBRATION_REF,
+        "total_sf10_sec": round(sum(q["sec_sf10"] for q in queries.values()), 3),
+        "total_sf100_sec": round(sum(q["sec_sf100"] for q in queries.values()), 3),
+        "queries": queries,
+        "flagged": flagged,
+    }
+    out["total_ratio"] = round(out["total_sf100_sec"] / out["total_sf10_sec"], 2)
+    (REPO / "BENCH_sf100.json").write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -564,3 +564,51 @@ def test_partial_aggregation_bounds_skewed_ingest(spark):
     aggs = [n for n in nodes if "HashAggregate" in n.getClass().getSimpleName()]
     finals = [n for n in aggs if _node_metrics(n).get("numOutputRows") == n_cold + 1]
     assert finals, "no final aggregate emitting one row per distinct key"
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """100 TB capability gate: a selective dim filter injects a RUNTIME
+    bloom filter on the fact side of a shuffle join (Spark's
+    runtime.bloomFilter, on by default), so fact rows that cannot join
+    are dropped at the scan instead of shuffling. The production
+    thresholds gate on a >=10GB application side; the test scopes the
+    application-side threshold down to prove our join shapes QUALIFY —
+    no hints, no plan rewrites, just the declarative join Catalyst
+    already sees."""
+    from adguard2clickhouse_spark.sources.tables import load_table
+
+    from pyspark.sql import functions as F
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold", "0")
+        # force the shuffle join regime the filter exists for (at test
+        # SF the dim would otherwise broadcast, which subsumes it)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+        li = load_table(spark, SF, "lineitem")
+        o = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey).agg(
+            F.sum("l_quantity").alias("q")
+        )
+        opt = _optimized(j)
+        assert "bloom" in opt.lower(), opt[:2000]
+        phys = _physical(j)
+        assert "bloom" in phys.lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -261,3 +261,27 @@ def test_ivfadc_recall_and_cell_pruning(spark):
         assert top.d2 < 1e-9
     finally:
         index.unpersist()
+
+
+def test_semantic_dedup_lsh_twin_holds_dedup_property(spark):
+    """The scale form of semantic dedup (LSH candidate edges -> closure
+    -> min-id keep, x2_semantic_dedup_keep_lsh) must keep the dedup
+    CONTRACT the exact form proves relationally: the kept set is a
+    subset of the corpus ids, every kept label is its own min-id, and
+    no two members of an exact near-identical pair (cos >= 0.9 — such
+    vectors collide in every LSH table at any bit width) both survive."""
+    import __spark_entry__ as em
+
+    sf = "/root/testdata/sf0.01"
+    kept = {
+        r.vec_id
+        for r in em.queries()["x2_semantic_dedup_keep_lsh"](spark, sf).collect()
+    }
+    emb = load_table(spark, sf, "embeddings")
+    ids = {r.vec_id for r in emb.select("vec_id").collect()}
+    assert kept and kept <= ids
+
+    tight = similarity.embedding_dup_pairs(emb, threshold=0.9)
+    tight_pairs = [(r.id_a, r.id_b) for r in tight.collect()]
+    both = [p for p in tight_pairs if p[0] in kept and p[1] in kept]
+    assert not both, f"near-identical pairs both kept: {both[:5]}"
