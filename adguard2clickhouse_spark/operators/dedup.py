@@ -228,7 +228,8 @@ def ngram_jaccard_pairs(
     shingle string (Catalyst shuffles on the shingle hash — only
     shingles and ids move), count common shingles per pair, then
     Jaccard = common / (|A| + |B| - common). The threshold compare is
-    done in integers (common·10^6 ≥ t·10^6·union) so results hash
+    done in exact integers (common·den ≥ num·union, num/den from the
+    caller's decimal literal via Fraction) so results hash
     identically across engines.
 
     Returns (doc_a, doc_b, common, size_a, size_b) with doc_a < doc_b.
@@ -318,7 +319,14 @@ def ngram_jaccard_pairs(
             .groupBy(F.col("a._id").alias("doc_a"), F.col("b._id").alias("doc_b"))
             .agg(F.count(F.lit(1)).alias("common"))
         )
-        thr = int(threshold * 1_000_000)
+        # Threshold compare in exact integers from the caller's decimal
+        # literal (Fraction(str(t))): common·den ≥ num·union. The
+        # previous int(t·1e6) scaling truncates for thresholds like 0.3
+        # (→ 299999), making the verify LOOSER than documented; at the
+        # registered t=0.8 both forms are identical (800000/1e6 = 4/5).
+        from fractions import Fraction
+
+        _fr = Fraction(str(threshold))
         # sizes is one row per doc — NOT broadcastable at corpus scale;
         # AQE picks broadcast when it actually fits. Both joins alias
         # the SAME sizes plan (no withColumnRenamed below the join):
@@ -331,8 +339,9 @@ def ngram_jaccard_pairs(
             common.join(sa, F.col("doc_a") == F.col("sa._id"))
             .join(sb, F.col("doc_b") == F.col("sb._id"))
             .filter(
-                F.col("common") * 1_000_000
-                >= F.lit(thr) * (F.col("sa._sz") + F.col("sb._sz") - F.col("common"))
+                F.col("common") * F.lit(_fr.denominator)
+                >= F.lit(_fr.numerator)
+                * (F.col("sa._sz") + F.col("sb._sz") - F.col("common"))
             )
             .select(
                 "doc_a",
@@ -443,9 +452,13 @@ def ngram_jaccard_pairs_ppjoin(
                 F.size("aa._arr").alias("size_a"),
                 F.size("ab._arr").alias("size_b"),
             )
+            # Verify with the SAME exact num/den the prefix and length
+            # filters use (ADVICE r6: int(t·1e6) truncates for t like
+            # 0.3, making verify looser than the prefix guarantee and
+            # breaking the bit-identical contract for huge docs).
             .filter(
-                F.col("common") * F.lit(1_000_000)
-                >= F.lit(int(threshold * 1_000_000))
+                F.col("common") * F.lit(den)
+                >= F.lit(num)
                 * (F.col("size_a") + F.col("size_b") - F.col("common"))
             )
         )

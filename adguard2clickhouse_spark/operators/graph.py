@@ -32,7 +32,12 @@ def connected_components(
     max_iters: int = 20,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable from id.
-    Nodes absent from every edge form singleton components.
+    Nodes absent from every edge form singleton components. Edge
+    endpoints absent from ``nodes`` are ignored entirely — they carry
+    no label, relay nothing, and never appear in the output (ADVICE
+    r6: the single-shuffle rewrite briefly let such phantom endpoints
+    leak into the result with a first-round NULL label; the
+    membership filter below restores the original drop contract).
 
     Raises after ``max_iters`` non-converged rounds rather than
     returning silently-wrong partial labels.
@@ -72,7 +77,14 @@ def connected_components(
                     F.min(F.when(F.col("_self"), F.col("_lbl"))).alias("_lbl"),
                 )
             )
-            merged = proposed.localCheckpoint(eager=True)
+            # Membership filter: a node is in the label set iff it has
+            # a self row (its old label under the _self flag). Edge
+            # endpoints outside `nodes` have only neighbor-proposal
+            # rows → NULL _lbl → dropped, so they neither gain a label
+            # nor relay one (pre-r6 semantics).
+            merged = proposed.filter(F.col("_lbl").isNotNull()).localCheckpoint(
+                eager=True
+            )
             changed = merged.filter(F.col("_new") < F.col("_lbl")).count()
             labels = merged.select("_u", F.col("_new").alias("_lbl"))
             if changed == 0:

@@ -67,7 +67,8 @@ class QuerylogPipeline:
     def __init__(self, spark: SparkSession, source_dir: str, out_dir: str,
                  checkpoint_dir: str | None = None, clickhouse=None,
                  custom_aggregates=None,
-                 parse_parallelism: int | str | None = None):
+                 parse_parallelism: int | str | None = None,
+                 dense_folds: bool | str = "auto"):
         self.spark = spark
         # Micro-batches are small relative to the static shuffle-partition
         # count; AQE coalescing (on by default since Spark 3.2, explicit
@@ -122,8 +123,30 @@ class QuerylogPipeline:
         if parse_parallelism == "auto":
             parse_parallelism = spark.sparkContext.defaultParallelism
         self.parse_parallelism = parse_parallelism or None
+        # Per-sink fold strategy (ADVICE r6: r6 hardwired dense=True,
+        # trading away the sink's documented O(touched-state) property
+        # for every future caller). "auto" (default) decides PER EPOCH
+        # PER SINK from data already on hand — the batch row count the
+        # cache materialization produces anyway: a delta with
+        # rows ≥ 4·n_buckets touches every bucket with near certainty
+        # under the xxhash64 bucketing (P[missed bucket] ≤
+        # n·e^(−rows/n) < 2% at 4×), so the discovery job can only
+        # rediscover "all of them" — skip it. Below that, low-traffic
+        # epochs and high-n_buckets sinks keep the sparse bucket-pruned
+        # path that leaves untouched buckets byte-identical. True/False
+        # pin the strategy for every sink.
+        self.dense_folds = dense_folds
         # per-epoch stage walls appended by process_batch (see there)
         self.batch_timings: list[dict] = []
+
+    def _dense_fold(self, sink: SummingParquetSink, n_rows: int) -> bool:
+        """Per-epoch per-sink fold strategy (see ``dense_folds`` in
+        ``__init__``): dense when the strategy is pinned True, sparse
+        when pinned False, else dense iff the epoch's rows can be
+        expected to touch every bucket (rows ≥ 4·n_buckets)."""
+        if self.dense_folds == "auto":
+            return n_rows >= 4 * sink.n_buckets
+        return bool(self.dense_folds)
 
     # -- the per-micro-batch body (the reference's "insert block") ----------
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
@@ -143,7 +166,7 @@ class QuerylogPipeline:
             # Materialize the cache eagerly: the aggregate fan-out below
             # submits jobs from several threads at once, and each would
             # otherwise race to compute the (UDF-bearing) parse lineage.
-            good.persist().count()
+            n_good = good.persist().count()
             t = _mark("parse_materialize_s", t)
 
             # fact append, partitioned by event date and sorted by time
@@ -188,16 +211,16 @@ class QuerylogPipeline:
             # submit their jobs concurrently — on a cluster this keeps
             # executors busy instead of serializing eight small shuffles;
             # Spark's scheduler interleaves the jobs safely.
-            # dense=True: a micro-batch delta touches essentially every
-            # bucket, so the per-sink touched-bucket discovery job is
-            # skipped — one Spark job per sink per epoch (see
-            # SummingParquetSink.apply_delta; replay keeps the sparse
-            # bucket-pruning path).
+            # Fold strategy per sink (see __init__): dense skips the
+            # per-sink touched-bucket discovery job when the epoch's
+            # row count already implies every bucket is touched; sparse
+            # keeps bucket pruning for low-traffic epochs / wide sinks.
+
             with ThreadPoolExecutor(max_workers=len(self.aggregates)) as pool:
                 futures = [
                     pool.submit(
                         self.sinks[name].apply_delta, fn(good), epoch_id,
-                        dense=True,
+                        dense=self._dense_fold(self.sinks[name], n_good),
                     )
                     for name, fn in self.aggregates.items()
                 ]

@@ -624,3 +624,90 @@ def test_replay_dead_letters_recovers_fixed_lines(tmp_path, spark):
     )
     got = {tuple(r) for r in pipe.read_aggregate("visited_domains").collect()}
     assert got == expected["visited_domains"], "token retry double-counted"
+
+
+def test_dense_fold_strategy_auto_and_pinned(spark, tmp_path):
+    """ADVICE r6: r6 hardwired dense=True into every epoch, silently
+    trading away the sink's O(touched-state) contract. The strategy is
+    now per-epoch per-sink: auto folds dense only when the epoch's row
+    count implies every bucket is touched (rows >= 4*n_buckets);
+    pinned True/False override both ways."""
+    pipe = QuerylogPipeline(spark, str(tmp_path / "s"), str(tmp_path / "o"))
+
+    class _Sink:  # only n_buckets is consulted
+        n_buckets = 8
+
+    s = _Sink()
+    assert pipe.dense_folds == "auto"
+    assert pipe._dense_fold(s, 0) is False
+    assert pipe._dense_fold(s, 31) is False      # low-traffic epoch: sparse
+    assert pipe._dense_fold(s, 32) is True       # 4*n_buckets boundary
+    assert pipe._dense_fold(s, 10_000) is True
+    wide = _Sink()
+    wide.n_buckets = 4096                        # future high-n_buckets sink
+    assert pipe._dense_fold(wide, 10_000) is False
+
+    pinned_on = QuerylogPipeline(
+        spark, str(tmp_path / "s2"), str(tmp_path / "o2"), dense_folds=True)
+    assert pinned_on._dense_fold(s, 1) is True
+    pinned_off = QuerylogPipeline(
+        spark, str(tmp_path / "s3"), str(tmp_path / "o3"), dense_folds=False)
+    assert pinned_off._dense_fold(s, 10_000) is False
+
+
+def test_low_traffic_epoch_keeps_untouched_buckets_byte_identical(
+    spark, tmp_path
+):
+    """The property the auto strategy exists to preserve: after a big
+    (dense) epoch, a tiny follow-up epoch whose keys land in few
+    buckets must rewrite ONLY those buckets — every other bucket file
+    of every sink stays byte-identical."""
+    import hashlib
+    import shutil
+
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    big = [_line(i, minute=i % 45, filtered=i % 3 == 0,
+                 qh=f"d{i % 17}.example.com", ip=f"10.9.0.{i % 7}")
+           for i in range(200)]
+    (src / "a.jsonl").write_text("\n".join(big) + "\n")
+    pipe = QuerylogPipeline(spark, str(src), str(out))
+    pipe.run_available()
+
+    def _bucket_files(root):
+        return {
+            os.path.relpath(os.path.join(r, f), root): hashlib.md5(
+                open(os.path.join(r, f), "rb").read()
+            ).hexdigest()
+            for r, _, fs in os.walk(root)
+            for f in fs
+            if os.path.relpath(r, root).startswith("b")
+        }
+
+    before = {
+        name: _bucket_files(str(out / name)) for name in pipe.sinks
+    }
+
+    tiny = [_line(i, minute=3, filtered=False,
+                  qh="tiny.example.com", ip="10.9.1.1")
+            for i in range(1000, 1003)]
+    (src / "b.jsonl").write_text("\n".join(tiny) + "\n")
+    pipe.run_available()
+
+    changed_only_touched = 0
+    for name, sink in pipe.sinks.items():
+        after = _bucket_files(str(out / name))
+        # every pre-existing file still present and byte-identical,
+        # except files in buckets the tiny delta actually touched
+        touched_dirs = {
+            p.split(os.sep)[0]
+            for p in set(after) - set(before[name])
+        }
+        for p, digest in before[name].items():
+            if p.split(os.sep)[0] in touched_dirs:
+                continue
+            assert after.get(p) == digest, f"{name}:{p} rewritten by sparse fold"
+        # 3 rows, 1 key -> at most a couple of buckets per sink
+        assert len(touched_dirs) <= 2, (name, touched_dirs)
+        changed_only_touched += 1
+    assert changed_only_touched == len(pipe.sinks)

@@ -161,6 +161,20 @@ def test_cc_chain_and_singletons(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
 
 
+def test_cc_phantom_edge_endpoints_are_dropped(spark):
+    """ADVICE r6: edge endpoints absent from `nodes` must not leak
+    into the output (the r6 single-shuffle rewrite briefly emitted
+    them). Node 99 appears only in edges: it gets no label, relays
+    nothing, and the in-node endpoints keep their own components."""
+    nodes = spark.createDataFrame([(1,), (2,), (5,)], "doc_id LONG")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 99), (99, 5)], "doc_a LONG, doc_b LONG"
+    )
+    got = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
+    # 99 absent from output; 5 NOT merged into {1,2} via the phantom relay
+    assert got == {1: 1, 2: 1, 5: 5}
+
+
 def test_cc_non_convergence_raises(spark):
     nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id LONG")
     edges = spark.createDataFrame(
