@@ -212,6 +212,46 @@ def shingle_hashes_from_tokens(toks, n: int = 3):
     )
 
 
+# Measured crossover for the index-vs-PPJoin pick (BENCH_ppjoin_r6.json,
+# one 48g session, median-of-3, parity asserted): the full inverted
+# index wins at sf0.1 (posting mass ≈ 240k: 1.20 s vs 2.23 s), PPJoin
+# wins 1.39× at sf1 (posting mass ≈ 2.4M: 6.70 s vs 9.33 s). The
+# geometric midpoint of the two measured posting masses is the switch
+# point; re-measure with scripts/bench_ppjoin.py to recalibrate.
+PPJOIN_POSTING_MASS_CROSSOVER = 750_000
+
+
+def choose_jaccard_strategy(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> tuple[str, dict]:
+    """Pick the exact-Jaccard join plan from corpus stats: the full
+    inverted index below ``PPJOIN_POSTING_MASS_CROSSOVER`` posting
+    mass, the PPJoin prefix-filtered plan above it (VERDICT r6 #5 —
+    the crossover guidance lived in a docstring; callers at sf1+ got
+    the slower index by default).
+
+    Posting mass is bounded above by Σ max(tokens−n+1, 0) — computed
+    with one map-only global aggregate over ``split(text)`` sizes (no
+    shuffle beyond the 1-row partial-agg merge, no shingle hashing,
+    no explode). The 1-row collect is a bounded driver action of the
+    same kind as the ratio cap's scalar count; it cannot ride a
+    broadcast because the two strategies are different PLANS, not
+    different filters — a runtime scalar can gate rows, not swap the
+    join tree. Returns (strategy, stats) so callers/tests can audit
+    the decision."""
+    row = df.select(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(
+            F.greatest(
+                F.size(F.split(F.col(text_col), " ")) - F.lit(n - 1), F.lit(0)
+            )
+        ).alias("posting_mass"),
+    ).collect()[0]
+    mass = row.posting_mass or 0
+    strategy = "ppjoin" if mass >= PPJOIN_POSTING_MASS_CROSSOVER else "index"
+    return strategy, {"n_docs": row.n_docs, "posting_mass": mass}
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -221,6 +261,7 @@ def ngram_jaccard_pairs(
     max_df: int | None = None,
     max_df_ratio: float | None = None,
     balance: bool = True,
+    strategy: str = "index",
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
 
@@ -247,7 +288,23 @@ def ngram_jaccard_pairs(
     df-ratio cap, or (the true 100 TB path) the banded-MinHash
     pipeline. The r4 note rejecting PPJoin outright was measured only
     at sf0.1 and is superseded by the crossover above.
+
+    ``strategy``: "index" (default, this plan), "ppjoin" (dispatch to
+    the prefix-filtered twin), or "auto" — pick from the measured
+    posting-mass crossover via ``choose_jaccard_strategy`` (VERDICT r6
+    #5). The df caps only exist on the index form (they ARE an
+    alternative scale strategy), so auto with a cap stays on the index.
     """
+    if strategy not in ("index", "ppjoin", "auto"):
+        raise ValueError(f"strategy must be index|ppjoin|auto, got {strategy!r}")
+    if strategy == "auto" and max_df is None and max_df_ratio is None:
+        strategy, _stats = choose_jaccard_strategy(df, text_col, n)
+    if strategy == "ppjoin":
+        if max_df is not None or max_df_ratio is not None:
+            raise ValueError("df caps are index-only; use strategy='index'")
+        return ngram_jaccard_pairs_ppjoin(
+            df, text_col, id_col, n, threshold, balance
+        )
     # Build the shingle-hash ARRAY once and cache it pre-explode: it
     # feeds three consumers (both join sides + the size table). Without
     # the persist, Catalyst re-executes the shingle build 4× — measured
