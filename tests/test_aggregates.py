@@ -124,3 +124,48 @@ def test_domain_label_entropy_hand_computed(spark):
     assert got["aabb"] == (4, 1, (2 * t2 + 2 * t2) // 4)
     # ordering sanity: random-looking > repeated
     assert got["abcd"][2] > got["aabb"][2] > got["aaaa"][2]
+
+
+def test_fused_deltas_equal_per_sink_aggregates(log2_df, spark):
+    """VERDICT r6 #4: the streaming fan computes all eight deltas in
+    ONE grouping-sets shuffle. Each extractor's output must be row-
+    and type-identical to the per-sink aggregate it replaces, on a
+    frame exercising every edge (filtered/unfiltered mixes, single-
+    label + IP-literal QHs excluded from tld, empty Upstream)."""
+    from adguard2clickhouse_spark.operators.aggregates import (
+        ALL_AGGREGATES,
+        fused_aggregate_deltas,
+    )
+
+    fused, extract = fused_aggregate_deltas(log2_df)
+    fused = fused.persist()
+    try:
+        for name, fn in ALL_AGGREGATES.items():
+            want_df = fn(log2_df)
+            got_df = extract[name](fused)
+            assert got_df.columns == want_df.columns, name
+            # dtypes, not schema: aggregate nullability differs (count
+            # is non-nullable, grouping-set sums are nullable) and
+            # parquet stores optional either way — types must match.
+            assert got_df.dtypes == want_df.dtypes, (
+                name, got_df.dtypes, want_df.dtypes)
+            want = sorted(map(tuple, want_df.collect()))
+            got = sorted(map(tuple, got_df.collect()))
+            assert got == want, (name, got, want)
+            assert want, f"{name}: fixture exercises no rows"
+    finally:
+        fused.unpersist()
+
+
+def test_fused_deltas_single_shuffle_plan(log2_df):
+    """The fusion's point is plan shape: ONE Expand + one exchange for
+    all eight deltas (vs 8 exchanges), so the micro-batch is scanned
+    and shuffled once per epoch."""
+    from adguard2clickhouse_spark.operators.aggregates import (
+        fused_aggregate_deltas,
+    )
+
+    fused, _ = fused_aggregate_deltas(log2_df)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    assert plan.count("Exchange") == 1, plan
