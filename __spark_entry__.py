@@ -99,6 +99,55 @@ def q_a8(spark, sf_dir):
     return agg.upstream_stats(log2_from_events(spark, sf_dir))
 
 
+def q_a16_fused_mv_union(spark, sf_dir):
+    """A1–A8 computed by the streaming fan's FUSED delta plan
+    (operators/aggregates.py::fused_aggregate_deltas): one grouping-
+    sets aggregation (one Expand + one exchange) yields every MV's
+    delta; here the eight extractors are normalized to
+    (sink, k, m1, m2) and unioned so the driver hash-gates the fused
+    plan against a DuckDB UNION ALL of the eight plain aggregates.
+
+    The fused frame is materialized ONCE (localCheckpoint) before the
+    eight extractor branches read it — without that, per-branch column
+    pruning de-canonicalizes the shared aggregate subplan and defeats
+    ReuseExchange, so the union would re-run the Expand+shuffle eight
+    times (measured: 16 Expands in the final adaptive plan). The
+    streaming fan gets the same effect via persist(); a test pins the
+    fused frame itself to one Exchange."""
+    log2 = log2_from_events(spark, sf_dir)
+    fused, extract = agg.fused_aggregate_deltas(log2)
+    fused = fused.localCheckpoint(eager=True)
+    nul = F.lit(None).cast("long")
+
+    def _norm(name, key_col, m1, m2=None):
+        return extract[name](fused).select(
+            F.lit(name).alias("sink"),
+            key_col.alias("k"),
+            F.col(m1).cast("long").alias("m1"),
+            (F.col(m2).cast("long") if m2 else nul).alias("m2"),
+        )
+
+    parts = [
+        _norm("blocked_domains", F.col("QH"), "count"),
+        _norm("visited_domains", F.col("QH"), "count"),
+        _norm("clients_stats", F.col("IP"), "visited", "blocked"),
+        _norm("qt_stats", F.col("QT"), "count"),
+        _norm("rcode_stats", F.col("rcode").cast("string"), "count"),
+        _norm(
+            "stats2",
+            F.concat(F.col("IP"), F.lit("|"), F.col("date_time").cast("string")),
+            "blocked",
+            "visited",
+        ),
+        _norm("tld_stats", F.col("tld"), "count"),
+        _norm("upstream_stats", F.col("Upstream"), "count"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def q_a14_domain_entropy(spark, sf_dir):
     """A14 extension: DGA-signal — per distinct real domain, integer-
     exact character entropy of the host label + query volume. Distinct
@@ -3208,6 +3257,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a7_tld_stats": q_a7,
         "a14_domain_entropy": q_a14_domain_entropy,
         "a8_upstream_stats": q_a8,
+        "a16_fused_mv_union": q_a16_fused_mv_union,
         "a9_latency_stats": q_a9_latency,
         "a10_domain_hierarchy": q_a10_domain_hierarchy,
         "a11_sliding_windows": q_a11_sliding_windows,
@@ -3695,6 +3745,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "a8_upstream_stats": oracle_cte(
             'SELECT Upstream, count(*) AS "count" FROM log2 GROUP BY Upstream'
+        ),
+        "a16_fused_mv_union": oracle_cte(
+            "SELECT 'blocked_domains' AS sink, QH AS k, "
+            "count(*) AS m1, CAST(NULL AS BIGINT) AS m2 "
+            "FROM log2 WHERE IsFiltered GROUP BY QH "
+            "UNION ALL SELECT 'visited_domains', QH, count(*), NULL "
+            "FROM log2 WHERE NOT IsFiltered GROUP BY QH "
+            "UNION ALL SELECT 'clients_stats', IP, "
+            "CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM log2 GROUP BY IP "
+            "UNION ALL SELECT 'qt_stats', QT, count(*), NULL FROM log2 GROUP BY QT "
+            "UNION ALL SELECT 'rcode_stats', CAST(rcode AS STRING), count(*), NULL "
+            "FROM log2 GROUP BY rcode "
+            "UNION ALL SELECT 'stats2', "
+            "IP || '|' || CAST(time_bucket(INTERVAL '10 minutes', date_time) AS STRING), "
+            "CAST(sum(CASE WHEN IsFiltered THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(sum(CASE WHEN NOT IsFiltered THEN 1 ELSE 0 END) AS BIGINT) "
+            "FROM log2 GROUP BY IP, time_bucket(INTERVAL '10 minutes', date_time) "
+            f"UNION ALL SELECT 'tld_stats', str_split(QH, '.')[-1], count(*), NULL "
+            f"FROM log2 WHERE {f3} GROUP BY str_split(QH, '.')[-1] "
+            "UNION ALL SELECT 'upstream_stats', Upstream, count(*), NULL "
+            "FROM log2 GROUP BY Upstream"
         ),
         "a13_window_uniques": oracle_cte(
             "SELECT make_timestamp((epoch_us(date_time) // 600000000) * 600000000) "

@@ -131,6 +131,12 @@ def main():
 
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
+    # The mult=1000 lineitem replication sorts 600M rows; DuckDB's
+    # default memory budget (~80% of RAM) got the r6 attempt OOM-killed
+    # mid-COPY, leaving a footer-less parquet that later benches choked
+    # on. Cap the budget and give the sort a spill directory instead.
+    con.sql("SET memory_limit='55GB'")
+    con.sql(f"SET temp_directory='{args.out}/.duckdb_tmp'")
     for t in FIXED:
         shutil.copyfile(f"{args.base}/{t}.parquet", f"{args.out}/{t}.parquet")
         print(f"{t}: copied")

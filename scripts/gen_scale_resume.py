@@ -24,7 +24,19 @@ def main():
     con = duckdb.connect()
 
     def missing(t):
-        return not os.path.exists(f"{args.out}/{t}.parquet")
+        """Absent OR invalid: an interrupted COPY leaves a footer-less
+        file (the r6 sf100 lineitem) — existence alone is not done."""
+        p = f"{args.out}/{t}.parquet"
+        if not os.path.exists(p):
+            return True
+        try:
+            import pyarrow.parquet as pq
+
+            pq.ParquetFile(p)
+            return False
+        except Exception:
+            os.remove(p)
+            return True
 
     for t in gen_scale.FIXED:
         if missing(t):

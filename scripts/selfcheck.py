@@ -166,6 +166,18 @@ def main() -> int:
         else:
             n_fail += 1
 
+    # No-orphan gate (VERDICT r6 #3): a full run must produce a row for
+    # EVERY registered query — a queries() entry with no selfcheck row
+    # is exactly how x2_semantic_dedup_keep_lsh shipped in r6 with no
+    # recorded runtime. (tests/test_hygiene.py applies the same rule to
+    # the newest committed SELFCHECK artifact, so registering a query
+    # without re-running this script is a test failure.)
+    if not only:
+        missing = sorted(set(qs) - set(results))
+        if missing:
+            print(f"ORPHANED queries (no selfcheck row produced): {missing}")
+            n_fail += len(missing)
+
     if json_out:
         Path(json_out).write_text(json.dumps(results, indent=2) + "\n")
         print(f"wrote {json_out} ({len(results)} queries)")

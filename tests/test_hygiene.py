@@ -118,3 +118,29 @@ def test_no_duplicate_test_names_in_any_test_module():
             f"{mod.name}:{name} x{cnt}" for name, cnt in names.items() if cnt > 1
         ]
     assert not offenders, f"duplicate top-level defs shadow tests: {offenders}"
+
+
+def test_latest_selfcheck_artifact_covers_every_registered_query():
+    """VERDICT r6 #3: r6's last-commit query was registered AFTER the
+    final selfcheck run, so it shipped with no recorded runtime. The
+    newest SELFCHECK_r*.json must have a row for every queries() entry
+    — registering a query obligates re-running scripts/selfcheck.py."""
+    import json
+    import re
+
+    repo = Path(__file__).resolve().parent.parent
+    files = sorted(
+        repo.glob("SELFCHECK_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    assert files, "no SELFCHECK artifact committed"
+    latest = files[-1]
+    rows = json.loads(latest.read_text())
+
+    import __spark_entry__ as entrymod
+
+    missing = sorted(set(entrymod.queries()) - set(rows))
+    assert not missing, (
+        f"{latest.name} has no row for {missing}; "
+        "re-run scripts/selfcheck.py --json SELFCHECK_r<N>.json"
+    )
