@@ -82,8 +82,14 @@ def connected_components(
             # endpoints outside `nodes` have only neighbor-proposal
             # rows → NULL _lbl → dropped, so they neither gain a label
             # nor relay one (pre-r6 semantics).
+            #
+            # eager=False: the convergence count below is the action
+            # that materializes the checkpoint — one Spark job per
+            # round instead of two (checkpoint job + count job). At
+            # driver SF each round is overhead-bound, so this halves
+            # the closure's wall (r7: x2_semantic_dedup_keep budget).
             merged = proposed.filter(F.col("_lbl").isNotNull()).localCheckpoint(
-                eager=True
+                eager=False
             )
             changed = merged.filter(F.col("_new") < F.col("_lbl")).count()
             labels = merged.select("_u", F.col("_new").alias("_lbl"))

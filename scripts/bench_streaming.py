@@ -152,7 +152,7 @@ def main() -> None:
     # 8-sink fan, which is one timed section).
     stage_keys = [
         "parse_materialize_s", "fact_append_s", "dead_letter_s",
-        "clickhouse_insert_s", "aggregate_fan_s",
+        "clickhouse_insert_s", "fused_delta_s", "aggregate_fan_s",
     ]
     stage_totals = {
         k: round(sum(bt.get(k, 0.0) for bt in pipe.batch_timings), 2)
