@@ -23,6 +23,32 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _unionfind_components(edge_rows) -> dict[int, int]:
+    """Driver-side union-find over a SMALL edge list: id → min id of
+    its component. Path-halving + union by arbitrary root, then one
+    pass to relabel every member with the component minimum."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        while x != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in edge_rows:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    comp_min: dict[int, int] = {}
+    for x in list(parent):
+        r = find(x)
+        comp_min[r] = min(comp_min.get(r, x), x)
+    return {x: comp_min[find(x)] for x in parent}
+
+
 def connected_components(
     nodes: DataFrame,
     edges: DataFrame,
@@ -30,6 +56,7 @@ def connected_components(
     src_col: str = "doc_a",
     dst_col: str = "doc_b",
     max_iters: int = 20,
+    max_collect_edges: int = 100_000,
 ) -> DataFrame:
     """(id, component) — component = min node id reachable from id.
     Nodes absent from every edge form singleton components. Edge
@@ -39,9 +66,83 @@ def connected_components(
     leak into the result with a first-round NULL label; the
     membership filter below restores the original drop contract).
 
+    Small-graph fast path (r7, the x2_semantic_dedup_keep budget):
+    dedup edge sets are usually a vanishing fraction of the corpus —
+    500-node fixtures produce a few hundred edges, and even a corpus
+    with millions of duplicate pairs yields an edge list of 8-byte id
+    pairs. When the (membership-filtered) edge count is ≤
+    ``max_collect_edges`` the closure runs as driver-side union-find
+    on ONE bounded collect (≤ ~1.6 MB at the default cap) and the
+    result joins back as a broadcast map — replacing diameter-many
+    shuffle rounds with one tiny join. The edge count probe is a
+    driver action of the same kind as the loop's convergence count.
+    Set ``max_collect_edges=0`` to force the iterative path (the
+    100 TB form: everything stays distributed, one shuffle per round).
+    Both paths share the membership contract: edges touching ids
+    outside ``nodes`` are dropped before the closure, so they never
+    relay (pytest-gated on both paths).
+
     Raises after ``max_iters`` non-converged rounds rather than
     returning silently-wrong partial labels.
     """
+    if max_collect_edges:
+        e_raw = edges.select(
+            F.col(src_col).cast("long").alias("_u"),
+            F.col(dst_col).cast("long").alias("_v"),
+        ).persist()
+        try:
+            if e_raw.count() <= max_collect_edges:
+                pairs = [(r._u, r._v) for r in e_raw.collect()]
+                spark = nodes.sparkSession
+                # membership WITHOUT shuffling nodes: broadcast the
+                # (small) endpoint set into one semi-join scan of the
+                # node frame; only matching ids come back.
+                endpoints = sorted({x for uv in pairs for x in uv})
+                out_ids = nodes.select(
+                    F.col(id_col).cast("long").alias("_id")
+                )
+                if endpoints:
+                    epdf = spark.createDataFrame(
+                        [(x,) for x in endpoints], "_id LONG"
+                    )
+                    present = {
+                        r._id
+                        for r in out_ids.join(
+                            F.broadcast(epdf), "_id", "left_semi"
+                        ).collect()
+                    }
+                    pairs = [
+                        (u, v)
+                        for u, v in pairs
+                        if u in present and v in present
+                    ]
+                mapping = _unionfind_components(pairs)
+                if mapping:
+                    mdf = spark.createDataFrame(
+                        list(mapping.items()), "_mid LONG, _mcomp LONG"
+                    )
+                    return (
+                        nodes.select(F.col(id_col))
+                        .join(
+                            F.broadcast(mdf),
+                            F.col(id_col).cast("long") == F.col("_mid"),
+                            "left",
+                        )
+                        .select(
+                            F.col(id_col),
+                            F.coalesce(
+                                F.col("_mcomp"),
+                                F.col(id_col).cast("long"),
+                            ).alias("component"),
+                        )
+                    )
+                return nodes.select(
+                    F.col(id_col),
+                    F.col(id_col).cast("long").alias("component"),
+                )
+        finally:
+            e_raw.unpersist()
+
     # Iterative rounds mean many small shuffles; AQE coalescing
     # right-sizes them. AQE is on by default since Spark 3.2 and set
     # explicitly in get_spark(); we do NOT flip it on a session we

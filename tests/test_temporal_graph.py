@@ -150,15 +150,23 @@ def test_range_join_with_key(spark):
 
 def test_cc_chain_and_singletons(spark):
     # chain 1-2-3-4 (diameter 3: transitive, 1 and 4 never compared),
-    # pair 10-11, singletons 20, 21
+    # pair 10-11, singletons 20, 21 — identical on the union-find fast
+    # path (default) and the forced distributed loop
     nodes = spark.createDataFrame(
         [(i,) for i in [1, 2, 3, 4, 10, 11, 20, 21]], "doc_id LONG"
     )
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4), (10, 11)], "doc_a LONG, doc_b LONG"
     )
-    got = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
-    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+    want = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 21}
+    for cap in (100_000, 0):
+        got = {
+            r.doc_id: r.component
+            for r in connected_components(
+                nodes, edges, max_collect_edges=cap
+            ).collect()
+        }
+        assert got == want, ("fast" if cap else "iterative", got)
 
 
 def test_cc_phantom_edge_endpoints_are_dropped(spark):
@@ -170,9 +178,15 @@ def test_cc_phantom_edge_endpoints_are_dropped(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 99), (99, 5)], "doc_a LONG, doc_b LONG"
     )
-    got = {r.doc_id: r.component for r in connected_components(nodes, edges).collect()}
-    # 99 absent from output; 5 NOT merged into {1,2} via the phantom relay
-    assert got == {1: 1, 2: 1, 5: 5}
+    for cap in (100_000, 0):  # union-find fast path AND distributed loop
+        got = {
+            r.doc_id: r.component
+            for r in connected_components(
+                nodes, edges, max_collect_edges=cap
+            ).collect()
+        }
+        # 99 absent from output; 5 NOT merged into {1,2} via phantom relay
+        assert got == {1: 1, 2: 1, 5: 5}, ("fast" if cap else "iterative", got)
 
 
 def test_cc_non_convergence_raises(spark):
@@ -181,7 +195,9 @@ def test_cc_non_convergence_raises(spark):
         [(i, i + 1) for i in range(5)], "doc_a LONG, doc_b LONG"
     )
     with pytest.raises(RuntimeError, match="converge"):
-        connected_components(nodes, edges, max_iters=1)
+        # force the iterative path: the union-find fast path has no
+        # iteration to bound
+        connected_components(nodes, edges, max_iters=1, max_collect_edges=0)
 
 
 def test_dedup_keep_representatives(spark):
