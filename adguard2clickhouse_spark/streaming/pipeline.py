@@ -69,7 +69,8 @@ class QuerylogPipeline:
                  checkpoint_dir: str | None = None, clickhouse=None,
                  custom_aggregates=None,
                  parse_parallelism: int | str | None = None,
-                 dense_folds: bool | str = "auto"):
+                 dense_folds: bool | str = "auto",
+                 fused_deltas: bool = False):
         self.spark = spark
         # Micro-batches are small relative to the static shuffle-partition
         # count; AQE coalescing (on by default since Spark 3.2, explicit
@@ -137,6 +138,13 @@ class QuerylogPipeline:
         # path that leaves untouched buckets byte-identical. True/False
         # pin the strategy for every sink.
         self.dense_folds = dense_folds
+        # Fused grouping-sets delta computation (see process_batch).
+        # Default OFF: measured counterproductive on the hot path
+        # (same-host A/B in BENCH_streaming_r7.json — the fan is
+        # merge+write-bound, so the extra serial delta stage only adds
+        # wall). Kept for aggregate sets where delta computation
+        # dominates, and driver-gated via a16_fused_mv_union.
+        self.fused_deltas = fused_deltas
         # per-epoch stage walls appended by process_batch (see there)
         self.batch_timings: list[dict] = []
 
@@ -160,73 +168,81 @@ class QuerylogPipeline:
             timings[stage] = round(now - t0, 3)
             return now
 
+        def _timed(stage: str, fn):
+            def run():
+                t0 = _time.time()
+                out = fn()
+                timings[stage] = round(_time.time() - t0, 3)
+                return out
+
+            return run
+
         batch_df.persist()
         try:
             t = _time.time()
             good, dead = split_dead_letter(batch_df)
-            # Materialize the cache eagerly: the aggregate fan-out below
-            # submits jobs from several threads at once, and each would
+            # Materialize the cache eagerly: the fan-out below submits
+            # jobs from several threads at once, and each would
             # otherwise race to compute the (UDF-bearing) parse lineage.
             n_good = good.persist().count()
             t = _mark("parse_materialize_s", t)
 
-            # fact append, partitioned by event date and sorted by time
-            # within files — the MergeTree ORDER BY date_time analog
-            # (README.md:21): date partitions prune time-range scans,
-            # in-file ordering gives parquet min/max row-group skipping.
-            (
-                good.withColumn("date", F.to_date("date_time"))
-                .sortWithinPartitions("date_time")
-                .write.mode("append")
-                .partitionBy("date")
-                .parquet(self.log2_path)
-            )
-            t = _mark("fact_append_s", t)
-            # dead-letter channel (K3, collector.py:76-78)
-            dead.write.mode("append").parquet(self.dead_letter_path)
-            t = _mark("dead_letter_s", t)
+            def _fact_append():
+                # fact append, partitioned by event date and sorted by
+                # time within files — the MergeTree ORDER BY date_time
+                # analog (README.md:21): date partitions prune
+                # time-range scans, in-file ordering gives parquet
+                # min/max row-group skipping.
+                (
+                    good.withColumn("date", F.to_date("date_time"))
+                    .sortWithinPartitions("date_time")
+                    .write.mode("append")
+                    .partitionBy("date")
+                    .parquet(self.log2_path)
+                )
 
-            # At-least-once contract: the fact append above is NOT
-            # epoch-idempotent — if a later step in this batch fails and
-            # Structured Streaming retries the epoch, log2 parquet can
-            # receive the block twice (the additive summing sinks below
-            # dedupe by epoch_id; parquet appends cannot without a table
-            # format's transaction log). Mitigations, in order: the
-            # ingest-side dedupe_horizon guard drops re-delivered source
-            # lines; the ClickHouse insert passes a deterministic
-            # insert_deduplication_token per (epoch, partition) so the
-            # SERVER drops retried blocks; and downstream readers can
-            # dedupe on the natural key (date_time, QH, name) if exact-
-            # once parquet facts are required.
-            if self.clickhouse is not None:
+            def _dead_letter():
+                # dead-letter channel (K3, collector.py:76-78)
+                dead.write.mode("append").parquet(self.dead_letter_path)
+
+            def _clickhouse():
                 # the reference's per-block insert, batched: one POST of
                 # RowBinary per executor partition instead of one HTTP
                 # round-trip per row (collector.py:73-75)
                 self.clickhouse.insert_batch(
                     good, "log2", dedup_token=f"log2_epoch_{epoch_id}"
                 )
-                t = _mark("clickhouse_insert_s", t)
 
-            # MV cascade: aggregate THIS block, fold additively (C1+C2).
-            # The eight sinks are independent (separate directories), so
-            # submit their jobs concurrently — on a cluster this keeps
-            # executors busy instead of serializing eight small shuffles;
-            # Spark's scheduler interleaves the jobs safely.
-            # Fold strategy per sink (see __init__): dense skips the
-            # per-sink touched-bucket discovery job when the epoch's
-            # row count already implies every bucket is touched; sparse
-            # keeps bucket pruning for low-traffic epochs / wide sinks.
+            # At-least-once contract: the fact append is NOT
+            # epoch-idempotent — if any step in this batch fails and
+            # Structured Streaming retries the epoch, log2 parquet can
+            # receive the block twice (the additive summing sinks
+            # dedupe by epoch_id; parquet appends cannot without a
+            # table format's transaction log). Mitigations, in order:
+            # the ingest-side dedupe_horizon guard drops re-delivered
+            # source lines; the ClickHouse insert passes a
+            # deterministic insert_deduplication_token per (epoch,
+            # partition) so the SERVER drops retried blocks; and
+            # downstream readers can dedupe on the natural key
+            # (date_time, QH, name) if exact-once parquet facts are
+            # required. Running the consumers concurrently does not
+            # change this contract: failure of ANY of them fails the
+            # batch before the offset commit, exactly as sequential
+            # failure between stages did.
 
-            # Delta computation: when every aggregate is the stock
-            # reference eight, compute all deltas in ONE grouping-sets
-            # job (fused_aggregate_deltas — one cache scan + one
-            # shuffle instead of 8 × (scan + shuffle); VERDICT r6 #4)
-            # and feed each sink a filter+projection of the cached
-            # fused frame. Any custom/overridden aggregate falls back
-            # to the per-sink groupBys — correctness first, the fusion
-            # is an optimization of the known eight.
+            # Delta computation: per-sink groupBys by default. The
+            # fused grouping-sets alternative (fused_aggregate_deltas,
+            # VERDICT r6 #4) was MEASURED COUNTERPRODUCTIVE on the
+            # streaming hot path — same-host A/B at 1M rows/10 epochs:
+            # per-sink 36.9s wall / 27.1k rows/s vs fused 46.1s /
+            # 21.7k. The fan is merge+write-bound (per-sink state read
+            # + fold + bucket install), not delta-compute-bound: the
+            # fused job adds a serial 0.75s/epoch stage while the fold
+            # jobs keep their full merge work. The knob stays for
+            # wider aggregate sets where delta computation dominates;
+            # the plan itself is driver-gated via a16_fused_mv_union.
             fused = None
-            if all(
+            if self.fused_deltas and all(
                 ALL_AGGREGATES.get(name) is fn
                 for name, fn in self.aggregates.items()
             ):
@@ -240,30 +256,53 @@ class QuerylogPipeline:
                 deltas = {
                     name: fn(good) for name, fn in self.aggregates.items()
                 }
-            try:
+
+            # ONE overlapped section: fact append, dead-letter append,
+            # ClickHouse POSTs and the 8 additive sink folds are
+            # independent consumers of the materialized caches, so they
+            # run as concurrent Spark jobs (r7, VERDICT r6 #4): the
+            # epoch wall becomes parse + max(consumer) instead of
+            # parse + Σ(consumers). Each consumer is still timed
+            # individually; `overlap_section_s` records the section's
+            # real elapsed wall (the critical path, normally the fan).
+            def _fold(name):
+                return lambda: self.sinks[name].apply_delta(
+                    deltas[name],
+                    epoch_id,
+                    dense=self._dense_fold(self.sinks[name], n_good),
+                )
+
+            consumers = [
+                _timed("fact_append_s", _fact_append),
+                _timed("dead_letter_s", _dead_letter),
+            ]
+            if self.clickhouse is not None:
+                consumers.append(_timed("clickhouse_insert_s", _clickhouse))
+            def _fan():
                 with ThreadPoolExecutor(
                     max_workers=len(self.aggregates)
                 ) as pool:
-                    futures = [
-                        pool.submit(
-                            self.sinks[name].apply_delta, deltas[name],
-                            epoch_id,
-                            dense=self._dense_fold(self.sinks[name], n_good),
-                        )
-                        for name in self.aggregates
-                    ]
+                    fs = [pool.submit(_fold(n)) for n in self.aggregates]
+                    for f in fs:
+                        f.result()
+
+            consumers.append(_timed("aggregate_fan_s", _fan))
+            try:
+                with ThreadPoolExecutor(max_workers=len(consumers)) as pool:
+                    futures = [pool.submit(c) for c in consumers]
                     for f in futures:
                         f.result()  # propagate first failure, fail the batch
             finally:
                 if fused is not None:
                     fused.unpersist()
-            _mark("aggregate_fan_s", t)
+            timings["overlap_section_s"] = round(_time.time() - t, 3)
             good.unpersist()
-            # Per-stage wall attribution for this epoch (driver-side:
-            # the stages above run sequentially except the 8-way fan,
-            # which is one timed section). Bounded: a deque would be
-            # nicer, but epochs are few per process and each dict is
-            # ~6 floats — bench harnesses read and reset it.
+            # Per-epoch stage wall attribution (driver-side). The
+            # consumer stages OVERLAP: their individual walls sum to
+            # more than the section wall; `overlap_section_s` is the
+            # real elapsed time of the fan-out. Bounded: epochs are few
+            # per process and each dict is ~8 floats — bench harnesses
+            # read and reset it.
             self.batch_timings.append(timings)
         finally:
             batch_df.unpersist()

@@ -15,7 +15,7 @@ behavior are measured, not just one availableNow blob.
 
 Usage: python scripts/bench_streaming.py [n_rows] [n_files] [files_per_trigger]
 Defaults: 1_000_000 rows (sf1 volume), 20 files, 2 files/trigger
-→ 10 micro-batches. Writes BENCH_streaming_r6.json at the repo root
+→ 10 micro-batches. Writes BENCH_streaming_r7.json at the repo root
 and prints the same JSON on stdout.
 
 r6 (VERDICT r5 #4): the per-epoch wall is now BROKEN DOWN by stage
@@ -110,6 +110,9 @@ def main() -> None:
     # 4th arg: parse_parallelism ("auto", an int, or 0 to disable)
     pp_arg = sys.argv[4] if len(sys.argv) > 4 else "auto"
     parse_parallelism = pp_arg if pp_arg == "auto" else int(pp_arg)
+    # 5th arg: fused grouping-sets deltas (1/0, default 1) — the A/B
+    # knob for the r7 fan-fusion measurement
+    fused = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
 
     work = Path(tempfile.mkdtemp(prefix="stream_bench_"))
     src, out = work / "src", work / "out"
@@ -140,7 +143,8 @@ def main() -> None:
     QuerylogPipeline(spark, str(warm_src), str(warm_out)).run_available()
 
     pipe = QuerylogPipeline(spark, str(src), str(out), clickhouse=writer,
-                            parse_parallelism=parse_parallelism)
+                            parse_parallelism=parse_parallelism,
+                            fused_deltas=fused)
     pipe.batch_timings.clear()
     t0 = time.time()
     q = pipe.start(available_now=True, max_files_per_trigger=files_per_trigger)
@@ -150,19 +154,29 @@ def main() -> None:
     # Per-stage attribution across every epoch (driver-side walls from
     # process_batch itself — the stages run sequentially except the
     # 8-sink fan, which is one timed section).
-    stage_keys = [
-        "parse_materialize_s", "fact_append_s", "dead_letter_s",
-        "clickhouse_insert_s", "fused_delta_s", "aggregate_fan_s",
+    # r7: the post-parse consumers (fact append, dead letter, ClickHouse
+    # POSTs, 8-sink fan) OVERLAP inside one section, so their individual
+    # walls legitimately sum past the epoch wall; the section's elapsed
+    # time is overlap_section_s. Shares are reported against the wall
+    # for the serial stages and the section, with the per-consumer walls
+    # kept as within-section attribution.
+    serial_keys = ["parse_materialize_s", "fused_delta_s", "overlap_section_s"]
+    consumer_keys = [
+        "fact_append_s", "dead_letter_s", "clickhouse_insert_s",
+        "aggregate_fan_s",
     ]
     stage_totals = {
         k: round(sum(bt.get(k, 0.0) for bt in pipe.batch_timings), 2)
-        for k in stage_keys
+        for k in serial_keys + consumer_keys
     }
-    accounted = sum(stage_totals.values())
+    accounted = sum(stage_totals[k] for k in serial_keys)
     stage_totals["engine_overhead_s"] = round(wall - accounted, 2)
     stage_totals["share"] = {
-        k: round(v / wall, 3) for k, v in stage_totals.items()
-        if k != "share" and isinstance(v, float)
+        k: round(stage_totals[k] / wall, 3)
+        for k in serial_keys + ["engine_overhead_s"]
+    }
+    stage_totals["share"]["consumers_within_section"] = {
+        k: round(stage_totals[k] / wall, 3) for k in consumer_keys
     }
 
     # per-epoch evidence from the streaming engine's own progress log
@@ -216,8 +230,10 @@ def main() -> None:
         # at ~1000 rows/s. Recorded here so the artifact carries its
         # own comparison, not a pointer.
         "reference_ceiling_rows_per_s": 1000,
+        "fused_deltas": fused,
+        "parse_parallelism": parse_parallelism,
     }
-    (Path(__file__).resolve().parent.parent / "BENCH_streaming_r6.json").write_text(
+    (Path(__file__).resolve().parent.parent / "BENCH_streaming_r7.json").write_text(
         json.dumps(result, indent=1) + "\n"
     )
     print(json.dumps(result))
