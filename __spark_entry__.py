@@ -1270,6 +1270,27 @@ def q_funnel(spark, sf_dir):
     )
 
 
+def q_window_funnel(spark, sf_dir):
+    """ClickHouse ``windowFunnel(3600)(ts, view, click, purchase)``
+    analog (operators/temporal.py::window_funnel — anchor-maximized
+    strict chains within a 1-hour window; k−1 equi-joins on user_id,
+    no inequality-only join, no per-group UDF). Reported as the level
+    histogram — the funnel chart's exact input."""
+    from adguard2clickhouse_spark.operators import temporal as _temporal
+
+    ev = _t(spark, sf_dir, "events")
+    lv = _temporal.window_funnel(
+        ev,
+        [F.col("event_type") == s for s in ("view", "click", "purchase")],
+        window_seconds=3600,
+        ts_col="ts",
+        by="user_id",
+    )
+    return lv.groupBy("level").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
 def q_retention(spark, sf_dir):
     """Weekly retention cohorts: users grouped by first-seen week,
     counted per week-offset of later activity. Two aggregates and one
@@ -2034,6 +2055,25 @@ def q_ngram_jaccard_ppjoin(spark, sf_dir):
     docstring claim (VERDICT r5 #6)."""
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs_ppjoin(docs, n=3, threshold=0.8)
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+    )
+
+
+def q_ngram_jaccard_auto(spark, sf_dir):
+    """X2a through the strategy DISPATCHER (VERDICT r6 #5 made the
+    PPJoin crossover actionable): ``strategy='auto'`` measures the
+    corpus posting mass with one map-only aggregate and picks the
+    inverted index below the measured crossover, PPJoin above it —
+    both bit-identical, so the oracle is the same relational query.
+    Registered so the auto pick itself is driver-exercised, not just
+    pytest-exercised."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8, strategy="auto")
     return pairs.select(
         "doc_a",
         "doc_b",
@@ -3332,6 +3372,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_stats2_stream": q_stats2_stream,
         "e_stream_interval_join": q_stream_interval_join,
         "e_funnel": q_funnel,
+        "e_window_funnel": q_window_funnel,
         "e_retention_cohorts": q_retention,
         "e_transitions": q_transitions,
         # training-data extensions (X1-X6)
@@ -3346,6 +3387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_lang_id": q_lang_id,
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x2_ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
+        "x2_ngram_jaccard_auto": q_ngram_jaccard_auto,
         "x2_ngram_containment": q_ngram_containment,
         "x2_ngram_jaccard_capped": q_ngram_jaccard_capped,
         "x2_threshold_sweep": q_threshold_sweep,
@@ -4172,6 +4214,29 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT count(*) FROM c) AS n_click_after_view, "
             "(SELECT count(*) FROM p) AS n_purchase_after_click"
         ),
+        "e_window_funnel": (
+            # same relational form as the Spark plan: per-anchor greedy
+            # chains, max level over anchors, level histogram
+            "WITH ev AS (SELECT user_id AS u, epoch(ts) AS t, event_type "
+            "FROM events), "
+            "l1 AS (SELECT DISTINCT u, t AS anchor, t AS tip FROM ev "
+            "WHERE event_type = 'view'), "
+            "l2 AS (SELECT l1.u, anchor, min(e.t) AS tip FROM l1 "
+            "JOIN ev e ON e.u = l1.u AND e.event_type = 'click' "
+            "AND e.t > l1.tip AND e.t <= l1.anchor + 3600 "
+            "GROUP BY l1.u, anchor), "
+            "l3 AS (SELECT l2.u, anchor, min(e.t) AS tip FROM l2 "
+            "JOIN ev e ON e.u = l2.u AND e.event_type = 'purchase' "
+            "AND e.t > l2.tip AND e.t <= l2.anchor + 3600 "
+            "GROUP BY l2.u, anchor), "
+            "lvl AS (SELECT u, 0 AS l FROM (SELECT DISTINCT u FROM ev) "
+            "UNION ALL SELECT DISTINCT u, 1 FROM l1 "
+            "UNION ALL SELECT DISTINCT u, 2 FROM l2 "
+            "UNION ALL SELECT DISTINCT u, 3 FROM l3), "
+            "top AS (SELECT u, max(l) AS level FROM lvl GROUP BY u) "
+            "SELECT CAST(level AS INT) AS level, "
+            "count(*) AS n_users FROM top GROUP BY level"
+        ),
         "e_retention_cohorts": (
             "WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events), "
             "f AS (SELECT user_id, min(wk) AS cohort FROM e GROUP BY 1) "
@@ -4467,6 +4532,15 @@ def oracle_sql() -> dict[str, str]:
         # semantics change: the answer set is the exact Jaccard pairs,
         # so the oracle is the same relational query as x2_ngram_jaccard
         "x2_ngram_jaccard_ppjoin": (
+            f"WITH {_SHINGLE_CTE}, "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
+            "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
+            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
+        ),
+        "x2_ngram_jaccard_auto": (
             f"WITH {_SHINGLE_CTE}, "
             "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
             "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "

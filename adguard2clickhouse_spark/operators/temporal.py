@@ -118,3 +118,87 @@ def range_join(
         (F.col(start_col) <= F.col(point_ts)) & (F.col(point_ts) < F.col(end_col))
     )
     return joined.drop("_gran")
+
+
+def window_funnel(
+    events: DataFrame,
+    conds: list,
+    window_seconds: int,
+    ts_col: str = "ts",
+    by: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(window)(ts, cond1, …, condk)`` analog
+    (CH's flagship event-analytics aggregate; the reference's target
+    system exposes it over exactly this kind of event stream): per
+    ``by`` group, the deepest funnel level reachable by a chain of
+    events matching ``conds[0], conds[1], …`` with STRICTLY increasing
+    timestamps, all within ``window_seconds`` of the chain's first
+    (anchor) event. Returns (by, level) with level ∈ [0, k]; groups
+    with no cond1 event report level 0 only if they exist in ``events``
+    (they do — every group with any event appears).
+
+    Exact maximal semantics, declaratively: for a FIXED anchor, the
+    greedy choice (earliest cond_{i+1} event after the chain's current
+    tip) is optimal — any deeper chain from that anchor can be
+    re-timed onto the greedy tips. So the plan is: level-1 anchors =
+    all cond1 events; each next level attaches min(ts of cond_{i+1}
+    events later than the tip, within anchor+window) per anchor; the
+    answer is the max level over a group's anchors. That is k-1
+    keyed joins + aggregations, every one an equi-join on ``by`` —
+    shuffle-on-key plans end to end (no inequality-only join, no
+    per-group UDF state), so the operator scales exactly like the
+    aggregates: one exchange per funnel step, AQE-sized.
+
+    A greedy SINGLE-anchor shortcut (anchor = earliest cond1) is NOT
+    equivalent — a later anchor can reach deeper when the window cuts
+    the earliest chain — which is why anchors are kept per event until
+    the final max. Candidate anchors per group are bounded by the
+    group's cond1 event count; the joins move (by, anchor_ts, tip_ts)
+    triples only.
+
+    The same relational form replays in ANSI SQL (the driver oracle),
+    so the funnel is hash-gated, not demo-gated.
+    """
+    if not conds:
+        raise ValueError("window_funnel needs at least one condition")
+    ev = events.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("_ts"),
+        *[c.cast("boolean").alias(f"_c{i}") for i, c in enumerate(conds)],
+    )
+    # level-1 chains: every cond1 event is an anchor; tip == anchor
+    chains = (
+        ev.filter(F.col("_c0"))
+        .select("_by", F.col("_ts").alias("_anchor"), F.col("_ts").alias("_tip"))
+        .distinct()
+    )
+    levels = [chains]
+    for i in range(1, len(conds)):
+        nxt = ev.filter(F.col(f"_c{i}")).select(
+            "_by", F.col("_ts").alias("_nts")
+        )
+        chains = (
+            levels[-1]
+            .join(nxt, "_by")
+            .filter(
+                (F.col("_nts") > F.col("_tip"))
+                & (F.col("_nts") <= F.col("_anchor") + F.lit(window_seconds))
+            )
+            .groupBy("_by", "_anchor")
+            .agg(F.min("_nts").alias("_tip"))
+        )
+        levels.append(chains)
+    # deepest level reached per group: start from every group present
+    # in events (level 0), overlay each level's reach
+    out = ev.select("_by").distinct().select("_by", F.lit(0).alias("_lvl"))
+    reached = [
+        lv.select("_by").distinct().select("_by", F.lit(i + 1).alias("_lvl"))
+        for i, lv in enumerate(levels)
+    ]
+    for r in reached:
+        out = out.unionByName(r)
+    return (
+        out.groupBy("_by")
+        .agg(F.max("_lvl").alias("level"))
+        .select(F.col("_by").alias(by), "level")
+    )

@@ -320,3 +320,37 @@ def test_pagerank_matches_reference_power_iteration(spark):
     assert abs(sum(got.values()) - 1.0) < 1e-9
     for u in range(n):
         assert abs(got[u] - ref[u]) < 1e-12, (u, got[u], ref[u])
+
+
+def test_window_funnel_hand_cases(spark):
+    """ClickHouse windowFunnel analog: hand-built users exercising the
+    semantics corners — u2 proves anchors are maximized over (the
+    earliest view's chain dies at the window edge; a later view
+    reaches level 3, so a single-anchor greedy would be wrong), u5
+    proves strict timestamp increase, u4 proves order matters."""
+    from adguard2clickhouse_spark.operators.temporal import window_funnel
+
+    rows = [
+        # u1: clean 3-step chain
+        (1, 0.0, "view"), (1, 10.0, "click"), (1, 20.0, "purchase"),
+        # u2: early anchor trapped by window, later anchor completes
+        (2, 0.0, "view"), (2, 200.0, "click"),
+        (2, 150.0, "view"), (2, 240.0, "purchase"),
+        # u3: wrong first step only
+        (3, 5.0, "purchase"),
+        # u4: click precedes the only view
+        (4, 1.0, "click"), (4, 2.0, "view"),
+        # u5: simultaneous events do not chain (strict increase)
+        (5, 5.0, "view"), (5, 5.0, "click"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows],
+        "user_id LONG, ts DOUBLE, event_type STRING",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = window_funnel(
+        ev,
+        [F.col("event_type") == s for s in ("view", "click", "purchase")],
+        window_seconds=100,
+    )
+    got = {r.user_id: r.level for r in out.collect()}
+    assert got == {1: 3, 2: 3, 3: 0, 4: 1, 5: 1}, got
