@@ -1291,6 +1291,79 @@ def q_window_funnel(spark, sf_dir):
     )
 
 
+def q_retention_flags(spark, sf_dir):
+    """ClickHouse ``retention(signup, purchase, error)`` analog
+    (operators/temporal.py::retention): per-user flags r1 = cond1
+    ever, ri = cond1 AND condi — one conditional-max groupBy, a
+    single shuffle. Reported as the summed retention vector (the
+    funnel-denominator row a dashboard plots)."""
+    from adguard2clickhouse_spark.operators import temporal as _temporal
+
+    ev = _t(spark, sf_dir, "events")
+    r = _temporal.retention(
+        ev,
+        [F.col("event_type") == s for s in ("signup", "purchase", "error")],
+        by="user_id",
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("r1").cast("long").alias("n_signup"),
+        F.sum("r2").cast("long").alias("n_signup_purchase"),
+        F.sum("r3").cast("long").alias("n_signup_error"),
+    )
+
+
+def q_sequence_match(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` analog
+    (operators/temporal.py::sequence_match — greedy chained mins,
+    exact by the re-timing argument; k−1 equi-joins on user_id).
+    Reported as matched/unmatched user counts."""
+    from adguard2clickhouse_spark.operators import temporal as _temporal
+
+    ev = _t(spark, sf_dir, "events")
+    m = _temporal.sequence_match(
+        ev,
+        [F.col("event_type") == s for s in ("view", "click", "purchase")],
+        ts_col="ts",
+        by="user_id",
+    )
+    return m.groupBy("matched").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+
+
+def q_summap_daily(spark, sf_dir):
+    """ClickHouse ``sumMap`` analog (operators/chagg.py::sum_map):
+    per-(user, day) event-type counters packed into paired arrays,
+    then Map-summed per user across days — the open-key-set rollup
+    ClickHouse MVs use sumMap for. The result arrays are exploded
+    back to rows so the driver oracle (a plain two-key count) hash-
+    gates the whole pack → fold → unpack path."""
+    from adguard2clickhouse_spark.operators import chagg as _chagg
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    arrs = (
+        daily.groupBy("user_id", "day")
+        .agg(F.sort_array(F.collect_list(F.struct("event_type", "_n"))).alias("_p"))
+        .select(
+            "user_id",
+            F.transform("_p", lambda p: p["event_type"]).alias("keys"),
+            F.transform("_p", lambda p: p["_n"]).alias("vals"),
+        )
+    )
+    m = _chagg.sum_map(arrs, by=["user_id"])
+    return m.select(
+        "user_id", F.explode(F.arrays_zip("keys", "vals")).alias("_kv")
+    ).select(
+        "user_id",
+        F.col("_kv.keys").alias("event_type"),
+        F.col("_kv.vals").cast("long").alias("n_events"),
+    )
+
+
 def q_retention(spark, sf_dir):
     """Weekly retention cohorts: users grouped by first-seen week,
     counted per week-offset of later activity. Two aggregates and one
@@ -3373,6 +3446,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_stream_interval_join": q_stream_interval_join,
         "e_funnel": q_funnel,
         "e_window_funnel": q_window_funnel,
+        "e_retention_flags": q_retention_flags,
+        "e_sequence_match": q_sequence_match,
+        "e_summap_daily": q_summap_daily,
         "e_retention_cohorts": q_retention,
         "e_transitions": q_transitions,
         # training-data extensions (X1-X6)
@@ -4236,6 +4312,43 @@ def oracle_sql() -> dict[str, str]:
             "top AS (SELECT u, max(l) AS level FROM lvl GROUP BY u) "
             "SELECT CAST(level AS INT) AS level, "
             "count(*) AS n_users FROM top GROUP BY level"
+        ),
+        "e_retention_flags": (
+            "WITH f AS (SELECT user_id, "
+            "max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS m1, "
+            "max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS m2, "
+            "max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS m3 "
+            "FROM events GROUP BY user_id) "
+            "SELECT count(*) AS n_users, "
+            "CAST(sum(m1) AS BIGINT) AS n_signup, "
+            "CAST(sum(CASE WHEN m1 = 1 AND m2 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_signup_purchase, "
+            "CAST(sum(CASE WHEN m1 = 1 AND m3 = 1 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS n_signup_error FROM f"
+        ),
+        "e_sequence_match": (
+            # greedy chained mins — the same relational form as the
+            # Spark plan (exact for the .*-chained pattern family)
+            "WITH ev AS (SELECT user_id AS u, epoch(ts) AS t, event_type "
+            "FROM events), "
+            "m1 AS (SELECT u, min(t) AS tip FROM ev "
+            "WHERE event_type = 'view' GROUP BY u), "
+            "m2 AS (SELECT m1.u, min(e.t) AS tip FROM m1 JOIN ev e "
+            "ON e.u = m1.u AND e.event_type = 'click' AND e.t > m1.tip "
+            "GROUP BY m1.u), "
+            "m3 AS (SELECT m2.u, min(e.t) AS tip FROM m2 JOIN ev e "
+            "ON e.u = m2.u AND e.event_type = 'purchase' AND e.t > m2.tip "
+            "GROUP BY m2.u) "
+            "SELECT CAST(CASE WHEN m3.u IS NOT NULL THEN 1 ELSE 0 END "
+            "AS BIGINT) AS matched, count(*) AS n_users "
+            "FROM (SELECT DISTINCT u FROM ev) a LEFT JOIN m3 ON a.u = m3.u "
+            "GROUP BY 1"
+        ),
+        "e_summap_daily": (
+            # the pack -> Map-sum -> unpack path must reduce to the
+            # plain two-key count
+            "SELECT user_id, event_type, count(*) AS n_events "
+            "FROM events GROUP BY 1, 2"
         ),
         "e_retention_cohorts": (
             "WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events), "

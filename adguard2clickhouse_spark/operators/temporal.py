@@ -202,3 +202,95 @@ def window_funnel(
         .agg(F.max("_lvl").alias("level"))
         .select(F.col("_by").alias(by), "level")
     )
+
+
+def retention(
+    events: DataFrame,
+    conds: list,
+    by: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``retention(cond1, …, condk)`` analog: per ``by``
+    group, flag r1 = "any event matched cond1" and, for i > 1,
+    ri = "cond1 matched AND condi matched" — the classic cohort
+    retention vector (did the user sign up, and if so did they come
+    back on day 1 / day 7 / …). Returns (by, r1, …, rk) with 0/1
+    LONG flags.
+
+    One groupBy on the group key with k conditional max aggregates —
+    a single shuffle with full map-side partial aggregation, exactly
+    the shape of the reference's MV aggregates, so it scales the same
+    way. (ClickHouse evaluates this as a parametric aggregate state;
+    the declarative twin is a plain conditional aggregation.)
+    """
+    if not conds:
+        raise ValueError("retention needs at least one condition")
+    flags = events.groupBy(F.col(by).alias(by)).agg(
+        *[
+            F.max(c.cast("boolean").cast("int")).alias(f"_m{i}")
+            for i, c in enumerate(conds)
+        ]
+    )
+    out_cols = [F.col(by)]
+    out_cols.append(F.coalesce(F.col("_m0"), F.lit(0)).cast("long").alias("r1"))
+    for i in range(1, len(conds)):
+        out_cols.append(
+            (
+                (F.coalesce(F.col("_m0"), F.lit(0)) == 1)
+                & (F.coalesce(F.col(f"_m{i}"), F.lit(0)) == 1)
+            )
+            .cast("long")
+            .alias(f"r{i + 1}")
+        )
+    return flags.select(*out_cols)
+
+
+def sequence_match(
+    events: DataFrame,
+    conds: list,
+    ts_col: str = "ts",
+    by: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)…(?k)')(ts, cond1, …)``
+    analog for the ``.*``-chained pattern family: per ``by`` group,
+    1 iff there exist events e1, …, ek with STRICTLY increasing
+    timestamps where ei matches condi. Returns (by, matched) with a
+    0/1 LONG for every group present in ``events``.
+
+    Greedy chaining is exact here: if any witness chain exists, the
+    chain built from the earliest cond1 event and then the earliest
+    valid next event at each step also exists (re-timing argument —
+    each greedy tip is <= the witness's tip, so every later witness
+    event stays admissible). So the plan is k-1 equi-joins on ``by``
+    (filter condi, ts > running tip, min-aggregate), identical in
+    shape to :func:`window_funnel` but without the window bound and
+    keeping only the earliest anchor — shuffle-on-key end to end, no
+    inequality-only join, no per-group state UDF.
+    """
+    if not conds:
+        raise ValueError("sequence_match needs at least one condition")
+    ev = events.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("_ts"),
+        *[c.cast("boolean").alias(f"_c{i}") for i, c in enumerate(conds)],
+    )
+    tip = (
+        ev.filter(F.col("_c0")).groupBy("_by").agg(F.min("_ts").alias("_tip"))
+    )
+    for i in range(1, len(conds)):
+        nxt = ev.filter(F.col(f"_c{i}")).select("_by", F.col("_ts").alias("_nts"))
+        tip = (
+            tip.join(nxt, "_by")
+            .filter(F.col("_nts") > F.col("_tip"))
+            .groupBy("_by")
+            .agg(F.min("_nts").alias("_tip"))
+        )
+    matched = tip.select("_by", F.lit(1).alias("_m"))
+    return (
+        ev.select("_by")
+        .distinct()
+        .join(matched, "_by", "left")
+        .select(
+            F.col("_by").alias(by),
+            F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("matched"),
+        )
+    )

@@ -354,3 +354,54 @@ def test_window_funnel_hand_cases(spark):
     )
     got = {r.user_id: r.level for r in out.collect()}
     assert got == {1: 3, 2: 3, 3: 0, 4: 1, 5: 1}, got
+
+
+def test_retention_hand_cases(spark):
+    """ClickHouse retention analog: r1 = cond1 ever, ri = cond1 AND
+    condi — a user hitting cond2 without cond1 reports r2 = 0."""
+    from adguard2clickhouse_spark.operators.temporal import retention
+
+    rows = [
+        (1, "signup"), (1, "purchase"),          # r = (1, 1, 0)
+        (2, "purchase"), (2, "error"),           # no signup -> all 0
+        (3, "signup"),                           # r = (1, 0, 0)
+        (4, "signup"), (4, "purchase"), (4, "error"),  # r = (1, 1, 1)
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, event_type STRING")
+    out = retention(
+        ev, [F.col("event_type") == s for s in ("signup", "purchase", "error")]
+    )
+    got = {r.user_id: (r.r1, r.r2, r.r3) for r in out.collect()}
+    assert got == {
+        1: (1, 1, 0),
+        2: (0, 0, 0),
+        3: (1, 0, 0),
+        4: (1, 1, 1),
+    }, got
+
+
+def test_sequence_match_hand_cases(spark):
+    """sequenceMatch('(?1).*(?2).*(?3)') analog: greedy chained mins.
+    u2 proves greedy-from-earliest is exact (the earliest view chains
+    through a LATER click than the first); u5 proves strict increase;
+    u4 proves order sensitivity."""
+    from adguard2clickhouse_spark.operators.temporal import sequence_match
+
+    rows = [
+        (1, 0.0, "view"), (1, 1.0, "click"), (1, 2.0, "purchase"),
+        # u2: click precedes the view; a later click + purchase completes
+        (2, 5.0, "click"), (2, 6.0, "view"), (2, 7.0, "click"),
+        (2, 8.0, "purchase"),
+        (3, 0.0, "view"), (3, 1.0, "purchase"),     # no click in between
+        (4, 0.0, "purchase"), (4, 1.0, "click"), (4, 2.0, "view"),  # reversed
+        (5, 0.0, "view"), (5, 0.0, "click"), (5, 1.0, "purchase"),  # ties
+    ]
+    ev = spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows],
+        "user_id LONG, ts DOUBLE, event_type STRING",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = sequence_match(
+        ev, [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    )
+    got = {r.user_id: r.matched for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0}, got
