@@ -993,7 +993,8 @@ def ngram_containment_pairs(
 
     Same inverted-index skeleton and costs as ngram_jaccard_pairs
     (reused with the threshold disabled); only the final predicate
-    differs: common·1000 ≥ t·1000·min(|A|,|B|), reported as an exact
+    differs: common·den ≥ num·min(|A|,|B|) with num/den the exact
+    Fraction of the caller's decimal literal, reported as an exact
     integer permille. Returns (doc_a, doc_b, common, size_a, size_b,
     containment_permille).
     """
@@ -1001,10 +1002,17 @@ def ngram_containment_pairs(
         df, text_col=text_col, id_col=id_col, n=n,
         threshold=0.0, max_df=max_df,
     )
-    thr = int(threshold * 1000)
+    # Exact integers from the decimal literal, like the jaccard verifies:
+    # int(t*1000) truncates for e.g. t=0.3 (float 0.3*1000 -> 299.999…
+    # -> 299), silently admitting containment >= 0.299.
+    from fractions import Fraction
+
+    _fr = Fraction(str(threshold))
     small = F.least(F.col("size_a"), F.col("size_b"))
     return (
-        pairs.filter(F.col("common") * 1000 >= F.lit(thr) * small)
+        pairs.filter(
+            F.col("common") * _fr.denominator >= F.lit(_fr.numerator) * small
+        )
         .select(
             "doc_a", "doc_b", "common", "size_a", "size_b",
             F.floor(F.col("common") * 1000 / small)

@@ -489,3 +489,26 @@ def test_normalize_unicode_nfkc_known_pairs(spark):
 
     with _pytest.raises(ValueError):
         normalize_unicode(df, form="XXX")
+
+
+def test_containment_threshold_exact_at_0_3(spark):
+    """The containment verify must use the exact Fraction of the
+    decimal literal: float int(0.3*1000) truncates to 299, admitting
+    ratios in [0.299, 0.3). Ratio 32/107 ~= 0.29907 sits inside that
+    gap — it must be EXCLUDED at t=0.3 and included at t=0.29."""
+    from adguard2clickhouse_spark.operators.dedup import ngram_containment_pairs
+
+    # small doc: 34-token run shared with the long doc + 75 unique
+    # tokens -> 107 shingles, 32 of them common (the run's inner ones)
+    shared = [f"s{i}" for i in range(34)]
+    small_doc = " ".join(shared + [f"u{i}" for i in range(75)])
+    long_doc = " ".join([f"v{i}" for i in range(200)] + shared)
+    df = spark.createDataFrame(
+        [(1, long_doc), (2, small_doc)], "doc_id LONG, text STRING"
+    )
+    at_03 = ngram_containment_pairs(df, threshold=0.3).collect()
+    assert at_03 == [], at_03
+    at_029 = ngram_containment_pairs(df, threshold=0.29).collect()
+    assert [(r.doc_a, r.doc_b, r.common, r.containment_permille) for r in at_029] == [
+        (1, 2, 32, 299)
+    ], at_029
