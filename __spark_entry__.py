@@ -1332,6 +1332,25 @@ def q_sequence_match(spark, sf_dir):
     )
 
 
+def q_sequence_count(spark, sf_dir):
+    """ClickHouse ``sequenceCount('(?1).*(?2).*(?3)')`` analog
+    (operators/temporal.py::sequence_count): per user, the maximum
+    number of disjoint view→click→purchase chains — earliest-
+    completion greedy via the sanctioned grouped-stateful path
+    (applyInPandas over pre-bitmasked events, np.searchsorted per
+    match). The oracle replays the same greedy as a recursive CTE of
+    nested correlated mins."""
+    from adguard2clickhouse_spark.operators import temporal as _temporal
+
+    ev = _t(spark, sf_dir, "events")
+    return _temporal.sequence_count(
+        ev,
+        [F.col("event_type") == s for s in ("view", "click", "purchase")],
+        ts_col="ts",
+        by="user_id",
+    )
+
+
 def q_summap_daily(spark, sf_dir):
     """ClickHouse ``sumMap`` analog (operators/chagg.py::sum_map):
     per-(user, day) event-type counters packed into paired arrays,
@@ -1361,6 +1380,125 @@ def q_summap_daily(spark, sf_dir):
         "user_id",
         F.col("_kv.keys").alias("event_type"),
         F.col("_kv.vals").cast("long").alias("n_events"),
+    )
+
+
+def q_max_concurrent(spark, sf_dir):
+    """ClickHouse ``maxIntersections``/``maxIntersectionsPosition``
+    analog (operators/intervals.py::max_intersections): per day, the
+    peak number of simultaneously-active users (closed activity
+    interval = [first event, last event] of the user's day, epoch
+    micros) and the earliest instant the peak is reached. The sweep is
+    partitioned by day — intervals never cross the partition key, so
+    the sort window shards cleanly at corpus scale."""
+    from adguard2clickhouse_spark.operators import intervals as _iv
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day")
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("start"),
+        F.unix_micros(F.max("ts")).alias("end"),
+    )
+    out = _iv.max_intersections(iv, by="day")
+    return out.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("max_intersections").alias("max_concurrent"),
+        F.col("at").cast("long").alias("at_us"),
+    )
+
+
+def q_active_time(spark, sf_dir):
+    """ClickHouse ``intervalLengthSum`` analog
+    (operators/intervals.py::interval_length_sum): per user, the union
+    length (epoch micros) of the user's per-(day, event_type) activity
+    intervals — overlapping activity across event types on the same
+    day counts once. Gaps-and-islands on the user_id sort window."""
+    from adguard2clickhouse_spark.operators import intervals as _iv
+
+    ev = _t(spark, sf_dir, "events")
+    iv = ev.groupBy(
+        "user_id", F.to_date("ts").alias("day"), "event_type"
+    ).agg(
+        F.unix_micros(F.min("ts")).alias("start"),
+        F.unix_micros(F.max("ts")).alias("end"),
+    )
+    out = _iv.interval_length_sum(iv, by="user_id")
+    return out.select(
+        "user_id", F.col("interval_length_sum").cast("long").alias("active_us")
+    )
+
+
+def q_delta_sum(spark, sf_dir):
+    """ClickHouse ``deltaSumTimestamp`` analog
+    (operators/intervals.py::delta_sum): per user, the sum of positive
+    consecutive deltas of ``value`` in (ts, event_id) order, in exact
+    integer cents — the restart-tolerant monotone-counter total."""
+    from adguard2clickhouse_spark.operators import intervals as _iv
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = _iv.delta_sum(
+        ev, value_col="cents", order_col=["ts", "event_id"], by="user_id"
+    )
+    return out.select(
+        "user_id", F.col("delta_sum").cast("long").alias("delta_cents")
+    )
+
+
+def q_daily_fill(spark, sf_dir):
+    """ClickHouse ``ORDER BY day WITH FILL STEP 1 day`` analog
+    (operators/intervals.py::with_fill): daily event counts per
+    event_type over the gap-free global [min day, max day] axis,
+    missing days zero-filled — the axis bounds ride a 1-row broadcast,
+    the fill is a sequence explode + left join."""
+    from adguard2clickhouse_spark.operators import intervals as _iv
+
+    ev = _t(spark, sf_dir, "events")
+    counts = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    filled = _iv.with_fill(
+        counts,
+        "day",
+        F.expr("interval 1 day"),
+        partition_cols=["event_type"],
+        defaults={"n": 0},
+    )
+    return filled.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n").cast("long").alias("n_events"),
+    )
+
+
+def q_lttb_downsample(spark, sf_dir):
+    """Largest-Triangle-Three-Buckets downsampling (ClickHouse
+    ``largestTriangleThreeBuckets`` family; operators/timeseries.py::
+    lttb, the parallel bucket-average variant): each user's
+    (epoch-micros, cents) value series reduced to first + last + one
+    max-triangle point per each of 20 equal-count buckets. All area
+    arithmetic is integer-exact (decimal(38,0) vs the oracle's
+    HUGEINT), so the selected points replay bit-identically."""
+    from adguard2clickhouse_spark.operators import timeseries as _ts
+
+    ev = _t(spark, sf_dir, "events")
+    series = ev.groupBy(
+        "user_id", F.unix_micros(F.col("ts")).alias("t_us")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents")
+    )
+    out = _ts.lttb(
+        series, t_col="t_us", v_col="cents", n_buckets=20, by="user_id"
+    )
+    return out.select(
+        "user_id",
+        F.col("t_us").cast("long").alias("t_us"),
+        F.col("cents").cast("long").alias("cents"),
     )
 
 
@@ -3448,7 +3586,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e_window_funnel": q_window_funnel,
         "e_retention_flags": q_retention_flags,
         "e_sequence_match": q_sequence_match,
+        "e_sequence_count": q_sequence_count,
         "e_summap_daily": q_summap_daily,
+        "e_max_concurrent": q_max_concurrent,
+        "e_active_time": q_active_time,
+        "e_delta_sum": q_delta_sum,
+        "e_daily_fill": q_daily_fill,
+        "e_lttb_downsample": q_lttb_downsample,
         "e_retention_cohorts": q_retention,
         "e_transitions": q_transitions,
         # training-data extensions (X1-X6)
@@ -4344,11 +4488,122 @@ def oracle_sql() -> dict[str, str]:
             "FROM (SELECT DISTINCT u FROM ev) a LEFT JOIN m3 ON a.u = m3.u "
             "GROUP BY 1"
         ),
+        "e_sequence_count": (
+            # the same earliest-completion greedy as a recursive CTE:
+            # each level appends one more disjoint chain (nested
+            # correlated mins), the answer is the deepest level reached
+            "WITH RECURSIVE ev AS (SELECT user_id AS u, epoch_us(ts) AS t, "
+            "event_type FROM events), "
+            "rec(u, tip, cnt) AS ("
+            "SELECT DISTINCT u, CAST(-9223372036854775808 AS BIGINT), 0 "
+            "FROM ev UNION ALL "
+            "SELECT u, nt, cnt + 1 FROM ("
+            "SELECT r.u, (SELECT min(e3.t) FROM ev e3 WHERE e3.u = r.u "
+            "AND e3.event_type = 'purchase' AND e3.t > "
+            "(SELECT min(e2.t) FROM ev e2 WHERE e2.u = r.u "
+            "AND e2.event_type = 'click' AND e2.t > "
+            "(SELECT min(e1.t) FROM ev e1 WHERE e1.u = r.u "
+            "AND e1.event_type = 'view' AND e1.t > r.tip))) AS nt, r.cnt "
+            "FROM rec r) s WHERE nt IS NOT NULL) "
+            "SELECT u AS user_id, CAST(max(cnt) AS BIGINT) AS n_matches "
+            "FROM rec GROUP BY 1"
+        ),
         "e_summap_daily": (
             # the pack -> Map-sum -> unpack path must reduce to the
             # plain two-key count
             "SELECT user_id, event_type, count(*) AS n_events "
             "FROM events GROUP BY 1, 2"
+        ),
+        "e_max_concurrent": (
+            # the same +1/-1 sweep, relationally: cumulative sum over
+            # (t, d DESC) so starts sweep before ends at ties (closed
+            # intervals), peak per day, earliest t at the peak
+            "WITH iv AS (SELECT user_id, CAST(ts AS DATE) AS day, "
+            "epoch_us(min(ts)) AS s, epoch_us(max(ts)) AS e "
+            "FROM events GROUP BY 1, 2), "
+            "pts AS (SELECT day, s AS t, 1 AS d FROM iv "
+            "UNION ALL SELECT day, e, -1 FROM iv), "
+            "run AS (SELECT day, t, sum(d) OVER (PARTITION BY day "
+            "ORDER BY t, d DESC ROWS UNBOUNDED PRECEDING) AS r FROM pts), "
+            "pk AS (SELECT day, t, r, max(r) OVER (PARTITION BY day) AS p "
+            "FROM run) "
+            "SELECT strftime(day, '%Y-%m-%d') AS day, "
+            "CAST(max(p) AS BIGINT) AS max_concurrent, "
+            "CAST(min(t) AS BIGINT) AS at_us FROM pk WHERE r = p GROUP BY 1"
+        ),
+        "e_active_time": (
+            # gaps-and-islands union length per user over the same
+            # per-(day, event_type) closed intervals
+            "WITH iv AS (SELECT user_id, epoch_us(min(ts)) AS s, "
+            "epoch_us(max(ts)) AS e FROM events "
+            "GROUP BY user_id, CAST(ts AS DATE), event_type), "
+            "m AS (SELECT user_id, s, e, max(e) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) "
+            "AS pme FROM iv), "
+            "isl AS (SELECT user_id, s, e, sum(CASE WHEN pme IS NULL OR "
+            "s > pme THEN 1 ELSE 0 END) OVER (PARTITION BY user_id "
+            "ORDER BY s, e ROWS UNBOUNDED PRECEDING) AS g FROM m), "
+            "pi AS (SELECT user_id, g, max(e) - min(s) AS len FROM isl "
+            "GROUP BY 1, 2) "
+            "SELECT user_id, CAST(sum(len) AS BIGINT) AS active_us "
+            "FROM pi GROUP BY 1"
+        ),
+        "e_delta_sum": (
+            "WITH v AS (SELECT user_id, ts, event_id, "
+            "CAST(round(value * 100) AS BIGINT) AS cents FROM events), "
+            "d AS (SELECT user_id, cents - lag(cents) OVER "
+            "(PARTITION BY user_id ORDER BY ts, event_id) AS dv FROM v) "
+            "SELECT user_id, CAST(coalesce(sum(CASE WHEN dv > 0 THEN dv "
+            "ELSE 0 END), 0) AS BIGINT) AS delta_cents FROM d GROUP BY 1"
+        ),
+        "e_daily_fill": (
+            "WITH c AS (SELECT event_type, CAST(ts AS DATE) AS day, "
+            "count(*) AS n FROM events GROUP BY 1, 2), "
+            "days AS (SELECT CAST(unnest(generate_series("
+            "(SELECT min(day) FROM c), (SELECT max(day) FROM c), "
+            "INTERVAL 1 DAY)) AS DATE) AS day), "
+            "axis AS (SELECT et.event_type, days.day "
+            "FROM (SELECT DISTINCT event_type FROM c) et CROSS JOIN days) "
+            "SELECT axis.event_type, strftime(axis.day, '%Y-%m-%d') AS day, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n_events FROM axis "
+            "LEFT JOIN c ON c.event_type = axis.event_type "
+            "AND c.day = axis.day"
+        ),
+        "e_lttb_downsample": (
+            # the same parallel LTTB relationally: equal-count buckets,
+            # endpoint pseudo-buckets -1/20, HUGEINT area numerators
+            # (= Spark's decimal(38,0)), max-area-then-min-t per bucket
+            "WITH series AS (SELECT user_id AS u, epoch_us(ts) AS t, "
+            "sum(CAST(round(value * 100) AS BIGINT)) AS v "
+            "FROM events GROUP BY 1, 2), "
+            "pts AS (SELECT u, t, v, "
+            "row_number() OVER (PARTITION BY u ORDER BY t) AS rn, "
+            "count(*) OVER (PARTITION BY u) AS cnt FROM series), "
+            "bucketed AS (SELECT u, t, v, CAST(CASE WHEN rn = 1 THEN -1 "
+            "WHEN rn = cnt THEN 20 ELSE floor((rn - 2) * 20 / "
+            "greatest(cnt - 2, 1)) END AS BIGINT) AS b FROM pts), "
+            "aggs AS (SELECT u, b, sum(t) AS st, sum(v) AS sv, "
+            "count(*) AS c FROM bucketed GROUP BY 1, 2), "
+            "anch AS (SELECT u, b, "
+            "lag(st) OVER wb AS stl, lag(sv) OVER wb AS svl, "
+            "lag(c) OVER wb AS cl, lead(st) OVER wb AS st2, "
+            "lead(sv) OVER wb AS svr, lead(c) OVER wb AS cr FROM aggs "
+            "WINDOW wb AS (PARTITION BY u ORDER BY b)), "
+            "area AS (SELECT i.u, i.b, i.t, i.v, abs("
+            "(CAST(a.stl AS HUGEINT) * a.cr - CAST(a.st2 AS HUGEINT) * a.cl) * "
+            "(CAST(i.v AS HUGEINT) * a.cl - a.svl) - "
+            "(CAST(a.stl AS HUGEINT) - CAST(i.t AS HUGEINT) * a.cl) * "
+            "(CAST(a.svr AS HUGEINT) * a.cl - CAST(a.svl AS HUGEINT) * a.cr)) "
+            "AS ar FROM bucketed i JOIN anch a ON a.u = i.u AND a.b = i.b "
+            "WHERE i.b >= 0 AND i.b < 20), "
+            "picked AS (SELECT u, t, v FROM (SELECT u, t, v, "
+            "row_number() OVER (PARTITION BY u, b "
+            "ORDER BY ar DESC NULLS LAST, t) AS pk FROM area) WHERE pk = 1) "
+            "SELECT u AS user_id, CAST(t AS BIGINT) AS t_us, "
+            "CAST(v AS BIGINT) AS cents "
+            "FROM (SELECT u, st AS t, sv AS v FROM aggs "
+            "WHERE b = -1 OR b = 20 "
+            "UNION ALL SELECT u, t, v FROM picked)"
         ),
         "e_retention_cohorts": (
             "WITH e AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events), "

@@ -165,6 +165,27 @@ _AGG_RENAMES = [
     # sum(if(cond, x, 0)) instead, which works verbatim in both).
     (r"\btoDate\(", "to_date("),
     (r"\btoHour\(", "hour("),
+    # argMax/argMin: positional twins exist in both engines
+    (r"\bargMax\(", "max_by("),
+    (r"\bargMin\(", "min_by("),
+]
+
+# Parametric / multi-arg aggregate rewrites (need capture groups, not
+# a prefix rename). Same string-literal-aware subset: plain column
+# arguments, no nested calls.
+_AGG_REWRITES = [
+    # uniqUpTo(N)(x): exact distinct count saturating at N+1
+    (
+        r"\buniqUpTo\((\d+)\)\(\s*([^()]*?)\s*\)",
+        r"least(count(DISTINCT \2), \1 + 1)",
+    ),
+    # boundingRatio(x, y): slope between the extreme-x points —
+    # (y at max x − y at min x) / (max x − min x); try_divide keeps
+    # the single-point group NULL instead of an ANSI abort
+    (
+        r"\bboundingRatio\(\s*([^,()]+?)\s*,\s*([^,()]+?)\s*\)",
+        r"try_divide(max_by(\2, \1) - min_by(\2, \1), max(\1) - min(\1))",
+    ),
 ]
 
 
@@ -183,6 +204,8 @@ def transpile(sql: str, database: str = "AdGuardHome") -> str:
     # array length → size (see docstring for the dialect-subset scope)
     out = _sub_outside_strings(r"\blength\(", "size(", out)
     for pat, repl in _AGG_RENAMES:
+        out = _sub_outside_strings(pat, repl, out)
+    for pat, repl in _AGG_REWRITES:
         out = _sub_outside_strings(pat, repl, out)
     return out
 

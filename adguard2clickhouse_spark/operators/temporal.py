@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -292,5 +293,91 @@ def sequence_match(
         .select(
             F.col("_by").alias(by),
             F.coalesce(F.col("_m"), F.lit(0)).cast("long").alias("matched"),
+        )
+    )
+
+
+def sequence_count(
+    events: DataFrame,
+    conds: list,
+    ts_col: str = "ts",
+    by: str = "user_id",
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1).*(?2)…(?k)')(ts, cond1, …)``
+    analog: per ``by`` group, the number of non-overlapping matches of
+    the ``.*``-chained pattern, scanning greedily from the earliest
+    completion. Returns (by, n_matches LONG) for every group present.
+
+    Semantics: a match is events e1 < … < ek (strictly increasing
+    timestamps) with ei satisfying condi; matches may not overlap in
+    time (the next match starts strictly after the previous one's
+    ek). Earliest-completion greedy is provably OPTIMAL here — the
+    matches are intervals [t1, tk], and maximizing the number of
+    disjoint intervals is classic earliest-finish-time scheduling —
+    so the returned count is the MAXIMUM number of disjoint matches,
+    an order-independent quantity (ties in the input sort cannot
+    change it: every step takes a min over timestamps, never a
+    positional choice).
+
+    This is the one sequence aggregate whose state is genuinely
+    iterative (the match count is data-dependent), so it runs as the
+    sanctioned grouped-stateful path: ``applyInPandas`` per group
+    over a pre-filtered, pre-bitmasked Arrow batch — the JVM side
+    reduces each event to (group, ts, cond-bitmask) and drops events
+    matching no condition before anything crosses to Python, and the
+    per-group kernel advances via ``np.searchsorted`` on per-cond
+    sorted timestamp arrays: O(k · log n) per match found, not a
+    per-row Python loop. The shuffle is one hash exchange on the
+    group key — identical to any groupBy.
+    """
+    if not conds:
+        raise ValueError("sequence_count needs at least one condition")
+    k = len(conds)
+    mask = None
+    for i, c in enumerate(conds):
+        bit = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = bit if mask is None else (mask + bit)
+    ev = events.select(
+        F.col(by).alias("_by"),
+        F.col(ts_col).cast("timestamp").cast("double").alias("_ts"),
+        mask.cast("long").alias("_m"),
+    )
+    groups = ev.select("_by").distinct()
+    hits = ev.filter(F.col("_m") > 0)
+
+    def _count(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ts = pdf["_ts"].to_numpy()
+        m = pdf["_m"].to_numpy()
+        per_cond = [np.sort(ts[(m & (1 << i)) != 0]) for i in range(k)]
+        n = 0
+        if all(a.size for a in per_cond):
+            tip = -np.inf
+            while True:
+                t = tip
+                ok = True
+                for arr in per_cond:
+                    j = np.searchsorted(arr, t, side="right")
+                    if j >= arr.size:
+                        ok = False
+                        break
+                    t = arr[j]
+                if not ok:
+                    break
+                n += 1
+                tip = t
+        return pd.DataFrame({"_by": [pdf["_by"].iloc[0]], "_n": [n]})
+
+    out_schema = T.StructType(
+        [ev.schema["_by"], T.StructField("_n", T.LongType())]
+    )
+    counted = hits.groupBy("_by").applyInPandas(_count, schema=out_schema)
+    return (
+        groups.join(counted, "_by", "left")
+        .select(
+            F.col("_by").alias(by),
+            F.coalesce(F.col("_n"), F.lit(0)).cast("long").alias("n_matches"),
         )
     )

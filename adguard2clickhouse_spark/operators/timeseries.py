@@ -156,3 +156,132 @@ def seasonal_naive_residuals(
             (F.col("value_permille") - base).cast("long").alias("resid_permille"),
         )
     )
+
+
+def lttb(
+    df: DataFrame,
+    t_col: str = "t",
+    v_col: str = "v",
+    n_buckets: int = 20,
+    by=None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (the parallel
+    bucket-average variant; ClickHouse ships the same family as
+    ``largestTriangleThreeBuckets``): per group, keep the first and
+    last points plus, from each of ``n_buckets`` equal-count interior
+    buckets, the point forming the largest triangle with the
+    NEIGHBORING BUCKETS' AVERAGES. Classic LTTB anchors the triangle
+    on the previously *selected* point, which is sequential by
+    construction; anchoring on the left bucket's average instead makes
+    every bucket's argmax independent — fully parallel, one shuffle on
+    the group key — at a visually negligible quality cost (the anchors
+    differ from the selected points by at most the bucket spread).
+
+    Exactness: with integer ``t_col``/``v_col`` (epoch micros, cents)
+    the area comparison is pure integer arithmetic — the shared
+    denominator cl²·cr is dropped and the numerator
+    |(Stl·cr − Str·cl)(v·cl − Svl) − (Stl − t·cl)(Svr·cl − Svl·cr)|
+    is computed in decimal(38,0) (DuckDB twin: HUGEINT), so the
+    selected points replay bit-identically cross-engine. Magnitude
+    bound: the numerator must fit 38 digits — epoch-micros × cents ×
+    per-bucket counts up to ~10⁵ do (≈10²³); rebase ``t_col`` per
+    group before calling if the series is both long and dense enough
+    to approach the bound.
+
+    Requires distinct ``t_col`` per group (pre-aggregate duplicates);
+    ties in area break to the smaller t; buckets left empty by short
+    series simply emit nothing, and each bucket anchors on the NEAREST
+    NON-EMPTY bucket on either side (the endpoints ride along as
+    1-point pseudo-buckets −1 and ``n_buckets``, so both anchors
+    always exist). Returns (by…, t, v).
+
+    Plan shape: ONE role-tagged frame (endpoints are buckets −1/nb,
+    interior points their equal-count bucket), ONE groupBy to the
+    per-bucket (Σt, Σv, n) anchors, lag/lead over the bucket axis for
+    the neighbor anchors (no self-joins), one big-side join of the
+    points against that tiny anchor frame, one pick-window. The anchor
+    frame is ``localCheckpoint(eager=False)``-ed — it is ≤ n_buckets+2
+    rows per group and feeds two consumers (the join and the endpoint
+    rows); without the cut, per-branch column pruning de-canonicalizes
+    the shared subplan and the whole input pipeline re-executes per
+    consumer. Net: the input lineage runs twice (anchor pass + point
+    pass), exactly like any stats-then-transform operator.
+    """
+    if n_buckets < 1:
+        raise ValueError("n_buckets must be >= 1")
+    g = [by] if isinstance(by, str) else list(by or [])
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*g).orderBy(F.col("_t"))
+    wall = Window.partitionBy(*g)
+    pts = df.select(*g, F.col(t_col).alias("_t"), F.col(v_col).alias("_v"))
+    bucketed = (
+        pts.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_cnt", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "_b",
+            F.when(F.col("_rn") == 1, F.lit(-1))
+            .when(F.col("_rn") == F.col("_cnt"), F.lit(n_buckets))
+            .otherwise(
+                F.floor(
+                    (F.col("_rn") - 2)
+                    * F.lit(n_buckets)
+                    / F.greatest(F.col("_cnt") - 2, F.lit(1))
+                )
+            )
+            .cast("long"),
+        )
+    )
+    aggs = (
+        bucketed.groupBy(*g, "_b")
+        .agg(
+            F.sum("_t").alias("_st"),
+            F.sum("_v").alias("_sv"),
+            F.count(F.lit(1)).alias("_c"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wb = Window.partitionBy(*g).orderBy(F.col("_b"))
+    anch = aggs.select(
+        *g,
+        "_b",
+        "_st",
+        "_sv",
+        F.lag("_st").over(wb).alias("_stl"),
+        F.lag("_sv").over(wb).alias("_svl"),
+        F.lag("_c").over(wb).alias("_cl"),
+        F.lead("_st").over(wb).alias("_str"),
+        F.lead("_sv").over(wb).alias("_svr"),
+        F.lead("_c").over(wb).alias("_cr"),
+    )
+    interior = bucketed.filter(
+        (F.col("_b") >= 0) & (F.col("_b") < n_buckets)
+    ).select(*g, "_b", "_t", "_v")
+    d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    num = F.abs(
+        (d(F.col("_stl")) * d(F.col("_cr")) - d(F.col("_str")) * d(F.col("_cl")))
+        * (d(F.col("_v")) * d(F.col("_cl")) - d(F.col("_svl")))
+        - (d(F.col("_stl")) - d(F.col("_t")) * d(F.col("_cl")))
+        * (d(F.col("_svr")) * d(F.col("_cl")) - d(F.col("_svl")) * d(F.col("_cr")))
+    )
+    wpick = Window.partitionBy(*g, "_b").orderBy(
+        F.col("_area").desc_nulls_last(), F.col("_t").asc()
+    )
+    picked = (
+        interior.join(
+            anch.select(
+                *g, "_b", "_stl", "_svl", "_cl", "_str", "_svr", "_cr"
+            ),
+            [*g, "_b"],
+        )
+        .withColumn("_area", num)
+        .withColumn("_pk", F.row_number().over(wpick))
+        .filter(F.col("_pk") == 1)
+    )
+    endpoints = anch.filter(
+        (F.col("_b") == -1) | (F.col("_b") == n_buckets)
+    ).select(
+        *g, F.col("_st").alias("_t"), F.col("_sv").alias("_v")
+    )
+    out_cols = [*g, F.col("_t").alias(t_col), F.col("_v").alias(v_col)]
+    return endpoints.select(*out_cols).unionByName(picked.select(*out_cols))

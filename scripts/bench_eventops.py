@@ -1,0 +1,141 @@
+"""Scale probe for the ClickHouse event-analytics analog family
+(round 7 additions): windowFunnel, retention, sequenceMatch/Count,
+sumMap, maxIntersections, intervalLengthSum, deltaSum, WITH FILL,
+LTTB — per-decade wall ratios at sf0.1 -> sf1 -> sf10 on the
+gen_scale replicas.
+
+Protocol follows scripts/profile_scale_rows.py's lessons: one 48g
+session, warmup pass at sf0.001, then per-SF walls interleaved
+median-of-3, rows recorded (rows == 0 voids the run), flag ratios
+> threshold x the data multiple. The replicas multiply EVENTS (not
+users), so per-group work grows 10x per decade while group count is
+fixed — the expected shape for every one of these group-key
+operators is ratio ~= the data multiple once compute-bound.
+
+Writes BENCH_eventops_r7.json. Usage:
+    python scripts/bench_eventops.py [--skip-sf10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import __spark_entry__ as entrymod
+from bench import CALIBRATION_REF, _calibrate
+
+QUERIES = [
+    "e_window_funnel",
+    "e_retention_flags",
+    "e_sequence_match",
+    "e_sequence_count",
+    "e_summap_daily",
+    "e_max_concurrent",
+    "e_active_time",
+    "e_delta_sum",
+    "e_daily_fill",
+    "e_lttb_downsample",
+]
+
+SFS = [
+    ("sf0.1", "/root/testdata/sf0.1", 1),
+    ("sf1", "/root/repo/.localdata/sf1", 10),
+    ("sf10", "/root/repo/.localdata/sf10", 100),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--skip-sf10", action="store_true")
+    # flag superlinear only: >1.2x the decade's data multiple
+    # (wall ratio == multiple IS linear scaling once compute-bound)
+    ap.add_argument("--slack", type=float, default=1.2)
+    ap.add_argument("--out", default="BENCH_eventops_r7.json")
+    args = ap.parse_args()
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from adguard2clickhouse_spark.session import get_spark
+
+    calibration = _calibrate()
+    spark = get_spark(app_name="bench_eventops")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+
+    sfs = [s for s in SFS if not (args.skip_sf10 and s[0] == "sf10")]
+    for name in QUERIES:  # JIT/codegen warmup
+        qs[name](spark, "/root/testdata/sf0.001").count()
+
+    walls: dict[str, dict[str, list[float]]] = {
+        n: {tag: [] for tag, _, _ in sfs} for n in QUERIES
+    }
+    rows: dict[str, dict[str, int]] = {n: {} for n in QUERIES}
+    for rep in range(args.reps):  # interleave SFs within each rep
+        for tag, sf_dir, _ in sfs:
+            for name in QUERIES:
+                t0 = time.time()
+                n_rows = qs[name](spark, sf_dir).count()
+                walls[name][tag].append(round(time.time() - t0, 3))
+                rows[name][tag] = n_rows
+                print(
+                    f"rep{rep} {tag} {name}: {walls[name][tag][-1]}s"
+                    f" ({n_rows} rows)",
+                    file=sys.stderr,
+                )
+
+    queries, flagged = {}, []
+    for name in QUERIES:
+        entry = {}
+        med = {}
+        for tag, _, _ in sfs:
+            med[tag] = round(statistics.median(walls[name][tag]), 3)
+            entry[f"sec_{tag}"] = med[tag]
+            entry[f"rows_{tag}"] = rows[name][tag]
+            if rows[name][tag] == 0:
+                raise SystemExit(
+                    f"VOID RUN: {name} returned 0 rows at {tag}"
+                )
+        for (t0_, _, m0), (t1_, _, m1) in zip(sfs, sfs[1:]):
+            mult = m1 // m0
+            r = (
+                round(med[t1_] / med[t0_], 2)
+                if med[t0_] > 0
+                else None
+            )
+            entry[f"ratio_{t1_}_vs_{t0_}"] = r
+            if r is not None and r > args.slack * mult:
+                flagged.append(name)
+                entry["flag"] = (
+                    f"{t0_}->{t1_} ratio {r} > {args.slack}x the "
+                    f"{mult}x data multiple"
+                )
+        queries[name] = entry
+
+    result = {
+        "metric": "eventops_scaling",
+        "protocol": (
+            f"one 48g session, median-of-{args.reps} per SF interleaved, "
+            "rows recorded, zero-rows voids the run"
+        ),
+        "host_calibration_sec": calibration,
+        "calibration_ref_sec": CALIBRATION_REF,
+        "slack": args.slack,
+        "queries": queries,
+        "flagged": flagged,
+    }
+    (Path(__file__).resolve().parent.parent / args.out).write_text(
+        json.dumps(result, indent=1) + "\n"
+    )
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

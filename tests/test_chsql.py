@@ -369,3 +369,46 @@ def test_transpile_rewrites_skip_string_literals():
     assert "'uniq(QH) length(x) AdGuardHome.log2 toDate(y)'" in out
     assert "'countIf(z)'" in out
     assert out.endswith("FROM log2 WHERE note != 'countIf(z)'")
+
+
+def test_parametric_aggregate_rewrites(spark):
+    """argMax/argMin rename to max_by/min_by; uniqUpTo(N)(x) saturates
+    the exact distinct count at N+1; boundingRatio is the slope
+    between the extreme-x points (NULL for a single point, not an
+    ANSI abort)."""
+    assert chsql.transpile("SELECT argMax(QH, ts), argMin(QH, ts) FROM t") == (
+        "SELECT max_by(QH, ts), min_by(QH, ts) FROM t"
+    )
+    assert chsql.transpile("SELECT uniqUpTo(3)(QH) FROM t") == (
+        "SELECT least(count(DISTINCT QH), 3 + 1) FROM t"
+    )
+    assert chsql.transpile("SELECT boundingRatio(x, y) FROM t") == (
+        "SELECT try_divide(max_by(y, x) - min_by(y, x), "
+        "max(x) - min(x)) FROM t"
+    )
+    # string literals survive untouched
+    assert chsql.transpile("SELECT 'uniqUpTo(3)(QH)' AS s FROM t") == (
+        "SELECT 'uniqUpTo(3)(QH)' AS s FROM t"
+    )
+    df = spark.createDataFrame(
+        [("a", 1, 10), ("a", 2, 30), ("a", 3, 20), ("b", 5, 7)]
+        + [("c", i, i) for i in range(6)],
+        "g STRING, x LONG, y LONG",
+    )
+    df.createOrReplaceTempView("br_t")
+    rows = {
+        r.g: (r.slope, r.ux, r.am)
+        for r in spark.sql(
+            chsql.transpile(
+                "SELECT g, boundingRatio(x, y) AS slope, "
+                "uniqUpTo(3)(x) AS ux, argMax(y, x) AS am "
+                "FROM br_t GROUP BY g"
+            )
+        ).collect()
+    }
+    # a: (20 - 10) / (3 - 1) = 5; 3 distinct x <= 3+1; y at max x = 20
+    assert rows["a"] == (5.0, 3, 20), rows
+    # b: single point -> NULL slope, 1 distinct, y at max x = 7
+    assert rows["b"] == (None, 1, 7), rows
+    # c: 6 distinct x saturates at 4; slope (5-0)/(5-0) = 1
+    assert rows["c"] == (1.0, 4, 5), rows

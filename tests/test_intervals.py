@@ -1,0 +1,97 @@
+"""ClickHouse interval/series analogs (operators/intervals.py):
+maxIntersections sweep semantics, union-length islands, positive-delta
+sums, WITH FILL axis materialization."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from adguard2clickhouse_spark.operators.intervals import (
+    delta_sum,
+    interval_length_sum,
+    max_intersections,
+    with_fill,
+)
+
+
+def test_max_intersections_hand_cases(spark):
+    """Closed-interval sweep: touching intervals intersect (starts
+    sweep before ends at ties); the reported position is the EARLIEST
+    point reaching the peak; NULL bounds are dropped."""
+    rows = [
+        # g=a: [1,4],[2,6],[5,8],[4,4] -> peak 3 at t=4 ([1,4],[2,6],[4,4])
+        ("a", 1, 4), ("a", 2, 6), ("a", 5, 8), ("a", 4, 4),
+        # g=b: disjoint [1,2],[3,4] -> peak 1 at t=1
+        ("b", 1, 2), ("b", 3, 4),
+        # g=c: touching [1,2],[2,3] -> closed semantics: peak 2 at t=2
+        ("c", 1, 2), ("c", 2, 3),
+        ("c", None, 9),  # dropped
+    ]
+    df = spark.createDataFrame(rows, "g STRING, start LONG, end LONG")
+    out = {
+        r.g: (r.max_intersections, r.at)
+        for r in max_intersections(df, by="g").collect()
+    }
+    assert out == {"a": (3, 4), "b": (1, 1), "c": (2, 2)}, out
+
+
+def test_interval_length_sum_hand_cases(spark):
+    """Union length: overlaps counted once, touching merges, nested
+    absorbs, zero-length contributes 0, disjoint adds."""
+    rows = [
+        # g=a: [1,4]+[2,6] overlap -> [1,6]=5; [8,9]=1 -> 6
+        ("a", 1, 4), ("a", 2, 6), ("a", 8, 9),
+        # g=b: [1,2]+[2,3] touch -> [1,3] = 2
+        ("b", 1, 2), ("b", 2, 3),
+        # g=c: [1,10] nests [2,3]; [5,5] zero-length inside -> 9
+        ("c", 1, 10), ("c", 2, 3), ("c", 5, 5),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, start LONG, end LONG")
+    out = {
+        r.g: r.interval_length_sum
+        for r in interval_length_sum(df, by="g").collect()
+    }
+    assert out == {"a": 6, "b": 2, "c": 9}, out
+
+
+def test_delta_sum_hand_cases(spark):
+    """Only positive consecutive diffs count: a counter 0->5->3->7
+    contributes 5+4; a monotone 1->2->3 contributes 2; a single row 0."""
+    rows = [
+        ("a", 1, 0), ("a", 2, 5), ("a", 3, 3), ("a", 4, 7),
+        ("b", 1, 1), ("b", 2, 2), ("b", 3, 3),
+        ("c", 1, 42),
+    ]
+    df = spark.createDataFrame(rows, "g STRING, ts LONG, value LONG")
+    out = {r.g: r.delta_sum for r in delta_sum(df, by="g").collect()}
+    assert out == {"a": 9, "b": 2, "c": 0}, out
+
+
+def test_with_fill_integer_axis(spark):
+    """Missing steps materialize with defaults for every partition;
+    the axis spans the GLOBAL min..max, so a partition missing the
+    edges gets them filled too."""
+    rows = [("x", 1, 10), ("x", 3, 30), ("y", 2, 99)]
+    df = spark.createDataFrame(rows, "k STRING, t LONG, n LONG")
+    out = with_fill(
+        df, "t", F.lit(1), partition_cols=["k"], defaults={"n": 0}
+    )
+    got = {(r.k, r.t): r.n for r in out.collect()}
+    assert got == {
+        ("x", 1): 10, ("x", 2): 0, ("x", 3): 30,
+        ("y", 1): 0, ("y", 2): 99, ("y", 3): 0,
+    }, got
+
+
+def test_with_fill_date_axis_no_partition(spark):
+    d = datetime.date
+    rows = [(d(2024, 1, 1), 5), (d(2024, 1, 4), 7)]
+    df = spark.createDataFrame(rows, "day DATE, n LONG")
+    out = with_fill(df, "day", F.expr("interval 1 day"), defaults={"n": 0})
+    got = {r.day: r.n for r in out.collect()}
+    assert got == {
+        d(2024, 1, 1): 5, d(2024, 1, 2): 0,
+        d(2024, 1, 3): 0, d(2024, 1, 4): 7,
+    }, got

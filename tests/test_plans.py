@@ -384,6 +384,7 @@ def test_shuffle_budgets_hold(spark):
         "q11_important_share",  # 1-row broadcast of the total traded value
         "x4_unigram_logprob",  # 1-row broadcast of the corpus token total
         "x4_bm25_topk",  # 1-row broadcast of (N docs, total tokens)
+        "e_daily_fill",  # 1-row broadcast of the global fill-axis bounds
     }
     over, nested = {}, {}
     for name, budget in budgets.items():

@@ -405,3 +405,64 @@ def test_sequence_match_hand_cases(spark):
     )
     got = {r.user_id: r.matched for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 0, 4: 0, 5: 0}, got
+
+
+def test_sequence_count_hand_cases(spark):
+    """sequenceCount('(?1).*(?2).*(?3)') analog: earliest-completion
+    greedy = max number of DISJOINT matches. u2 proves non-overlap
+    (interleaved candidates collapse to 1); u5 proves strict increase
+    kills same-ts chains."""
+    from adguard2clickhouse_spark.operators.temporal import sequence_count
+
+    rows = [
+        # u1: two clean back-to-back matches
+        (1, 0, "view"), (1, 1, "click"), (1, 2, "purchase"),
+        (1, 3, "view"), (1, 4, "click"), (1, 5, "purchase"),
+        # u2: v c v c p p -> best disjoint set is 1 ([0,4] overlaps [2,5])
+        (2, 0, "view"), (2, 1, "click"), (2, 2, "view"),
+        (2, 3, "click"), (2, 4, "purchase"), (2, 5, "purchase"),
+        # u3: complete + incomplete tail
+        (3, 0, "view"), (3, 1, "click"), (3, 2, "purchase"),
+        (3, 3, "view"), (3, 4, "click"),
+        # u4: never starts
+        (4, 0, "click"), (4, 1, "purchase"),
+        # u5: ties break the strict chain
+        (5, 0, "view"), (5, 0, "click"), (5, 1, "purchase"),
+    ]
+    ev = spark.createDataFrame(
+        [(u, float(t), e) for u, t, e in rows],
+        "user_id LONG, ts DOUBLE, event_type STRING",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = sequence_count(
+        ev, [F.col("event_type") == s for s in ("view", "click", "purchase")]
+    )
+    got = {r.user_id: r.n_matches for r in out.collect()}
+    assert got == {1: 2, 2: 1, 3: 1, 4: 0, 5: 0}, got
+
+
+def test_sequence_count_single_cond_collapses_ties(spark):
+    """k=1: each match is one event, non-overlap is strictly-after —
+    so equal-timestamp events collapse to one match."""
+    from adguard2clickhouse_spark.operators.temporal import sequence_count
+
+    ev = spark.createDataFrame(
+        [(1, 0.0, "view"), (1, 0.0, "view"), (1, 1.0, "view")],
+        "user_id LONG, ts DOUBLE, event_type STRING",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = sequence_count(ev, [F.col("event_type") == "view"])
+    assert out.collect()[0].n_matches == 2
+
+
+def test_sequence_count_string_group_key(spark):
+    """The output schema follows the input group-key type."""
+    from adguard2clickhouse_spark.operators.temporal import sequence_count
+
+    ev = spark.createDataFrame(
+        [("a", 0.0, "view"), ("a", 1.0, "click"), ("b", 0.0, "click")],
+        "user_id STRING, ts DOUBLE, event_type STRING",
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    out = sequence_count(
+        ev, [F.col("event_type") == "view", F.col("event_type") == "click"]
+    )
+    got = {r.user_id: r.n_matches for r in out.collect()}
+    assert got == {"a": 1, "b": 0}, got
