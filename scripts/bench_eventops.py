@@ -7,10 +7,12 @@ gen_scale replicas.
 Protocol follows scripts/profile_scale_rows.py's lessons: one 48g
 session, warmup pass at sf0.001, then per-SF walls interleaved
 median-of-3, rows recorded (rows == 0 voids the run), flag ratios
-> threshold x the data multiple. The replicas multiply EVENTS (not
-users), so per-group work grows 10x per decade while group count is
-fixed — the expected shape for every one of these group-key
-operators is ratio ~= the data multiple once compute-bound.
+> threshold x the data multiple. gen_scale.py offsets user_id per
+copy, so GROUP COUNT scales with the data while per-group series
+stay constant-size — the embarrassingly-parallel shape for every one
+of these group-key operators; expect ratio ~= the data multiple once
+compute-bound (cf. the r7 sf100 finding: wall ratio == multiple IS
+linear on a fixed-core host).
 
 Writes BENCH_eventops_r7.json. Usage:
     python scripts/bench_eventops.py [--skip-sf10]
