@@ -20,8 +20,13 @@ ClickHouse's aggregate state carries — so the plan survives a 100 TB
 corpus exactly as well as any keyed counter rollup does.
 
 NULL keys are dropped (ClickHouse Maps cannot hold NULL keys); NULL
-values are ignored by the fold, matching the Map combinator's skip-NULL
-behavior.
+values are dropped BEFORE the fold, so a key whose values are all NULL
+is omitted from the result arrays entirely (ClickHouse's Map
+combinators likewise never emit an entry that no non-NULL value fed).
+A group whose rows contain no valid (key, value) pair at all is omitted
+from the output — the explode-then-groupBy shape has no row to carry
+it; callers needing empty arrays for such groups left-join this result
+back to their group frame.
 """
 
 from __future__ import annotations
@@ -48,7 +53,7 @@ def _map_agg(
         *by,
         F.col(f"_kv.{keys_col}").alias("_k"),
         F.col(f"_kv.{vals_col}").alias("_v"),
-    ).filter(F.col("_k").isNotNull())
+    ).filter(F.col("_k").isNotNull() & F.col("_v").isNotNull())
     per_key = kv.groupBy(*by, "_k").agg(_AGGS[agg]("_v").alias("_v"))
     packed = per_key.groupBy(*by).agg(
         F.sort_array(F.collect_list(F.struct("_k", "_v"))).alias("_pairs")

@@ -383,7 +383,7 @@ def ngram_jaccard_pairs(
         # registered t=0.8 both forms are identical (800000/1e6 = 4/5).
         from fractions import Fraction
 
-        _fr = Fraction(str(threshold))
+        _fr = Fraction(str(threshold)).limit_denominator(1_000_000)
         # sizes is one row per doc — NOT broadcastable at corpus scale;
         # AQE picks broadcast when it actually fits. Both joins alias
         # the SAME sizes plan (no withColumnRenamed below the join):
@@ -451,7 +451,7 @@ def ngram_jaccard_pairs_ppjoin(
     """
     from fractions import Fraction
 
-    fr = Fraction(str(threshold))
+    fr = Fraction(str(threshold)).limit_denominator(1_000_000)
     num, den = fr.numerator, fr.denominator
     from pyspark.sql import Window
 
@@ -1007,7 +1007,7 @@ def ngram_containment_pairs(
     # -> 299), silently admitting containment >= 0.299.
     from fractions import Fraction
 
-    _fr = Fraction(str(threshold))
+    _fr = Fraction(str(threshold)).limit_denominator(1_000_000)
     small = F.least(F.col("size_a"), F.col("size_b"))
     return (
         pairs.filter(

@@ -222,7 +222,11 @@ def with_fill(
         )
     )
     value_cols = [c for c in df.columns if c != fill_col and c not in g]
-    filled = axis.join(df, [*g, fill_col], "left")
+    # FULL join, not left: ClickHouse WITH FILL interleaves fill rows
+    # with the original rows — a source row whose fill value is off
+    # the step grid (hi − lo not a multiple of step) must survive,
+    # not be silently dropped by an axis-driven left join.
+    filled = axis.join(df, [*g, fill_col], "full")
     return filled.select(
         *g,
         fill_col,

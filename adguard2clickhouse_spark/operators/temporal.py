@@ -266,6 +266,11 @@ def sequence_match(
     shape to :func:`window_funnel` but without the window bound and
     keeping only the earliest anchor — shuffle-on-key end to end, no
     inequality-only join, no per-group state UDF.
+
+    A NULL group key reports matched = 0 even if its events chain:
+    the per-step equi-joins use SQL equality (NULL never joins), the
+    same semantics every ANSI-SQL oracle has — unlike a pure groupBy
+    (cf. :func:`retention`), which treats NULL as an ordinary group.
     """
     if not conds:
         raise ValueError("sequence_match needs at least one condition")
@@ -329,6 +334,10 @@ def sequence_count(
     sorted timestamp arrays: O(k · log n) per match found, not a
     per-row Python loop. The shuffle is one hash exchange on the
     group key — identical to any groupBy.
+
+    NULL handling mirrors :func:`sequence_match` and the relational
+    oracle: NULL timestamps never extend a chain, and a NULL group
+    key reports n_matches = 0 (the join-back uses SQL equality).
     """
     if not conds:
         raise ValueError("sequence_count needs at least one condition")
@@ -343,7 +352,11 @@ def sequence_count(
         mask.cast("long").alias("_m"),
     )
     groups = ev.select("_by").distinct()
-    hits = ev.filter(F.col("_m") > 0)
+    # NULL timestamps cannot participate in a strictly-increasing
+    # chain (relational '>' is never true for NULL — the oracle's
+    # semantics); without this filter NaN sorts last and searchsorted
+    # treats it as +inf, letting a NULL-ts event complete a match.
+    hits = ev.filter((F.col("_m") > 0) & F.col("_ts").isNotNull())
 
     def _count(pdf):
         import numpy as np

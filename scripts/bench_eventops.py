@@ -113,8 +113,9 @@ def main():
             )
             entry[f"ratio_{t1_}_vs_{t0_}"] = r
             if r is not None and r > args.slack * mult:
-                flagged.append(name)
-                entry["flag"] = (
+                if name not in flagged:
+                    flagged.append(name)
+                entry.setdefault("flags", []).append(
                     f"{t0_}->{t1_} ratio {r} > {args.slack}x the "
                     f"{mult}x data multiple"
                 )

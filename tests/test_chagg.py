@@ -49,3 +49,22 @@ def test_sum_map_rejects_unknown_agg(spark):
 
     with pytest.raises(ValueError):
         _map_agg(_df(spark), "keys", "vals", ["g"], "avg")
+
+
+def test_sum_map_drops_null_values_before_fold(spark):
+    """A key whose values are all NULL is OMITTED (skip-NULL fold),
+    and a group with no valid (key, value) pair at all vanishes."""
+    rows = [
+        ("a", ["x", "y"], [None, 2]),   # x all-NULL -> omitted
+        ("a", ["y"], [3]),
+        ("b", [], []),                  # no valid pair anywhere -> no row
+        ("b", ["z"], [None]),
+    ]
+    df = spark.createDataFrame(
+        rows, "g STRING, keys ARRAY<STRING>, vals ARRAY<LONG>"
+    )
+    out = {
+        r.g: (list(r.keys), list(r.vals))
+        for r in sum_map(df, by=["g"]).collect()
+    }
+    assert out == {"a": (["y"], [5])}, out

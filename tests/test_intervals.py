@@ -95,3 +95,14 @@ def test_with_fill_date_axis_no_partition(spark):
         d(2024, 1, 1): 5, d(2024, 1, 2): 0,
         d(2024, 1, 3): 0, d(2024, 1, 4): 7,
     }, got
+
+
+def test_with_fill_preserves_off_grid_rows(spark):
+    """A source row whose fill value is off the step grid survives
+    (ClickHouse WITH FILL interleaves fill rows with original rows);
+    the grid itself still densifies from the global min."""
+    rows = [("x", 1, 10), ("x", 4, 40)]
+    df = spark.createDataFrame(rows, "k STRING, t LONG, n LONG")
+    out = with_fill(df, "t", F.lit(2), partition_cols=["k"], defaults={"n": 0})
+    got = {(r.k, r.t): r.n for r in out.collect()}
+    assert got == {("x", 1): 10, ("x", 3): 0, ("x", 4): 40}, got

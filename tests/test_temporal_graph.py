@@ -466,3 +466,28 @@ def test_sequence_count_string_group_key(spark):
     )
     got = {r.user_id: r.n_matches for r in out.collect()}
     assert got == {"a": 1, "b": 0}, got
+
+
+def test_sequence_ops_null_handling(spark):
+    """NULL timestamps never extend a chain (count and match agree
+    with the relational oracle), and a NULL group key reports 0 via
+    SQL join equality — documented asymmetry with retention's pure
+    groupBy, which keeps NULL as an ordinary group."""
+    from adguard2clickhouse_spark.operators.temporal import (
+        sequence_count,
+        sequence_match,
+    )
+
+    rows = [
+        (1, 0.0, "view"), (1, None, "click"),          # NULL ts can't chain
+        (None, 0.0, "view"), (None, 1.0, "click"),      # NULL group key
+        (2, 0.0, "view"), (2, 1.0, "click"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id LONG, ts DOUBLE, event_type STRING"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+    conds = [F.col("event_type") == s for s in ("view", "click")]
+    cnt = {r.user_id: r.n_matches for r in sequence_count(ev, conds).collect()}
+    assert cnt == {1: 0, None: 0, 2: 1}, cnt
+    mat = {r.user_id: r.matched for r in sequence_match(ev, conds).collect()}
+    assert mat == {1: 0, None: 0, 2: 1}, mat
