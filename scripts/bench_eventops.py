@@ -52,11 +52,26 @@ SFS = [
     ("sf10", "/root/repo/.localdata/sf10", 100),
 ]
 
+# --fourth-decade: sf10 -> sf100 (~200M events) for the heaviest
+# representatives of each plan family — the sort-window sweep, the
+# grouped-stateful kernel, the Map fold, and the two-pass LTTB.
+SFS_4TH = [
+    ("sf10", "/root/repo/.localdata/sf10", 100),
+    ("sf100", "/root/repo/.localdata/sf100", 1000),
+]
+QUERIES_4TH = [
+    "e_max_concurrent",
+    "e_sequence_count",
+    "e_summap_daily",
+    "e_lttb_downsample",
+]
+
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-sf10", action="store_true")
+    ap.add_argument("--fourth-decade", action="store_true")
     # flag superlinear only: >1.2x the decade's data multiple
     # (wall ratio == multiple IS linear scaling once compute-bound)
     ap.add_argument("--slack", type=float, default=1.2)
@@ -71,7 +86,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
 
-    sfs = [s for s in SFS if not (args.skip_sf10 and s[0] == "sf10")]
+    global QUERIES
+    if args.fourth_decade:
+        QUERIES = QUERIES_4TH
+        sfs = SFS_4TH
+        args.out = "BENCH_eventops_sf100_r7.json"
+    else:
+        sfs = [s for s in SFS if not (args.skip_sf10 and s[0] == "sf10")]
     for name in QUERIES:  # JIT/codegen warmup
         qs[name](spark, "/root/testdata/sf0.001").count()
 
