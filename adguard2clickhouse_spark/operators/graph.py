@@ -87,12 +87,24 @@ def connected_components(
     """
     if max_collect_edges:
         e_raw = edges.select(
-            F.col(src_col).cast("long").alias("_u"),
-            F.col(dst_col).cast("long").alias("_v"),
+            F.col(src_col).try_cast("long").alias("_u"),
+            F.col(dst_col).try_cast("long").alias("_v"),
         ).persist()
         try:
             if e_raw.count() <= max_collect_edges:
-                pairs = [(r._u, r._v) for r in e_raw.collect()]
+                # Drop edges with a NULL endpoint (source NULL, or an id
+                # the long cast nulled out). The iterative path below
+                # drops them implicitly — a NULL _v never matches the
+                # label join — so the fast path must match; before this
+                # filter one NULL endpoint raised TypeError in the
+                # sorted() below and in _unionfind_components' min()
+                # (ADVICE r7 medium: default-path crash on a public
+                # operator).
+                pairs = [
+                    (r._u, r._v)
+                    for r in e_raw.collect()
+                    if r._u is not None and r._v is not None
+                ]
                 spark = nodes.sparkSession
                 # membership WITHOUT shuffling nodes: broadcast the
                 # (small) endpoint set into one semi-join scan of the

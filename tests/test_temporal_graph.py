@@ -189,6 +189,42 @@ def test_cc_phantom_edge_endpoints_are_dropped(spark):
         assert got == {1: 1, 2: 1, 5: 5}, ("fast" if cap else "iterative", got)
 
 
+def test_cc_null_edge_endpoints_are_dropped(spark):
+    """ADVICE r7 (medium): an edge with a NULL endpoint — source NULL
+    or an id that cast('long')s to NULL — crashed the default
+    union-find fast path with TypeError (None in sorted()/min()). Both
+    paths must instead drop such edges: they can relay nothing because
+    NULL is not a node id."""
+    nodes = spark.createDataFrame([(1,), (2,), (5,)], "doc_id LONG")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, None), (None, 5), (None, None)],
+        "doc_a LONG, doc_b LONG",
+    )
+    for cap in (100_000, 0):  # union-find fast path AND distributed loop
+        got = {
+            r.doc_id: r.component
+            for r in connected_components(
+                nodes, edges, max_collect_edges=cap
+            ).collect()
+        }
+        # NULL edges dropped: 5 stays its own component, no crash
+        assert got == {1: 1, 2: 1, 5: 5}, ("fast" if cap else "iterative", got)
+
+
+def test_cc_uncastable_id_edge_is_dropped(spark):
+    """String ids that don't parse as long become NULL under the fast
+    path's cast — same drop contract, no crash."""
+    nodes = spark.createDataFrame([("1",), ("2",)], "doc_id STRING")
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "not-a-number")], "doc_a STRING, doc_b STRING"
+    )
+    got = {
+        r.doc_id: r.component
+        for r in connected_components(nodes, edges).collect()
+    }
+    assert got == {"1": 1, "2": 1}
+
+
 def test_cc_non_convergence_raises(spark):
     nodes = spark.createDataFrame([(i,) for i in range(6)], "doc_id LONG")
     edges = spark.createDataFrame(
