@@ -174,64 +174,143 @@ def delta_sum(
     )
 
 
+def _axis_steps(lo, hi, stepv):
+    """Best-effort driver-side estimate of one partition's axis length
+    (number of sequence elements), or None when the step type isn't one
+    we can do arithmetic on (the guard then skips — documented)."""
+    import datetime as _dt
+    import decimal as _dec
+
+    try:
+        if isinstance(stepv, _dt.timedelta):
+            span = hi - lo  # date−date and timestamp−timestamp → timedelta
+            return int(abs(span / stepv)) + 1
+        if isinstance(stepv, bool):
+            return None
+        if isinstance(stepv, (int, float, _dec.Decimal)):
+            if stepv == 0:
+                return None
+            return int(abs((hi - lo) / stepv)) + 1
+    except Exception:
+        return None
+    return None
+
+
 def with_fill(
     df: DataFrame,
     fill_col: str,
     step,
     partition_cols=None,
     defaults: dict | None = None,
+    max_axis_rows: int | None = 10_000_000,
 ) -> DataFrame:
     """``ORDER BY fill_col WITH FILL STEP step`` analog: materialize
     every missing step of the ``fill_col`` axis between the GLOBAL min
     and max (per the whole frame, ClickHouse's default FROM/TO), for
-    every distinct combination of ``partition_cols``; missing rows take
-    ``defaults[col]`` (or NULL) for the remaining columns.
+    every distinct combination of ``partition_cols``; SYNTHESIZED rows
+    take ``defaults[col]`` (or NULL) for the remaining columns —
+    original rows keep their values, including genuine NULLs
+    (ClickHouse WITH FILL defaults apply only to fill rows it
+    interleaves, never to source rows).
 
     ``step`` is a Column literal: ``F.lit(1)`` for integer axes,
     ``F.expr("interval 1 day")`` for date axes — anything
     ``F.sequence`` accepts.
 
+    ``max_axis_rows`` guards the axis explode: wide bounds × many
+    partition tuples silently materialize (hi−lo)/step·n_partitions
+    rows before the join (one stray 1970 timestamp in a microsecond
+    axis = trillions). The guard costs one 1-row driver probe — the
+    same per-partition min/max aggregate the axis needs anyway, folded
+    to (global lo, global hi, partition count, step literal) — and
+    raises with the offending bounds when the estimate exceeds the
+    cap. Pass ``None`` to skip the probe entirely (the original fully
+    in-plan form: bounds ride a 1-row broadcast, no driver action).
+    Steps whose type the driver can't do arithmetic on (exotic
+    intervals) skip the estimate rather than guessing.
+
     Plan: ONE per-partition min/max aggregate feeds both the distinct
-    partition tuples and (re-aggregated, 1 row, broadcast) the global
-    axis bounds — ``df``'s lineage executes twice (stats pass + join
-    pass), not three times; different column pruning would otherwise
-    de-canonicalize the three subtrees and defeat exchange reuse. The
-    axis is one ``sequence`` explode per partition tuple and the fill
-    is a left join on (partition…, fill) — broadcastable whenever the
-    filled axis is small, AQE decides. No driver collect anywhere.
-    Callers filling a large raw frame should pre-aggregate (as a fill
-    axis practically always is) or persist upstream — the stats pass
-    re-executes the input lineage once.
+    partition tuples and the global axis bounds (collected by the
+    guard probe and inlined as literals; or, when the guard is off,
+    re-aggregated to 1 row and broadcast). The axis is one
+    ``sequence`` explode per partition tuple and the fill is a full
+    join on (partition…, fill) — broadcastable whenever the filled
+    axis is small, AQE decides. Callers filling a large raw frame
+    should pre-aggregate (as a fill axis practically always is) or
+    persist upstream — the stats pass re-executes the input lineage
+    once.
     """
     g = _group(partition_cols)
     defaults = defaults or {}
     per_part = df.groupBy(*g).agg(
         F.min(fill_col).alias("_plo"), F.max(fill_col).alias("_phi")
     )
-    bounds = per_part.agg(
-        F.min("_plo").alias("_lo"), F.max("_phi").alias("_hi")
-    )
-    axis = (
-        per_part.select(*g)
-        .crossJoin(F.broadcast(bounds))
-        .select(
+    if max_axis_rows is not None:
+        # one 1-row probe: global bounds + partition count + the step
+        # literal (max over a constant = the constant), all in the same
+        # aggregate — no second pass over df's lineage for the guard.
+        probe = per_part.agg(
+            F.min("_plo").alias("_lo"),
+            F.max("_phi").alias("_hi"),
+            F.count(F.lit(1)).alias("_np"),
+            F.max(step).alias("_step"),
+        ).first()
+        if probe._lo is None:
+            # empty input (or all-NULL axis): nothing to fill
+            return df.select(*g, fill_col, *[
+                c for c in df.columns if c != fill_col and c not in g
+            ])
+        per_len = _axis_steps(probe._lo, probe._hi, probe._step)
+        if per_len is not None:
+            est = per_len * max(probe._np, 1)
+            if est > max_axis_rows:
+                raise ValueError(
+                    f"with_fill axis would materialize ~{est:,} rows "
+                    f"(bounds {probe._lo!r}..{probe._hi!r}, step "
+                    f"{probe._step!r}, {probe._np} partition tuples) > "
+                    f"max_axis_rows={max_axis_rows:,}; use a coarser "
+                    "step, clamp the axis bounds upstream, or raise/"
+                    "disable max_axis_rows"
+                )
+        axis = per_part.select(*g).select(
             *g,
             F.explode(
-                F.sequence(F.col("_lo"), F.col("_hi"), step)
+                F.sequence(F.lit(probe._lo), F.lit(probe._hi), step)
             ).alias(fill_col),
         )
-    )
+    else:
+        bounds = per_part.agg(
+            F.min("_plo").alias("_lo"), F.max("_phi").alias("_hi")
+        )
+        axis = (
+            per_part.select(*g)
+            .crossJoin(F.broadcast(bounds))
+            .select(
+                *g,
+                F.explode(
+                    F.sequence(F.col("_lo"), F.col("_hi"), step)
+                ).alias(fill_col),
+            )
+        )
     value_cols = [c for c in df.columns if c != fill_col and c not in g]
     # FULL join, not left: ClickHouse WITH FILL interleaves fill rows
     # with the original rows — a source row whose fill value is off
     # the step grid (hi − lo not a multiple of step) must survive,
-    # not be silently dropped by an axis-driven left join.
-    filled = axis.join(df, [*g, fill_col], "full")
+    # not be silently dropped by an axis-driven left join. The marker
+    # column distinguishes "no source row matched this axis point"
+    # (synthesized → default) from "source row with a genuine NULL
+    # value" (kept as NULL) — coalesce on the value itself conflated
+    # the two.
+    src = df.withColumn("__wf_src__", F.lit(True))
+    filled = axis.join(src, [*g, fill_col], "full")
+    synthesized = F.col("__wf_src__").isNull()
     return filled.select(
         *g,
         fill_col,
         *[
-            F.coalesce(F.col(c), F.lit(defaults[c])).alias(c)
+            F.when(synthesized, F.lit(defaults[c]))
+            .otherwise(F.col(c))
+            .alias(c)
             if c in defaults
             else F.col(c)
             for c in value_cols

@@ -182,11 +182,18 @@ def lttb(
     denominator cl²·cr is dropped and the numerator
     |(Stl·cr − Str·cl)(v·cl − Svl) − (Stl − t·cl)(Svr·cl − Svl·cr)|
     is computed in decimal(38,0) (DuckDB twin: HUGEINT), so the
-    selected points replay bit-identically cross-engine. Magnitude
-    bound: the numerator must fit 38 digits — epoch-micros × cents ×
-    per-bucket counts up to ~10⁵ do (≈10²³); rebase ``t_col`` per
-    group before calling if the series is both long and dense enough
-    to approach the bound.
+    selected points replay bit-identically cross-engine. The numerator
+    is built entirely from differences, so it is EXACTLY invariant
+    under per-group translation of t and v — each group is therefore
+    rebased to (t − min t, v − min v) before the arithmetic (ADVICE
+    r7: on absolute epoch-micros × cents the 38-digit bound was
+    reachable and non-ANSI decimal overflow silently NULLed the area,
+    degrading the pick to min-t while the HUGEINT oracle kept the true
+    argmax). After rebasing, overflow needs span_t · span_v ·
+    count² ≈ 10³⁸ — if a pathological series still hits it the area
+    raises (``raise_error``) instead of silently mis-picking. Rows
+    with a NULL t or v are dropped up front (they are unplottable and
+    would otherwise NULL-poison the sums).
 
     Requires distinct ``t_col`` per group (pre-aggregate duplicates);
     ties in area break to the smaller t; buckets left empty by short
@@ -214,10 +221,19 @@ def lttb(
 
     w = Window.partitionBy(*g).orderBy(F.col("_t"))
     wall = Window.partitionBy(*g)
-    pts = df.select(*g, F.col(t_col).alias("_t"), F.col(v_col).alias("_v"))
+    pts = df.select(
+        *g, F.col(t_col).alias("_t"), F.col(v_col).alias("_v")
+    ).filter(F.col("_t").isNotNull() & F.col("_v").isNotNull())
     bucketed = (
         pts.withColumn("_rn", F.row_number().over(w))
         .withColumn("_cnt", F.count(F.lit(1)).over(wall))
+        # per-group rebase: the area numerator is translation-invariant,
+        # so working in (_t−min, _v−min) keeps decimal(38,0) far from
+        # its bound without changing any pick (see docstring)
+        .withColumn("_t0", F.min("_t").over(wall))
+        .withColumn("_v0", F.min("_v").over(wall))
+        .withColumn("_tr", F.col("_t") - F.col("_t0"))
+        .withColumn("_vr", F.col("_v") - F.col("_v0"))
         .withColumn(
             "_b",
             F.when(F.col("_rn") == 1, F.lit(-1))
@@ -235,9 +251,13 @@ def lttb(
     aggs = (
         bucketed.groupBy(*g, "_b")
         .agg(
-            F.sum("_t").alias("_st"),
-            F.sum("_v").alias("_sv"),
+            F.sum("_tr").alias("_st"),
+            F.sum("_vr").alias("_sv"),
             F.count(F.lit(1)).alias("_c"),
+            # group constants, carried so the endpoint pseudo-buckets
+            # can emit ORIGINAL coordinates (their sums are rebased)
+            F.min("_t0").alias("_t0"),
+            F.min("_v0").alias("_v0"),
         )
         .localCheckpoint(eager=False)
     )
@@ -247,6 +267,8 @@ def lttb(
         "_b",
         "_st",
         "_sv",
+        "_t0",
+        "_v0",
         F.lag("_st").over(wb).alias("_stl"),
         F.lag("_sv").over(wb).alias("_svl"),
         F.lag("_c").over(wb).alias("_cl"),
@@ -256,13 +278,25 @@ def lttb(
     )
     interior = bucketed.filter(
         (F.col("_b") >= 0) & (F.col("_b") < n_buckets)
-    ).select(*g, "_b", "_t", "_v")
+    ).select(*g, "_b", "_t", "_v", "_tr", "_vr")
     d = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     num = F.abs(
         (d(F.col("_stl")) * d(F.col("_cr")) - d(F.col("_str")) * d(F.col("_cl")))
-        * (d(F.col("_v")) * d(F.col("_cl")) - d(F.col("_svl")))
-        - (d(F.col("_stl")) - d(F.col("_t")) * d(F.col("_cl")))
+        * (d(F.col("_vr")) * d(F.col("_cl")) - d(F.col("_svl")))
+        - (d(F.col("_stl")) - d(F.col("_tr")) * d(F.col("_cl")))
         * (d(F.col("_svr")) * d(F.col("_cl")) - d(F.col("_svl")) * d(F.col("_cr")))
+    )
+    # anchors are never NULL for interior rows (the endpoint pseudo-
+    # buckets guarantee a neighbor on both sides) and NULL t/v rows
+    # were dropped — a NULL numerator can only be non-ANSI decimal
+    # overflow, which must fail loudly, not mis-pick as min-t.
+    num = F.when(num.isNotNull(), num).otherwise(
+        F.raise_error(
+            F.lit(
+                "lttb: decimal(38,0) area overflow even after per-group "
+                "rebase — pre-scale t/v to smaller units"
+            )
+        ).cast("decimal(38,0)")
     )
     wpick = Window.partitionBy(*g, "_b").orderBy(
         F.col("_area").desc_nulls_last(), F.col("_t").asc()
@@ -281,7 +315,9 @@ def lttb(
     endpoints = anch.filter(
         (F.col("_b") == -1) | (F.col("_b") == n_buckets)
     ).select(
-        *g, F.col("_st").alias("_t"), F.col("_sv").alias("_v")
+        *g,
+        (F.col("_st") + F.col("_t0")).alias("_t"),
+        (F.col("_sv") + F.col("_v0")).alias("_v"),
     )
     out_cols = [*g, F.col("_t").alias(t_col), F.col("_v").alias(v_col)]
     return endpoints.select(*out_cols).unionByName(picked.select(*out_cols))

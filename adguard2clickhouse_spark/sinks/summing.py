@@ -89,6 +89,14 @@ class SummingParquetSink:
         for m, f in self.folds.items():
             if f not in _FOLDS:
                 raise ValueError(f"unknown fold {f!r} for measure {m!r}")
+        # Observation from the most recent SPARSE fold's touched-bucket
+        # discovery: did that delta touch every bucket? None until a
+        # sparse fold has run. The pipeline's dense_folds="auto" gate
+        # reads this (ADVICE r7: gating on raw epoch rows alone lets a
+        # 100k-row single-hot-key epoch pick dense and rewrite every
+        # bucket — bucket coverage depends on the delta's DISTINCT-KEY
+        # count, which only the discovery job actually measures).
+        self.last_fold_touched_all: bool | None = None
         os.makedirs(path, exist_ok=True)
 
     def _fold_exprs(self):
@@ -294,6 +302,7 @@ class SummingParquetSink:
             touched = sorted(
                 r[0] for r in tagged.select(_BUCKET).distinct().collect()
             )
+            self.last_fold_touched_all = len(touched) == self.n_buckets
             if not touched:
                 # empty delta: still record the epoch/token for idempotency
                 if epoch_id is not None or token is not None:

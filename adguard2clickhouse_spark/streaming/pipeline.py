@@ -151,10 +151,25 @@ class QuerylogPipeline:
     def _dense_fold(self, sink: SummingParquetSink, n_rows: int) -> bool:
         """Per-epoch per-sink fold strategy (see ``dense_folds`` in
         ``__init__``): dense when the strategy is pinned True, sparse
-        when pinned False, else dense iff the epoch's rows can be
-        expected to touch every bucket (rows ≥ 4·n_buckets)."""
+        when pinned False. "auto" needs TWO signals (ADVICE r7: the
+        raw row count alone is the wrong quantity — bucket coverage
+        depends on the delta's distinct-KEY count, so a 100k-row epoch
+        on one hot key would pick dense and rewrite every bucket,
+        defeating the O(touched-state) property): (1) rows ≥
+        4·n_buckets makes full coverage plausible, and (2) the sink's
+        LAST sparse discovery actually observed a delta touching every
+        bucket (``last_fold_touched_all``, measured for free by the
+        discovery job). The first epoch therefore always runs sparse —
+        one discovery job at startup buys the measurement; steady-state
+        keyed traffic flips to dense on epoch 2, while hot-key traffic
+        stays sparse for good. A traffic shift while dense goes
+        unobserved (dense never measures) — that costs rewritten-but-
+        identical buckets, never correctness."""
         if self.dense_folds == "auto":
-            return n_rows >= 4 * sink.n_buckets
+            return (
+                n_rows >= 4 * sink.n_buckets
+                and sink.last_fold_touched_all is True
+            )
         return bool(self.dense_folds)
 
     # -- the per-micro-batch body (the reference's "insert block") ----------

@@ -25,16 +25,22 @@ def main():
 
     def missing(t):
         """Absent OR invalid: an interrupted COPY leaves a footer-less
-        file (the r6 sf100 lineitem) — existence alone is not done."""
+        file (the r6 sf100 lineitem) — existence alone is not done.
+        Only a confirmed-invalid footer (pyarrow's ArrowInvalid) or an
+        unreadable file (OSError) deletes and regenerates; anything
+        else (ImportError, MemoryError, a transient glitch) propagates
+        rather than destroying a multi-hour artifact (ADVICE r7: the
+        bare ``except Exception: os.remove``)."""
         p = f"{args.out}/{t}.parquet"
         if not os.path.exists(p):
             return True
-        try:
-            import pyarrow.parquet as pq
+        import pyarrow.lib
+        import pyarrow.parquet as pq
 
+        try:
             pq.ParquetFile(p)
             return False
-        except Exception:
+        except (pyarrow.lib.ArrowInvalid, OSError):
             os.remove(p)
             return True
 

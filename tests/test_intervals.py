@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from adguard2clickhouse_spark.operators.intervals import (
@@ -95,6 +96,67 @@ def test_with_fill_date_axis_no_partition(spark):
         d(2024, 1, 1): 5, d(2024, 1, 2): 0,
         d(2024, 1, 3): 0, d(2024, 1, 4): 7,
     }, got
+
+
+def test_with_fill_keeps_genuine_nulls_in_source_rows(spark):
+    """ADVICE r8: defaults apply only to SYNTHESIZED fill rows
+    (ClickHouse WITH FILL interleaves fill rows; it never rewrites a
+    source row). A source row with a real NULL measure must stay NULL,
+    while the missing axis point still takes the default."""
+    rows = [("x", 1, 10), ("x", 3, None)]
+    df = spark.createDataFrame(rows, "k STRING, t LONG, n LONG")
+    out = with_fill(df, "t", F.lit(1), partition_cols=["k"], defaults={"n": 0})
+    got = {(r.k, r.t): r.n for r in out.collect()}
+    assert got == {("x", 1): 10, ("x", 2): 0, ("x", 3): None}, got
+
+
+def test_with_fill_axis_guard_trips(spark):
+    """One stray wide bound must raise, not materialize the axis:
+    integer axis spanning 10^9 with step 1 exceeds the default cap."""
+    df = spark.createDataFrame(
+        [("x", 0, 1), ("x", 1_000_000_000, 2)], "k STRING, t LONG, n LONG"
+    )
+    with pytest.raises(ValueError, match="max_axis_rows"):
+        with_fill(df, "t", F.lit(1), partition_cols=["k"], defaults={"n": 0})
+
+
+def test_with_fill_axis_guard_counts_partition_tuples(spark):
+    """The estimate is per-partition length × partition count: 3
+    partitions × 500k-step axis > 1M cap even though one partition's
+    axis alone is under it."""
+    rows = [(f"p{i}", t, 1) for i in range(3) for t in (0, 500_000)]
+    df = spark.createDataFrame(rows, "k STRING, t LONG, n LONG")
+    with pytest.raises(ValueError, match="partition tuples"):
+        with_fill(
+            df, "t", F.lit(1), partition_cols=["k"],
+            defaults={"n": 0}, max_axis_rows=1_000_000,
+        )
+    # same data passes with the cap raised
+    out = with_fill(
+        df, "t", F.lit(1), partition_cols=["k"],
+        defaults={"n": 0}, max_axis_rows=2_000_000,
+    )
+    assert out.count() == 3 * 500_001
+
+
+def test_with_fill_guard_off_is_fully_in_plan(spark):
+    """max_axis_rows=None keeps the original no-driver-collect form
+    and identical results."""
+    rows = [("x", 1, 10), ("x", 3, 30)]
+    df = spark.createDataFrame(rows, "k STRING, t LONG, n LONG")
+    out = with_fill(
+        df, "t", F.lit(1), partition_cols=["k"],
+        defaults={"n": 0}, max_axis_rows=None,
+    )
+    got = {(r.k, r.t): r.n for r in out.collect()}
+    assert got == {("x", 1): 10, ("x", 2): 0, ("x", 3): 30}, got
+
+
+def test_with_fill_empty_input(spark):
+    df = spark.createDataFrame([], "k STRING, t LONG, n LONG")
+    assert with_fill(
+        df, "t", F.lit(1), partition_cols=["k"], defaults={"n": 0}
+    ).count() == 0
 
 
 def test_with_fill_preserves_off_grid_rows(spark):

@@ -50,3 +50,37 @@ def test_lttb_area_tie_breaks_to_smaller_t(spark):
             [(0, 0), (1, 5), (2, -5), (3, 0), (4, 0), (5, 0)]]
     got = _run(spark, rows, nb=2)
     assert (1, 5) in got["a"] and (2, -5) not in got["a"], got
+
+
+def test_lttb_rebase_keeps_picks_translation_invariant(spark):
+    """ADVICE r7: absolute epoch-micros × cents could overflow
+    decimal(38,0) and silently NULL the area. The numerator is built
+    from differences, so the per-group (min t, min v) rebase must
+    leave every pick identical — verified by shifting the same series
+    to near-epoch-max magnitudes."""
+    base = [(t, (t * 37) % 11 - 5) for t in range(40)]
+    rows_lo = [("a", t, v) for t, v in base]
+    shift_t, shift_v = 1_700_000_000_000_000, 10_000_000_000
+    rows_hi = [("a", t + shift_t, v + shift_v) for t, v in base]
+    got_lo = _run(spark, rows_lo, nb=5)["a"]
+    got_hi = _run(spark, rows_hi, nb=5)["a"]
+    assert [(t + shift_t, v + shift_v) for t, v in got_lo] == got_hi
+
+
+def test_lttb_huge_magnitudes_no_silent_mispick(spark):
+    """Near the old failure mode: values at ~10^18 with large spans.
+    After rebasing, spans (not absolute values) drive the arithmetic,
+    so the max-area point is still found (pre-fix these areas went
+    NULL and the pick degraded to min-t)."""
+    t0, v0 = 1_700_000_000_000_000, 900_000_000_000_000_000
+    rows = [("a", t0 + t, v0) for t in range(10)]
+    # one spike mid-bucket: must be picked over its flat neighbors
+    rows[5] = ("a", t0 + 5, v0 + 123_456)
+    got = _run(spark, rows, nb=2)["a"]
+    assert (t0 + 5, v0 + 123_456) in got, got
+
+
+def test_lttb_null_tv_rows_dropped(spark):
+    rows = [("a", 0, 0), ("a", None, 9), ("a", 2, None), ("a", 5, 5)]
+    got = _run(spark, rows, nb=1)["a"]
+    assert got == [(0, 0), (5, 5)], got

@@ -628,23 +628,32 @@ def test_replay_dead_letters_recovers_fixed_lines(tmp_path, spark):
 
 def test_dense_fold_strategy_auto_and_pinned(spark, tmp_path):
     """ADVICE r6: r6 hardwired dense=True into every epoch, silently
-    trading away the sink's O(touched-state) contract. The strategy is
-    now per-epoch per-sink: auto folds dense only when the epoch's row
-    count implies every bucket is touched (rows >= 4*n_buckets);
-    pinned True/False override both ways."""
+    trading away the sink's O(touched-state) contract. ADVICE r7
+    tightened auto again: the row count alone is the wrong quantity
+    (a 100k-row hot-key epoch touches ONE bucket), so auto now also
+    requires the sink's last sparse discovery to have OBSERVED a
+    delta touching every bucket. Pinned True/False override both
+    ways."""
     pipe = QuerylogPipeline(spark, str(tmp_path / "s"), str(tmp_path / "o"))
 
-    class _Sink:  # only n_buckets is consulted
+    class _Sink:  # only n_buckets + the observation are consulted
         n_buckets = 8
+        last_fold_touched_all = None
 
     s = _Sink()
     assert pipe.dense_folds == "auto"
+    # no observation yet: sparse regardless of rows (first epoch measures)
     assert pipe._dense_fold(s, 0) is False
+    assert pipe._dense_fold(s, 10_000) is False
+    s.last_fold_touched_all = True
     assert pipe._dense_fold(s, 31) is False      # low-traffic epoch: sparse
     assert pipe._dense_fold(s, 32) is True       # 4*n_buckets boundary
     assert pipe._dense_fold(s, 10_000) is True
+    s.last_fold_touched_all = False              # hot-key history: sparse
+    assert pipe._dense_fold(s, 10_000) is False
     wide = _Sink()
     wide.n_buckets = 4096                        # future high-n_buckets sink
+    wide.last_fold_touched_all = True
     assert pipe._dense_fold(wide, 10_000) is False
 
     pinned_on = QuerylogPipeline(

@@ -321,3 +321,75 @@ def test_dense_fold_equals_sparse_and_stays_idempotent(tmp_path, spark):
     sparse.apply_delta(d3, epoch_id=3)
     dense.apply_delta(d3, epoch_id=3, dense=True)
     assert state(dense) == state(sparse)
+
+
+def test_auto_dense_gate_tracks_delta_keys_not_epoch_rows(tmp_path, spark):
+    """ADVICE r7: dense_folds="auto" gated on the RAW epoch row count,
+    so a 100k-row epoch on one hot key picked dense and rewrote every
+    bucket. The gate must reflect the delta's distinct-key coverage:
+    the sink records whether the last sparse discovery touched all
+    buckets, and auto goes dense only after observing full coverage."""
+    from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+    sink = SummingParquetSink(
+        str(tmp_path / "s"), keys=["k"], measures=["cnt"], n_buckets=8
+    )
+    pipe = object.__new__(QuerylogPipeline)  # only dense_folds is read
+    pipe.dense_folds = "auto"
+
+    # no observation yet: even a huge epoch must start sparse
+    assert pipe._dense_fold(sink, n_rows=100_000) is False
+
+    # hot-key delta (1 distinct key): sparse fold observes 1/8 buckets
+    hot = spark.createDataFrame([("hotkey", 100_000)], ["k", "cnt"])
+    sink.apply_delta(hot, epoch_id=0)
+    assert sink.last_fold_touched_all is False
+    assert pipe._dense_fold(sink, n_rows=100_000) is False
+
+    # spread delta touching all 8 buckets: observation flips, and auto
+    # goes dense only when rows also clear the 4x-buckets floor
+    spread = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(256)], ["k", "cnt"]
+    )
+    sink.apply_delta(spread, epoch_id=1)
+    assert sink.last_fold_touched_all is True
+    assert pipe._dense_fold(sink, n_rows=256) is True
+    assert pipe._dense_fold(sink, n_rows=8) is False
+
+    # pinned strategies ignore the observation
+    pipe.dense_folds = True
+    assert pipe._dense_fold(sink, n_rows=1) is True
+    pipe.dense_folds = False
+    assert pipe._dense_fold(sink, n_rows=10**6) is False
+
+
+def test_hot_key_epoch_leaves_untouched_buckets_byte_identical(tmp_path, spark):
+    """The property the auto gate exists to protect: a single-key delta
+    folded sparsely rewrites only that key's bucket — every other
+    bucket's files stay byte-identical."""
+    sink = SummingParquetSink(
+        str(tmp_path / "s"), keys=["k"], measures=["cnt"], n_buckets=8
+    )
+    base = spark.createDataFrame(
+        [(f"key{i}", 1) for i in range(256)], ["k", "cnt"]
+    )
+    sink.apply_delta(base, epoch_id=0)
+
+    def bucket_files():
+        out = {}
+        for p in sorted(Path(sink.path).rglob("*.parquet")):
+            out[str(p)] = hashlib.sha256(p.read_bytes()).hexdigest()
+        return out
+
+    before = bucket_files()
+    hot = spark.createDataFrame([("key1", 50)], ["k", "cnt"])
+    sink.apply_delta(hot, epoch_id=1)  # sparse: default
+    after = bucket_files()
+    # untouched buckets: same files, same bytes (new files appear only
+    # under the one rewritten bucket's next version dir)
+    surviving = {p: h for p, h in before.items() if p in after}
+    assert surviving == {p: h for p, h in after.items() if p in before}
+    changed_dirs = {
+        str(Path(p).parent) for p in set(after) - set(before)
+    }
+    assert len(changed_dirs) == 1, changed_dirs
