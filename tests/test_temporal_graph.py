@@ -392,6 +392,64 @@ def test_window_funnel_hand_cases(spark):
     assert got == {1: 3, 2: 3, 3: 0, 4: 1, 5: 1}, got
 
 
+def _brute_funnel(rows, k, window):
+    """Exhaustive per-anchor greedy reference: for every cond1 event as
+    anchor, greedily chain the earliest next-cond event strictly later
+    than the tip and within anchor+window; report the deepest level."""
+    by_user: dict = {}
+    for u, t, c in rows:
+        by_user.setdefault(u, []).append((t, c))
+    out = {}
+    for u, evs in by_user.items():
+        best = 0
+        for t0, c0 in evs:
+            if c0 != 0:
+                continue
+            tip, lvl = t0, 1
+            for i in range(1, k):
+                cands = [
+                    t for t, c in evs
+                    if c == i and t > tip and t <= t0 + window
+                ]
+                if not cands:
+                    break
+                tip, lvl = min(cands), lvl + 1
+            best = max(best, lvl)
+        out[u] = best
+    return out
+
+
+def test_window_funnel_random_vs_brute_force(spark):
+    """The r9 sort-based level step must agree with the exhaustive
+    per-anchor reference on dense random instances (many ties, events
+    usable by several anchors, windows cutting chains mid-way)."""
+    import random
+
+    from adguard2clickhouse_spark.operators.temporal import window_funnel
+
+    rng = random.Random(90210)
+    rows = [
+        (u, float(rng.randint(0, 30)), rng.randint(0, 3))
+        for u in range(25)
+        for _ in range(rng.randint(1, 25))
+    ]
+    for window in (5, 12, 100):
+        want = _brute_funnel(rows, 4, window)
+        ev = spark.createDataFrame(
+            rows, "user_id LONG, ts DOUBLE, etype LONG"
+        ).select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "etype"
+        )
+        out = window_funnel(
+            ev, [F.col("etype") == i for i in range(4)], window_seconds=window
+        )
+        got = {r.user_id: r.level for r in out.collect()}
+        assert got == want, (window, {
+            u: (got.get(u), want.get(u))
+            for u in want if got.get(u) != want.get(u)
+        })
+
+
 def test_retention_hand_cases(spark):
     """ClickHouse retention analog: r1 = cond1 ever, ri = cond1 AND
     condi — a user hitting cond2 without cond1 reports r2 = 0."""
