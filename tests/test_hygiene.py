@@ -120,6 +120,92 @@ def test_no_duplicate_test_names_in_any_test_module():
     assert not offenders, f"duplicate top-level defs shadow tests: {offenders}"
 
 
+# Paths whose commits change query semantics: a selfcheck artifact
+# stamped before a commit touching any of these no longer describes
+# the shipped code. tests/ and bench/doc artifacts are excluded — they
+# can't change query results.
+_SEMANTIC_SOURCES = [
+    "adguard2clickhouse_spark",
+    "__spark_entry__.py",
+    "bench.py",
+    "scripts/selfcheck.py",
+]
+
+
+def _source_commits_after(repo: Path, stamp_head: str) -> list[str]:
+    """Commits in stamp_head..HEAD touching any semantic source path
+    (empty list = the artifact still describes the shipped code)."""
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "rev-list", "--oneline", f"{stamp_head}..HEAD", "--",
+         *_SEMANTIC_SOURCES],
+        cwd=repo, capture_output=True, text=True, check=True,
+    )
+    return [line for line in out.stdout.splitlines() if line.strip()]
+
+
+def test_latest_selfcheck_artifact_is_not_stale():
+    """VERDICT r7 ask #1 (recurred twice): the newest SELFCHECK must
+    carry the git HEAD it ran against, and no later commit may touch a
+    semantic source path — otherwise the artifact describes code that
+    no longer ships and re-running scripts/selfcheck.py is mandatory.
+    Artifacts from rounds before the stamp existed are skipped (they
+    cannot be verified, which is the very hole this closes)."""
+    import json
+    import re
+
+    import pytest
+
+    repo = Path(__file__).resolve().parent.parent
+    files = sorted(
+        repo.glob("SELFCHECK_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    assert files, "no SELFCHECK artifact committed"
+    latest = files[-1]
+    meta = json.loads(latest.read_text()).get("_meta")
+    if meta is None:
+        pytest.skip(f"{latest.name} predates the git-HEAD stamp")
+    head = meta["git_head"]
+    assert not head.startswith("unavailable"), (
+        f"{latest.name} was produced outside a git checkout: {head}"
+    )
+    assert meta.get("source_dirty_at_run") == [], (
+        f"{latest.name} ran against uncommitted source edits: "
+        f"{meta['source_dirty_at_run']} — commit first, then re-run"
+    )
+    later = _source_commits_after(repo, head)
+    assert not later, (
+        f"{latest.name} is STALE: semantic source commits after its "
+        f"stamp {head[:12]}: {later} — re-run scripts/selfcheck.py "
+        "--json SELFCHECK_r<N>.json as the last code-touching act"
+    )
+
+
+def test_staleness_check_detects_post_stamp_edits():
+    """Red-team of the gate mechanism itself: a stamp taken one
+    source-touching commit ago MUST report that commit, and a stamp at
+    HEAD must report nothing."""
+    import subprocess
+
+    repo = Path(__file__).resolve().parent.parent
+    head = subprocess.run(
+        ["git", "rev-parse", "HEAD"], cwd=repo,
+        capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert _source_commits_after(repo, head) == []
+    # newest commit that touched a semantic source (the repo has many)
+    last_touch = subprocess.run(
+        ["git", "rev-list", "-1", "HEAD", "--", *_SEMANTIC_SOURCES],
+        cwd=repo, capture_output=True, text=True, check=True,
+    ).stdout.strip()
+    assert last_touch, "repo has no source commits?"
+    assert _source_commits_after(repo, f"{last_touch}~1"), (
+        "gate failed to flag a known post-stamp source commit"
+    )
+
+
 def test_latest_selfcheck_artifact_covers_every_registered_query():
     """VERDICT r6 #3: r6's last-commit query was registered AFTER the
     final selfcheck run, so it shipped with no recorded runtime. The
