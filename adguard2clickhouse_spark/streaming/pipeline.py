@@ -70,7 +70,7 @@ class QuerylogPipeline:
                  custom_aggregates=None,
                  parse_parallelism: int | str | None = None,
                  dense_folds: bool | str = "auto",
-                 fused_deltas: bool = False):
+                 fused_deltas: bool | str = "auto"):
         self.spark = spark
         # Micro-batches are small relative to the static shuffle-partition
         # count; AQE coalescing (on by default since Spark 3.2, explicit
@@ -139,12 +139,17 @@ class QuerylogPipeline:
         # pin the strategy for every sink.
         self.dense_folds = dense_folds
         # Fused grouping-sets delta computation (see process_batch).
-        # Default OFF: measured counterproductive on the hot path
-        # (same-host A/B in BENCH_streaming_r7.json — the fan is
-        # merge+write-bound, so the extra serial delta stage only adds
-        # wall). Kept for aggregate sets where delta computation
-        # dominates, and driver-gated via a16_fused_mv_union.
+        # "auto" (default) decides PER EPOCH from the batch row count:
+        # same-day A/B pairs at 1M rows (r9) put the crossover between
+        # 100k and 250k rows/epoch — per-sink wins at 100k (57.8s vs
+        # fused 67.7s: the fan is merge+write-bound and the fused job
+        # adds a serial stage), fused wins at 250k (41.8s vs 58.3s)
+        # and 500k (median 24.1s vs 26.9s: eight full-input groupBys
+        # get scan/delta-compute-bound before one grouping-sets pass
+        # does). True/False pin the strategy; the fused plan itself is
+        # driver-gated via a16_fused_mv_union.
         self.fused_deltas = fused_deltas
+        self.fused_min_rows = 200_000
         # per-epoch stage walls appended by process_batch (see there)
         self.batch_timings: list[dict] = []
 
@@ -245,19 +250,22 @@ class QuerylogPipeline:
             # batch before the offset commit, exactly as sequential
             # failure between stages did.
 
-            # Delta computation: per-sink groupBys by default. The
-            # fused grouping-sets alternative (fused_aggregate_deltas,
-            # VERDICT r6 #4) was MEASURED COUNTERPRODUCTIVE on the
-            # streaming hot path — same-host A/B at 1M rows/10 epochs:
-            # per-sink 36.9s wall / 27.1k rows/s vs fused 46.1s /
-            # 21.7k. The fan is merge+write-bound (per-sink state read
-            # + fold + bucket install), not delta-compute-bound: the
-            # fused job adds a serial 0.75s/epoch stage while the fold
-            # jobs keep their full merge work. The knob stays for
-            # wider aggregate sets where delta computation dominates;
-            # the plan itself is driver-gated via a16_fused_mv_union.
+            # Delta computation: per-sink groupBys vs ONE fused
+            # grouping-sets pass (fused_aggregate_deltas, VERDICT r6
+            # #4), decided per epoch under "auto" (see __init__ for
+            # the measured crossover). Small epochs are fan
+            # merge+write-bound — the fused job only adds a serial
+            # stage; large epochs are delta-compute-bound — eight full
+            # re-scans of the cached batch cost more than one
+            # grouping-sets pass. The fused plan applies only to the
+            # stock aggregate set (custom MVs have no extractor).
+            use_fused = (
+                self.fused_deltas is True
+                or (self.fused_deltas == "auto"
+                    and n_good >= self.fused_min_rows)
+            )
             fused = None
-            if self.fused_deltas and all(
+            if use_fused and all(
                 ALL_AGGREGATES.get(name) is fn
                 for name, fn in self.aggregates.items()
             ):

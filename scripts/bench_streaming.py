@@ -110,9 +110,14 @@ def main() -> None:
     # 4th arg: parse_parallelism ("auto", an int, or 0 to disable)
     pp_arg = sys.argv[4] if len(sys.argv) > 4 else "auto"
     parse_parallelism = pp_arg if pp_arg == "auto" else int(pp_arg)
-    # 5th arg: fused grouping-sets deltas (1/0, default 1) — the A/B
-    # knob for the r7 fan-fusion measurement
-    fused = bool(int(sys.argv[5])) if len(sys.argv) > 5 else True
+    # 5th arg: fused grouping-sets deltas (1/0 pins; default "auto",
+    # the pipeline's per-epoch row-count gate) — the A/B knob for the
+    # fan-fusion measurements
+    fused = bool(int(sys.argv[5])) if len(sys.argv) > 5 else "auto"
+    # 6th arg: output artifact path (default keeps the r7 filename)
+    out_json = Path(sys.argv[6]) if len(sys.argv) > 6 else (
+        Path(__file__).resolve().parent.parent / "BENCH_streaming_r7.json"
+    )
 
     work = Path(tempfile.mkdtemp(prefix="stream_bench_"))
     src, out = work / "src", work / "out"
@@ -233,9 +238,7 @@ def main() -> None:
         "fused_deltas": fused,
         "parse_parallelism": parse_parallelism,
     }
-    (Path(__file__).resolve().parent.parent / "BENCH_streaming_r7.json").write_text(
-        json.dumps(result, indent=1) + "\n"
-    )
+    out_json.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     srv.shutdown()
     spark.stop()

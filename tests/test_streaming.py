@@ -720,3 +720,49 @@ def test_low_traffic_epoch_keeps_untouched_buckets_byte_identical(
         assert len(touched_dirs) <= 2, (name, touched_dirs)
         changed_only_touched += 1
     assert changed_only_touched == len(pipe.sinks)
+
+
+def test_fused_delta_auto_gates_on_epoch_rows(tmp_path, spark):
+    """fused_deltas="auto" (the default) picks the delta strategy per
+    epoch from the batch row count: tiny epochs keep the per-sink
+    groupBys (the fused job's extra serial stage measured 17% slower
+    at 100k rows/epoch), epochs at/above fused_min_rows take the one
+    grouping-sets pass (measured 10-28% faster at 250k-500k). Both
+    paths must produce identical sink state — the fused plan is an
+    exact twin, separately driver-gated via a16_fused_mv_union."""
+    lines = [
+        _line(i, minute=i % 50, filtered=i % 3 == 0,
+              qh=f"d{i % 9}.example.com", ip=f"10.0.0.{i % 5}")
+        for i in range(60)
+    ]
+
+    def run(dirname, **kw):
+        src = tmp_path / f"{dirname}_src"
+        src.mkdir()
+        (src / "a.jsonl").write_text("\n".join(lines) + "\n")
+        pipe = QuerylogPipeline(spark, str(src), str(tmp_path / dirname), **kw)
+        pipe.run_available()
+        return pipe
+
+    # default auto + default threshold: 60-row epoch stays per-sink
+    small = run("auto_small")
+    assert all("fused_delta_s" not in bt for bt in small.batch_timings)
+
+    # auto with the threshold lowered to the fixture size: fuses
+    fused = QuerylogPipeline(spark, str(tmp_path / "auto_small_src"),
+                             str(tmp_path / "auto_fused"))
+    fused.fused_min_rows = 1
+    fused.run_available()
+    assert any("fused_delta_s" in bt for bt in fused.batch_timings)
+
+    # pinned False never fuses even above threshold
+    pinned = run("pinned_off", fused_deltas=False)
+    pinned.fused_min_rows = 1
+    assert all("fused_delta_s" not in bt for bt in pinned.batch_timings)
+
+    # identical state on every sink across the strategies
+    for name in small.sinks:
+        a = {tuple(r) for r in small.read_aggregate(name).collect()}
+        b = {tuple(r) for r in fused.read_aggregate(name).collect()}
+        c = {tuple(r) for r in pinned.read_aggregate(name).collect()}
+        assert a == b == c, f"{name}: delta strategies disagree"
