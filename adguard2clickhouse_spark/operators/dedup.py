@@ -262,6 +262,7 @@ def ngram_jaccard_pairs(
     max_df_ratio: float | None = None,
     balance: bool = True,
     strategy: str = "index",
+    max_candidate_pairs: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
 
@@ -294,6 +295,17 @@ def ngram_jaccard_pairs(
     posting-mass crossover via ``choose_jaccard_strategy`` (VERDICT r6
     #5). The df caps only exist on the index form (they ARE an
     alternative scale strategy), so auto with a cap stays on the index.
+
+    ``max_candidate_pairs`` guards the index join's quadratic term
+    (same pattern as with_fill's axis guard): the join emits exactly
+    Σ_h df_h·(df_h−1)/2 candidate rows, a number one linear aggregate
+    over the ACTUAL join input (post df-cap) knows before the join
+    runs. Above the cap the call raises with the measured mass and the
+    named scale paths (df-ratio cap / PPJoin twin / banded MinHash)
+    instead of silently attempting a join that measured heap-exhaustion
+    at sf10 on a replicated corpus. None disables the probe (and its
+    one extra aggregate job) for callers that have already sized the
+    corpus.
     """
     if strategy not in ("index", "ppjoin", "auto"):
         raise ValueError(f"strategy must be index|ppjoin|auto, got {strategy!r}")
@@ -370,6 +382,29 @@ def ngram_jaccard_pairs(
                 )
             join_inv = inv.join(kept.select("_h"), "_h", "left_semi")
 
+        if max_candidate_pairs is not None:
+            mass = (
+                join_inv.groupBy("_h")
+                .agg(F.count(F.lit(1)).alias("_df"))
+                .agg(
+                    F.sum(
+                        F.col("_df") * (F.col("_df") - 1) / F.lit(2)
+                    ).alias("_pairs")
+                )
+                .collect()[0]["_pairs"]
+            )
+            if mass is not None and mass > max_candidate_pairs:
+                raise ValueError(
+                    f"ngram_jaccard_pairs: the inverted-index join would "
+                    f"emit {int(mass):,} candidate pairs "
+                    f"(> max_candidate_pairs={max_candidate_pairs:,}). "
+                    "Bound the quadratic term first: max_df_ratio=0.01 "
+                    "drops corpus-boilerplate shingles from the join, "
+                    "strategy='ppjoin' prefix-filters candidates, or use "
+                    "minhash_lsh_pairs (the banded 100TB path). Pass "
+                    "max_candidate_pairs=None only for a corpus you have "
+                    "sized."
+                )
         a, b = join_inv.alias("a"), join_inv.alias("b")
         common = (
             a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))

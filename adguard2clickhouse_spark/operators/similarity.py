@@ -410,6 +410,7 @@ def embedding_dup_pairs_lsh(
     seed: int = 42,
     dim: int | None = None,
     max_bucket: int | None = None,
+    max_candidate_pairs: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates from signature
     equality in any of n_tables independent LSH tables (equi-join on
@@ -472,6 +473,34 @@ def embedding_dup_pairs_lsh(
             .select("_t", "_s")
         )
         sigs = sigs.join(small, ["_t", "_s"], "left_semi")
+
+    # Quadratic-term guard (same pattern as ngram_jaccard_pairs): at
+    # FIXED bits a bucket of m vectors emits m·(m−1)/2 candidates, so
+    # corpus growth (n/2^bits per bucket) makes the join quadratic in
+    # n. One linear aggregate over the ACTUAL join input (post
+    # max_bucket) knows the exact candidate count up front; above the
+    # cap, raise with the mass and the named fixes instead of running
+    # it. None disables the probe for pre-sized corpora.
+    if max_candidate_pairs is not None:
+        mass = (
+            sigs.groupBy("_t", "_s")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum(F.col("_c") * (F.col("_c") - 1) / F.lit(2)).alias("_p")
+            )
+            .collect()[0]["_p"]
+        )
+        if mass is not None and mass > max_candidate_pairs:
+            raise ValueError(
+                f"embedding_dup_pairs_lsh: the bucket join would emit "
+                f"{int(mass):,} candidate pairs (> max_candidate_pairs="
+                f"{max_candidate_pairs:,}) at bits={bits}. Size bits ≈ "
+                "log2(n / target_bucket) so buckets stay constant-size "
+                "(the auto-scaled queries() entry does this), or cap "
+                "skewed clusters with max_bucket. Pass "
+                "max_candidate_pairs=None only for a corpus you have "
+                "sized."
+            )
 
     a, b = sigs.alias("a"), sigs.alias("b")
     cand = (
