@@ -359,8 +359,14 @@ def ngram_jaccard_pairs(
         if max_df is not None and max_df_ratio is not None:
             raise ValueError("pass max_df or max_df_ratio, not both")
         join_inv = inv
-        if max_df is not None or max_df_ratio is not None:
+        dfreq = kept = None
+        if (
+            max_df is not None
+            or max_df_ratio is not None
+            or max_candidate_pairs is not None
+        ):
             dfreq = inv.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+        if max_df is not None or max_df_ratio is not None:
             if max_df is not None:
                 kept = dfreq.filter(F.col("_df") <= max_df)
             else:
@@ -383,9 +389,11 @@ def ngram_jaccard_pairs(
             join_inv = inv.join(kept.select("_h"), "_h", "left_semi")
 
         if max_candidate_pairs is not None:
+            # The semi-join filters WHICH shingles join, not their
+            # posting counts, so the post-cap mass reads straight off
+            # the kept df rows — no second aggregation over join_inv.
             mass = (
-                join_inv.groupBy("_h")
-                .agg(F.count(F.lit(1)).alias("_df"))
+                (kept if kept is not None else dfreq)
                 .agg(
                     F.sum(
                         F.col("_df") * (F.col("_df") - 1) / F.lit(2)
