@@ -297,15 +297,18 @@ def ngram_jaccard_pairs(
     alternative scale strategy), so auto with a cap stays on the index.
 
     ``max_candidate_pairs`` guards the index join's quadratic term
-    (same pattern as with_fill's axis guard): the join emits exactly
-    Σ_h df_h·(df_h−1)/2 candidate rows, a number one linear aggregate
-    over the ACTUAL join input (post df-cap) knows before the join
-    runs. Above the cap the call raises with the measured mass and the
-    named scale paths (df-ratio cap / PPJoin twin / banded MinHash)
-    instead of silently attempting a join that measured heap-exhaustion
-    at sf10 on a replicated corpus. None disables the probe (and its
-    one extra aggregate job) for callers that have already sized the
-    corpus.
+    (same pattern as with_fill's axis guard), in two stages. Stage 1
+    is a map-only 1-row bound off the cached array frame: worst-case
+    mass ≤ min(P(P−1)/2, P·(n_docs−1)/2) for P total postings — when
+    even that clears the cap, no corpus with these stats can blow up
+    and the exact probe (a shuffle costing ~65% of the whole query at
+    bench SF) is skipped. Otherwise stage 2 computes the EXACT count
+    the join would emit — Σ_h df_h·(df_h−1)/2 over the actual join
+    input (post df-cap) — and above the cap raises with the measured
+    mass and the named scale paths (df-ratio cap / PPJoin twin /
+    banded MinHash) instead of silently attempting a join that
+    measured heap-exhaustion at sf10 on a replicated corpus. None
+    disables the guard for callers that have already sized the corpus.
     """
     if strategy not in ("index", "ppjoin", "auto"):
         raise ValueError(f"strategy must be index|ppjoin|auto, got {strategy!r}")
@@ -360,10 +363,26 @@ def ngram_jaccard_pairs(
             raise ValueError("pass max_df or max_df_ratio, not both")
         join_inv = inv
         dfreq = kept = None
+        # Guard stage 1 (map-only, 1-row): the worst case puts every
+        # posting on one shingle (mass ≤ P(P−1)/2) and no shingle can
+        # exceed the corpus (df ≤ n ⇒ mass ≤ P(n−1)/2). When even the
+        # smaller bound clears the cap, NO corpus with these stats can
+        # blow up — skip the exact per-shingle probe and its shuffle
+        # (which costs ~65% of the whole query at bench SF, vs ~0 for
+        # this bound off the cached array frame).
+        need_exact_probe = False
+        if max_candidate_pairs is not None:
+            st = arr.select(
+                F.count(F.lit(1)).alias("_n"),
+                F.sum(F.size("_arr")).alias("_p"),
+            ).collect()[0]
+            p, nd = st["_p"] or 0, st["_n"] or 0
+            bound = min(p * (p - 1) // 2, p * max(nd - 1, 0) // 2)
+            need_exact_probe = bound > max_candidate_pairs
         if (
             max_df is not None
             or max_df_ratio is not None
-            or max_candidate_pairs is not None
+            or need_exact_probe
         ):
             dfreq = inv.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
         if max_df is not None or max_df_ratio is not None:
@@ -388,10 +407,12 @@ def ngram_jaccard_pairs(
                 )
             join_inv = inv.join(kept.select("_h"), "_h", "left_semi")
 
-        if max_candidate_pairs is not None:
-            # The semi-join filters WHICH shingles join, not their
-            # posting counts, so the post-cap mass reads straight off
-            # the kept df rows — no second aggregation over join_inv.
+        if need_exact_probe:
+            # Guard stage 2 (exact): the join emits exactly
+            # Σ_h df_h·(df_h−1)/2 rows. The semi-join filters WHICH
+            # shingles join, not their posting counts, so the post-cap
+            # mass reads straight off the kept df rows — no second
+            # aggregation over join_inv.
             mass = (
                 (kept if kept is not None else dfreq)
                 .agg(

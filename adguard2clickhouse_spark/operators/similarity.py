@@ -474,22 +474,33 @@ def embedding_dup_pairs_lsh(
         )
         sigs = sigs.join(small, ["_t", "_s"], "left_semi")
 
-    # Quadratic-term guard (same pattern as ngram_jaccard_pairs): at
-    # FIXED bits a bucket of m vectors emits m·(m−1)/2 candidates, so
-    # corpus growth (n/2^bits per bucket) makes the join quadratic in
-    # n. One linear aggregate over the ACTUAL join input (post
-    # max_bucket) knows the exact candidate count up front; above the
-    # cap, raise with the mass and the named fixes instead of running
-    # it. None disables the probe for pre-sized corpora.
+    # Quadratic-term guard (same two-stage pattern as
+    # ngram_jaccard_pairs): at FIXED bits a bucket of m vectors emits
+    # m·(m−1)/2 candidates, so corpus growth (n/2^bits per bucket)
+    # makes the join quadratic in n. Stage 1 is a map-only count: the
+    # worst case puts each table's n rows in one bucket, mass ≤
+    # n_tables·n(n−1)/2 — when that clears the cap no input can blow
+    # up and the per-bucket probe (a shuffle) is skipped. Stage 2
+    # aggregates the ACTUAL join input (post max_bucket) for the exact
+    # candidate count; above the cap, raise with the mass and the
+    # named fixes instead of running the join. None disables the
+    # guard for pre-sized corpora.
     if max_candidate_pairs is not None:
-        mass = (
-            sigs.groupBy("_t", "_s")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .agg(
-                F.sum(F.col("_c") * (F.col("_c") - 1) / F.lit(2)).alias("_p")
+        n_rows = base.count()
+        worst = n_tables * n_rows * (n_rows - 1) // 2
+        if worst <= max_candidate_pairs:
+            mass = None
+        else:
+            mass = (
+                sigs.groupBy("_t", "_s")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(
+                    F.sum(
+                        F.col("_c") * (F.col("_c") - 1) / F.lit(2)
+                    ).alias("_p")
+                )
+                .collect()[0]["_p"]
             )
-            .collect()[0]["_p"]
-        )
         if mass is not None and mass > max_candidate_pairs:
             raise ValueError(
                 f"embedding_dup_pairs_lsh: the bucket join would emit "
