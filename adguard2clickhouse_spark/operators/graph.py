@@ -84,6 +84,14 @@ def connected_components(
 
     Raises after ``max_iters`` non-converged rounds rather than
     returning silently-wrong partial labels.
+
+    Id contract: the component label is the minimum reachable id AS A
+    BIGINT, so ids must cast to long. Nodes whose id does not
+    (try_cast → NULL) are DROPPED from the output, and edges touching
+    a NULL/uncastable endpoint are dropped before the closure — on
+    BOTH paths, independent of spark.sql.ansi.enabled (try_cast
+    everywhere; a review found the fast path silently dropping what
+    the iterative path would ANSI-abort on).
     """
     if max_collect_edges:
         e_raw = edges.select(
@@ -111,7 +119,7 @@ def connected_components(
                 # node frame; only matching ids come back.
                 endpoints = sorted({x for uv in pairs for x in uv})
                 out_ids = nodes.select(
-                    F.col(id_col).cast("long").alias("_id")
+                    F.col(id_col).try_cast("long").alias("_id")
                 )
                 if endpoints:
                     epdf = spark.createDataFrame(
@@ -137,21 +145,22 @@ def connected_components(
                         nodes.select(F.col(id_col))
                         .join(
                             F.broadcast(mdf),
-                            F.col(id_col).cast("long") == F.col("_mid"),
+                            F.col(id_col).try_cast("long") == F.col("_mid"),
                             "left",
                         )
                         .select(
                             F.col(id_col),
                             F.coalesce(
                                 F.col("_mcomp"),
-                                F.col(id_col).cast("long"),
+                                F.col(id_col).try_cast("long"),
                             ).alias("component"),
                         )
+                        .where(F.col("component").isNotNull())
                     )
                 return nodes.select(
                     F.col(id_col),
-                    F.col(id_col).cast("long").alias("component"),
-                )
+                    F.col(id_col).try_cast("long").alias("component"),
+                ).where(F.col("component").isNotNull())
         finally:
             e_raw.unpersist()
 
@@ -169,7 +178,8 @@ def connected_components(
         .persist()
     )
     labels = nodes.select(
-        F.col(id_col).alias("_u"), F.col(id_col).cast("long").alias("_lbl")
+        F.col(id_col).alias("_u"),
+        F.col(id_col).try_cast("long").alias("_lbl"),
     ).localCheckpoint(eager=True)
 
     try:

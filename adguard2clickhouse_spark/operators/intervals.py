@@ -174,28 +174,6 @@ def delta_sum(
     )
 
 
-def _axis_steps(lo, hi, stepv):
-    """Best-effort driver-side estimate of one partition's axis length
-    (number of sequence elements), or None when the step type isn't one
-    we can do arithmetic on (the guard then skips — documented)."""
-    import datetime as _dt
-    import decimal as _dec
-
-    try:
-        if isinstance(stepv, _dt.timedelta):
-            span = hi - lo  # date−date and timestamp−timestamp → timedelta
-            return int(abs(span / stepv)) + 1
-        if isinstance(stepv, bool):
-            return None
-        if isinstance(stepv, (int, float, _dec.Decimal)):
-            if stepv == 0:
-                return None
-            return int(abs((hi - lo) / stepv)) + 1
-    except Exception:
-        return None
-    return None
-
-
 def with_fill(
     df: DataFrame,
     fill_col: str,
@@ -220,14 +198,15 @@ def with_fill(
     ``max_axis_rows`` guards the axis explode: wide bounds × many
     partition tuples silently materialize (hi−lo)/step·n_partitions
     rows before the join (one stray 1970 timestamp in a microsecond
-    axis = trillions). The guard costs one 1-row driver probe — the
-    same per-partition min/max aggregate the axis needs anyway, folded
-    to (global lo, global hi, partition count, step literal) — and
-    raises with the offending bounds when the estimate exceeds the
-    cap. Pass ``None`` to skip the probe entirely (the original fully
-    in-plan form: bounds ride a 1-row broadcast, no driver action).
-    Steps whose type the driver can't do arithmetic on (exotic
-    intervals) skip the estimate rather than guessing.
+    axis = trillions). The guard collects one 1-row bounds probe off a
+    checkpointed copy of the same per-partition min/max aggregate the
+    axis needs anyway, then asks Spark (never the driver — interval
+    step values don't convert to Python) whether
+    ``lo + allowed·step ≤ hi`` for allowed = cap // n_partitions, and
+    raises with the offending bounds when it holds. Works for every
+    step type ``sequence`` accepts. Pass ``None`` to skip the guard
+    entirely (the original fully in-plan form: bounds ride a 1-row
+    broadcast, no driver action).
 
     Plan: ONE per-partition min/max aggregate feeds both the distinct
     partition tuples and the global axis bounds (collected by the
@@ -246,32 +225,55 @@ def with_fill(
         F.min(fill_col).alias("_plo"), F.max(fill_col).alias("_phi")
     )
     if max_axis_rows is not None:
-        # one 1-row probe: global bounds + partition count + the step
-        # literal (max over a constant = the constant), all in the same
-        # aggregate — no second pass over df's lineage for the guard.
+        # Materialize the (small: one row per partition tuple) stats
+        # frame once — the probe action below and the axis side of the
+        # final plan both read it, so df's lineage executes once for
+        # the checkpoint instead of once per consumer.
+        per_part = per_part.localCheckpoint(eager=True)
         probe = per_part.agg(
             F.min("_plo").alias("_lo"),
             F.max("_phi").alias("_hi"),
             F.count(F.lit(1)).alias("_np"),
-            F.max(step).alias("_step"),
         ).first()
         if probe._lo is None:
             # empty input (or all-NULL axis): nothing to fill
             return df.select(*g, fill_col, *[
                 c for c in df.columns if c != fill_col and c not in g
             ])
-        per_len = _axis_steps(probe._lo, probe._hi, probe._step)
-        if per_len is not None:
-            est = per_len * max(probe._np, 1)
-            if est > max_axis_rows:
-                raise ValueError(
-                    f"with_fill axis would materialize ~{est:,} rows "
-                    f"(bounds {probe._lo!r}..{probe._hi!r}, step "
-                    f"{probe._step!r}, {probe._np} partition tuples) > "
-                    f"max_axis_rows={max_axis_rows:,}; use a coarser "
-                    "step, clamp the axis bounds upstream, or raise/"
-                    "disable max_axis_rows"
-                )
+        # Axis-length check WITHOUT collecting the step value: interval
+        # steps don't convert to Python (YearMonthIntervalType crashes
+        # .first()), but `lo + allowed·step < hi` is arithmetic Spark
+        # evaluates JVM-side for every sequence-compatible step type
+        # (numeric, day-time and year-month intervals over dates and
+        # timestamps). One partition's axis exceeds `allowed` elements
+        # iff that holds with allowed = max_axis_rows // n_partitions.
+        # try_* arithmetic makes an overflowing allowed·step mean "the
+        # cap lies beyond the type's range" — hi is representable, so
+        # the axis can't be over — instead of an ANSI abort.
+        allowed = max(max_axis_rows // max(probe._np, 1), 1)
+        over = (
+            df.sparkSession.range(1)
+            .select(
+                F.coalesce(
+                    F.try_add(
+                        F.lit(probe._lo),
+                        F.try_multiply(step, F.lit(allowed)),
+                    )
+                    <= F.lit(probe._hi),
+                    F.lit(False),
+                ).alias("_over")
+            )
+            .first()["_over"]
+        )
+        if over:
+            raise ValueError(
+                f"with_fill axis would exceed max_axis_rows="
+                f"{max_axis_rows:,}: more than {allowed:,} steps per "
+                f"partition tuple across {probe._np} partition tuples "
+                f"(bounds {probe._lo!r}..{probe._hi!r}); use a coarser "
+                "step, clamp the axis bounds upstream, or raise/"
+                "disable max_axis_rows"
+            )
         axis = per_part.select(*g).select(
             *g,
             F.explode(

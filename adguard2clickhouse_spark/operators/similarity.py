@@ -465,14 +465,11 @@ def embedding_dup_pairs_lsh(
         ).alias("_t", "_s"),
     )
 
+    counts = None  # per-(table, signature) bucket sizes, built lazily
     if max_bucket is not None:
-        small = (
-            sigs.groupBy("_t", "_s")
-            .agg(F.count(F.lit(1)).alias("_c"))
-            .filter(F.col("_c") <= max_bucket)
-            .select("_t", "_s")
-        )
-        sigs = sigs.join(small, ["_t", "_s"], "left_semi")
+        counts = sigs.groupBy("_t", "_s").agg(F.count(F.lit(1)).alias("_c"))
+        small = counts.filter(F.col("_c") <= max_bucket)
+        sigs = sigs.join(small.select("_t", "_s"), ["_t", "_s"], "left_semi")
 
     # Quadratic-term guard (same two-stage pattern as
     # ngram_jaccard_pairs): at FIXED bits a bucket of m vectors emits
@@ -491,15 +488,23 @@ def embedding_dup_pairs_lsh(
         if worst <= max_candidate_pairs:
             mass = None
         else:
+            # Reuse the bucket-size aggregate the max_bucket cap built
+            # (the semi-join filters which buckets join, not their
+            # sizes) instead of re-running the signature UDF + shuffle;
+            # uncapped calls build it here.
+            probe_counts = (
+                counts.filter(F.col("_c") <= max_bucket)
+                if counts is not None
+                else sigs.groupBy("_t", "_s").agg(
+                    F.count(F.lit(1)).alias("_c")
+                )
+            )
             mass = (
-                sigs.groupBy("_t", "_s")
-                .agg(F.count(F.lit(1)).alias("_c"))
-                .agg(
+                probe_counts.agg(
                     F.sum(
                         F.col("_c") * (F.col("_c") - 1) / F.lit(2)
                     ).alias("_p")
-                )
-                .collect()[0]["_p"]
+                ).collect()[0]["_p"]
             )
         if mass is not None and mass > max_candidate_pairs:
             raise ValueError(

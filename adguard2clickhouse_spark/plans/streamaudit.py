@@ -58,10 +58,13 @@ def audit_streaming_query(query: Any) -> dict[str, Any]:
 
     # Physical plan of the last executed micro-batch. explainInternal
     # lives on the JVM handle; extended=False yields only the physical
-    # plan, matching the batch gate's counting surface.
-    try:
+    # plan, matching the batch gate's counting surface. Only the
+    # no-batch-ran case (no progress recorded) may yield an empty
+    # plan — any other failure must propagate, or exchanges=0 would
+    # make the budget gate pass vacuously.
+    if progresses:
         plan = query._jsq.explainInternal(False)
-    except Exception:  # no batch ran (empty source) — nothing to count
+    else:
         plan = ""
     return {
         "exchanges": plan.count("Exchange"),

@@ -259,11 +259,12 @@ class QuerylogPipeline:
             # re-scans of the cached batch cost more than one
             # grouping-sets pass. The fused plan applies only to the
             # stock aggregate set (custom MVs have no extractor).
-            use_fused = (
-                self.fused_deltas is True
-                or (self.fused_deltas == "auto"
-                    and n_good >= self.fused_min_rows)
-            )
+            if self.fused_deltas == "auto":
+                use_fused = n_good >= self.fused_min_rows
+            else:
+                # truthy pins fuse (bool(1) counted before the auto
+                # mode existed and must keep counting)
+                use_fused = bool(self.fused_deltas)
             fused = None
             if use_fused and all(
                 ALL_AGGREGATES.get(name) is fn

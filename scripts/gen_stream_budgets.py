@@ -58,6 +58,11 @@ def main() -> None:
     budgets = json.loads(budgets_path.read_text())
     for name in STREAMING_QUERIES:
         a = audits[name]
+        # A fixture is built so nothing is late; a drop at generation
+        # time is a regression to fix NOW, not a budget to record.
+        assert a["rows_dropped_by_watermark"] == 0, (
+            name, a["rows_dropped_by_watermark"]
+        )
         budgets[name] = {
             "exchanges": a["exchanges"],
             "state_operators": a["state_operators"],

@@ -168,3 +168,36 @@ def test_with_fill_preserves_off_grid_rows(spark):
     out = with_fill(df, "t", F.lit(2), partition_cols=["k"], defaults={"n": 0})
     got = {(r.k, r.t): r.n for r in out.collect()}
     assert got == {("x", 1): 10, ("x", 3): 0, ("x", 4): 40}, got
+
+
+def test_with_fill_guard_handles_interval_steps(spark):
+    """Review r9: the guard must not collect the step value — interval
+    types don't convert to Python (YearMonthIntervalType crashed the
+    probe's .first()). Month and day steps fill under the DEFAULT
+    guard; a month axis spanning ~83k years trips it."""
+    import datetime as dt
+
+    rows = [("x", dt.date(2024, 1, 1), 1), ("x", dt.date(2024, 4, 1), 4)]
+    df = spark.createDataFrame(rows, "k STRING, d DATE, n LONG")
+    out = with_fill(
+        df, "d", F.expr("interval 1 month"), partition_cols=["k"],
+        defaults={"n": 0},
+    )
+    got = {r.d.month: r.n for r in out.collect()}
+    assert got == {1: 1, 2: 0, 3: 0, 4: 4}, got
+
+    wide = spark.createDataFrame(
+        [("x", dt.date(1900, 1, 1), 1), ("x", dt.date(9999, 1, 1), 2)],
+        "k STRING, d DATE, n LONG",
+    )
+    with pytest.raises(ValueError, match="max_axis_rows"):
+        with_fill(
+            wide, "d", F.expr("interval 1 month"), partition_cols=["k"],
+            defaults={"n": 0}, max_axis_rows=50_000,
+        )
+
+    day = with_fill(
+        df, "d", F.expr("interval 45 day"), partition_cols=["k"],
+        defaults={"n": 0},
+    )
+    assert day.count() == 4  # 2 source rows + Jan1+45d, Jan1+90d

@@ -585,3 +585,32 @@ def test_sequence_ops_null_handling(spark):
     assert cnt == {1: 0, None: 0, 2: 1}, cnt
     mat = {r.user_id: r.matched for r in sequence_match(ev, conds).collect()}
     assert mat == {1: 0, None: 0, 2: 1}, mat
+
+
+def test_connected_components_uncastable_ids_agree_across_paths(spark):
+    """Review r9: both paths must implement the same id contract —
+    component labels are BIGINT, so nodes whose id doesn't cast to
+    long are DROPPED (and edges touching them), identically on the
+    fast (union-find) and iterative (label-propagation) paths and
+    independent of ANSI mode. String-numeric ids still work."""
+    from adguard2clickhouse_spark.operators.graph import connected_components
+
+    nodes = spark.createDataFrame(
+        [("1",), ("2",), ("3",), ("oops",)], ["doc_id"]
+    )
+    edges = spark.createDataFrame(
+        [("1", "2"), ("3", "oops")], ["doc_a", "doc_b"]
+    )
+    expect = {("1", 1), ("2", 1), ("3", 3)}  # 'oops' dropped, edge too
+    fast = {
+        (r.doc_id, r.component)
+        for r in connected_components(nodes, edges).collect()
+    }
+    iterative = {
+        (r.doc_id, r.component)
+        for r in connected_components(
+            nodes, edges, max_collect_edges=0
+        ).collect()
+    }
+    assert fast == expect
+    assert iterative == expect
