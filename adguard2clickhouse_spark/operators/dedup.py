@@ -263,6 +263,7 @@ def ngram_jaccard_pairs(
     balance: bool = True,
     strategy: str = "index",
     max_candidate_pairs: int | None = 2_000_000_000,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
 
@@ -309,9 +310,26 @@ def ngram_jaccard_pairs(
     banded MinHash) instead of silently attempting a join that
     measured heap-exhaustion at sf10 on a replicated corpus. None
     disables the guard for callers that have already sized the corpus.
+
+    ``on_overflow``: what to do when the guard measures a candidate
+    mass above the cap — ``"raise"`` (default, the sized refusal) or
+    ``"reroute"``: dispatch to the PPJoin prefix-filtered twin, which
+    returns BIT-IDENTICAL answers (parity asserted at both measured
+    SFs) while emitting only prefix-surviving candidates — the regime
+    the measured sf1 crossover showed it winning (1.39×). Reroute
+    applies only when no df cap is set: with ``max_df``/
+    ``max_df_ratio`` the caller already chose a scale strategy, and a
+    still-overflowing CAPPED mass means the corpus needs the banded-
+    MinHash path (``minhash_lsh_pairs``), which a same-semantics
+    reroute cannot silently substitute — capped overflow raises
+    regardless.
     """
     if strategy not in ("index", "ppjoin", "auto"):
         raise ValueError(f"strategy must be index|ppjoin|auto, got {strategy!r}")
+    if on_overflow not in ("raise", "reroute"):
+        raise ValueError(
+            f"on_overflow must be 'raise' or 'reroute', got {on_overflow!r}"
+        )
     if strategy == "auto" and max_df is None and max_df_ratio is None:
         strategy, _stats = choose_jaccard_strategy(df, text_col, n)
     if strategy == "ppjoin":
@@ -423,13 +441,24 @@ def ngram_jaccard_pairs(
                 .collect()[0]["_pairs"]
             )
             if mass is not None and mass > max_candidate_pairs:
+                if on_overflow == "reroute" and kept is None:
+                    # Exact-preserving reroute (opt-in): the PPJoin
+                    # twin answers the SAME query bit-identically via
+                    # prefix-filtered candidates. Returning from inside
+                    # the try releases the cached array frame via the
+                    # finally below; the twin builds its own caches.
+                    return ngram_jaccard_pairs_ppjoin(
+                        df, text_col, id_col, n, threshold, balance
+                    )
                 raise ValueError(
                     f"ngram_jaccard_pairs: the inverted-index join would "
                     f"emit {int(mass):,} candidate pairs "
                     f"(> max_candidate_pairs={max_candidate_pairs:,}). "
                     "Bound the quadratic term first: max_df_ratio=0.01 "
                     "drops corpus-boilerplate shingles from the join, "
-                    "strategy='ppjoin' prefix-filters candidates, or use "
+                    "strategy='ppjoin' prefix-filters candidates "
+                    "(on_overflow='reroute' dispatches there "
+                    "automatically when no df cap is set), or use "
                     "minhash_lsh_pairs (the banded 100TB path). Pass "
                     "max_candidate_pairs=None only for a corpus you have "
                     "sized."

@@ -250,6 +250,29 @@ def with_fill(
         # try_* arithmetic makes an overflowing allowed·step mean "the
         # cap lies beyond the type's range" — hi is representable, so
         # the axis can't be over — instead of an ANSI abort.
+        #
+        # Step sign first (ADVICE r9): a zero/negative step makes
+        # lo + allowed·step ≤ hi trivially true and the guard would
+        # raise its cap-violation message for what is really an
+        # invalid step. Same JVM-side trick (never collect the step —
+        # interval types don't convert): lo + step ≤ lo ⟺ step ≤ 0.
+        # NULL (lo + step overflowed the type) falls through to the
+        # over-check, which handles that case via try arithmetic.
+        nonpos = (
+            df.sparkSession.range(1)
+            .select(
+                (F.try_add(F.lit(probe._lo), step) <= F.lit(probe._lo))
+                .alias("_nonpos")
+            )
+            .first()["_nonpos"]
+        )
+        if nonpos is True:
+            raise ValueError(
+                "with_fill: step must be positive — the fill axis runs "
+                f"from min to max of {fill_col!r} "
+                f"({probe._lo!r}..{probe._hi!r}), so sequence() requires "
+                "a step that moves forward; got a zero or negative step"
+            )
         allowed = max(max_axis_rows // max(probe._np, 1), 1)
         over = (
             df.sparkSession.range(1)

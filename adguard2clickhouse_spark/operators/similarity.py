@@ -411,12 +411,34 @@ def embedding_dup_pairs_lsh(
     dim: int | None = None,
     max_bucket: int | None = None,
     max_candidate_pairs: int | None = 2_000_000_000,
+    on_overflow: str = "raise",
 ) -> DataFrame:
     """Scale path for embedding near-dup: candidates from signature
     equality in any of n_tables independent LSH tables (equi-join on
     (table, signature) — a hash shuffle, never O(n²)), then the exact
     cosine verify. Output is a subset of the exact result (recall < 1
     by construction) → driver records a rows-only check.
+
+    **Eager at plan-build time** when ``max_candidate_pairs`` is set
+    (the default): the guard's stage-1 bound needs the corpus row
+    count, one narrow count() job on the input (Catalyst prunes the
+    projection, so it costs a scan of row-group metadata, not the
+    vectors). Pass ``max_candidate_pairs=None`` for a fully lazy plan
+    on a corpus you have already sized — same contract as
+    ``ngram_jaccard_pairs``.
+
+    ``on_overflow``: what to do when the guard measures a candidate
+    mass above the cap — ``"raise"`` (default, the sized refusal) or
+    ``"reroute"``: re-dispatch ONCE to the measured linear-scaling
+    production form (bits auto-scaled to ceil(log2(n/64)) clamped to
+    6..16 so buckets stay ~64 vectors as n grows, max_bucket=256
+    dropping skew-exploded buckets — exactly the policy of the
+    x2_embedding_dup_lsh_capped queries() entry). Reroute trades
+    recall on marginal pairs (cos≈threshold) for O(n) candidates;
+    every reported pair still passes the exact cosine verify, so
+    precision stays 1 vs the exact form. If the caller's parameters
+    already ARE the rerouted form (nothing left to scale), the guard
+    raises regardless.
 
     ``max_bucket`` is the skew knob (same move as ngram Jaccard's
     ``max_df``): a bucket holding m vectors contributes m·(m-1)/2
@@ -441,6 +463,10 @@ def embedding_dup_pairs_lsh(
     the base AFTER dedup, with norms precomputed once per id, brought
     the 10x-data ratio to ~linear.
     """
+    if on_overflow not in ("raise", "reroute"):
+        raise ValueError(
+            f"on_overflow must be 'raise' or 'reroute', got {on_overflow!r}"
+        )
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
     base = df.select(
@@ -474,31 +500,46 @@ def embedding_dup_pairs_lsh(
     # Quadratic-term guard (same two-stage pattern as
     # ngram_jaccard_pairs): at FIXED bits a bucket of m vectors emits
     # m·(m−1)/2 candidates, so corpus growth (n/2^bits per bucket)
-    # makes the join quadratic in n. Stage 1 is a map-only count: the
-    # worst case puts each table's n rows in one bucket, mass ≤
-    # n_tables·n(n−1)/2 — when that clears the cap no input can blow
-    # up and the per-bucket probe (a shuffle) is skipped. Stage 2
-    # aggregates the ACTUAL join input (post max_bucket) for the exact
-    # candidate count; above the cap, raise with the mass and the
-    # named fixes instead of running the join. None disables the
-    # guard for pre-sized corpora.
+    # makes the join quadratic in n. Stage 1 is a map-only count on
+    # the CALLER's frame (not the projected base — one fewer
+    # projection for Catalyst to prune, and parquet sources answer it
+    # from row-group metadata). The worst-case bound is
+    # n_tables·n·(n−1)/2 uncapped; with max_bucket set the semi-join
+    # already bounds every bucket at m ≤ max_bucket, so the TIGHT
+    # bound is n_tables·n·(max_bucket−1)/2 — linear in n (ADVICE r9:
+    # the loose bound made capped calls on modest corpora pay the
+    # stage-2 shuffle probe for nothing). When the applicable bound
+    # clears the cap no input can blow up and the per-bucket probe (a
+    # shuffle) is skipped. Stage 2 aggregates the ACTUAL join input
+    # (post max_bucket) for the exact candidate count; above the cap,
+    # raise with the mass and the named fixes (or reroute, see
+    # docstring) instead of running the join. None disables the guard
+    # for pre-sized corpora.
     if max_candidate_pairs is not None:
-        n_rows = base.count()
-        worst = n_tables * n_rows * (n_rows - 1) // 2
+        n_rows = df.count()
+        if max_bucket is not None:
+            worst = n_tables * n_rows * (max_bucket - 1) // 2
+        else:
+            worst = n_tables * n_rows * (n_rows - 1) // 2
         if worst <= max_candidate_pairs:
             mass = None
         else:
             # Reuse the bucket-size aggregate the max_bucket cap built
             # (the semi-join filters which buckets join, not their
-            # sizes) instead of re-running the signature UDF + shuffle;
-            # uncapped calls build it here.
-            probe_counts = (
-                counts.filter(F.col("_c") <= max_bucket)
-                if counts is not None
-                else sigs.groupBy("_t", "_s").agg(
+            # sizes) instead of re-running the signature UDF + shuffle.
+            # Uncapped calls build it here — off a localCheckpoint of
+            # sigs, because from this point the signature frame has
+            # THREE consumers (the probe plus both join sides) and the
+            # call is already action-bearing (ADVICE r9: the probe made
+            # the signature UDF build run 4×; the checkpoint makes it
+            # run once).
+            if counts is not None:
+                probe_counts = counts.filter(F.col("_c") <= max_bucket)
+            else:
+                sigs = sigs.localCheckpoint(eager=True)
+                probe_counts = sigs.groupBy("_t", "_s").agg(
                     F.count(F.lit(1)).alias("_c")
                 )
-            )
             mass = (
                 probe_counts.agg(
                     F.sum(
@@ -507,15 +548,44 @@ def embedding_dup_pairs_lsh(
                 ).collect()[0]["_p"]
             )
         if mass is not None and mass > max_candidate_pairs:
+            if on_overflow == "reroute":
+                import math
+
+                auto_bits = max(
+                    6, min(16, math.ceil(math.log2(max(n_rows, 2) / 64)))
+                )
+                re_bits = max(bits, auto_bits)
+                re_bucket = max_bucket if max_bucket is not None else 256
+                if (re_bits, re_bucket) != (bits, max_bucket):
+                    # With max_bucket set the recursive call's stage-1
+                    # bound is the LINEAR n_tables·n·(max_bucket−1)/2,
+                    # so the reroute normally clears the guard without
+                    # even the probe; if the corpus still overflows,
+                    # the inner call raises (on_overflow="raise") — no
+                    # second reroute, no recursion.
+                    return embedding_dup_pairs_lsh(
+                        df,
+                        threshold=threshold,
+                        vec_col=vec_col,
+                        id_col=id_col,
+                        bits=re_bits,
+                        n_tables=n_tables,
+                        seed=seed,
+                        dim=dim,
+                        max_bucket=re_bucket,
+                        max_candidate_pairs=max_candidate_pairs,
+                        on_overflow="raise",
+                    )
             raise ValueError(
                 f"embedding_dup_pairs_lsh: the bucket join would emit "
                 f"{int(mass):,} candidate pairs (> max_candidate_pairs="
                 f"{max_candidate_pairs:,}) at bits={bits}. Size bits ≈ "
                 "log2(n / target_bucket) so buckets stay constant-size "
-                "(the auto-scaled queries() entry does this), or cap "
-                "skewed clusters with max_bucket. Pass "
-                "max_candidate_pairs=None only for a corpus you have "
-                "sized."
+                "(the auto-scaled queries() entry does this), cap "
+                "skewed clusters with max_bucket, or pass "
+                "on_overflow='reroute' to dispatch to that form "
+                "automatically. Pass max_candidate_pairs=None only for "
+                "a corpus you have sized."
             )
 
     a, b = sigs.alias("a"), sigs.alias("b")

@@ -84,3 +84,116 @@ def test_lsh_guard_probes_post_bucket_cap(clone_vecs):
 def test_lsh_default_cap_passes_fixture(clone_vecs):
     pairs = similarity.embedding_dup_pairs_lsh(clone_vecs, dim=4).count()
     assert pairs == 45  # all identical vectors pair up
+
+
+# ---------------------------------------------------------------------------
+# on_overflow="reroute" (r10): opt-in dispatch to the measured scale twin
+# instead of the sized refusal (VERDICT r9 ask #2)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_reroute_parity_with_exact(boiler_docs):
+    """A guard-tripping call with on_overflow='reroute' dispatches to
+    the PPJoin twin and returns BIT-IDENTICAL rows to the uncapped
+    exact index form."""
+    exact = dedup.ngram_jaccard_pairs(
+        boiler_docs, n=3, threshold=0.1, max_candidate_pairs=None
+    ).collect()
+    assert len(exact) == 66  # every pair shares the boilerplate shingle
+    rerouted = dedup.ngram_jaccard_pairs(
+        boiler_docs, n=3, threshold=0.1,
+        max_candidate_pairs=10, on_overflow="reroute",
+    ).collect()
+    assert sorted(map(tuple, rerouted)) == sorted(map(tuple, exact))
+
+
+def test_jaccard_reroute_capped_overflow_still_raises(spark):
+    """With a df cap set the caller already chose a scale strategy; a
+    still-overflowing capped mass must raise (PPJoin can't honor df
+    caps, and silently dropping them would run a BIGGER join)."""
+    rows = [
+        (2 * i + j, f"alpha{i} beta{i} gamma{i} delta{i} eps{i}")
+        for i in range(4)
+        for j in range(2)
+    ]  # 4 clone-pairs; every shingle has df=2
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="candidate pairs"):
+        dedup.ngram_jaccard_pairs(
+            docs, n=3, max_df=3, max_candidate_pairs=1,
+            on_overflow="reroute",
+        )
+
+
+def test_jaccard_on_overflow_validated(boiler_docs):
+    with pytest.raises(ValueError, match="on_overflow"):
+        dedup.ngram_jaccard_pairs(boiler_docs, on_overflow="retry")
+
+
+@pytest.fixture(scope="module")
+def mixed_vecs(spark):
+    """100 seeded-random dim-8 vectors plus 3 exact clone pairs. At
+    bits=2 / n_tables=2 the 4 buckets per table hold ~25 vectors each
+    (mass ≈ 2·4·300 ≈ 2400); at the rerouted bits the buckets thin out
+    while the clone pairs still collide in every table (p→1 as
+    cos→1)."""
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(100)
+    ]
+    for k in range(3):
+        v = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((100 + 2 * k, list(v)))
+        rows.append((101 + 2 * k, list(v)))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_lsh_reroute_scales_bits_and_matches_exact(mixed_vecs):
+    """Guard trips at bits=2; reroute re-runs at the auto-scaled bits
+    with max_bucket=256 and succeeds. Every reported pair passes the
+    exact cosine verify (precision 1 vs the exact form) and the true
+    clone pairs — the pairs a dedup run exists to find — survive."""
+    rerouted = similarity.embedding_dup_pairs_lsh(
+        mixed_vecs, threshold=0.999, bits=2, n_tables=2, dim=8,
+        max_candidate_pairs=1000, on_overflow="reroute",
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in rerouted}
+    exact = {
+        (r.id_a, r.id_b)
+        for r in similarity.embedding_dup_pairs(
+            mixed_vecs, threshold=0.999
+        ).collect()
+    }
+    assert got <= exact  # precision 1: subset of the exact result
+    assert {(100, 101), (102, 103), (104, 105)} <= got
+
+
+def test_lsh_reroute_raises_when_already_rerouted_form(clone_vecs):
+    """If the caller's parameters already ARE the rerouted form there
+    is nothing left to scale: the guard raises even under reroute."""
+    with pytest.raises(ValueError, match="candidate pairs"):
+        similarity.embedding_dup_pairs_lsh(
+            clone_vecs, dim=4, bits=16, max_bucket=256,
+            max_candidate_pairs=10, on_overflow="reroute",
+        )
+
+
+def test_lsh_on_overflow_validated(clone_vecs):
+    with pytest.raises(ValueError, match="on_overflow"):
+        similarity.embedding_dup_pairs_lsh(
+            clone_vecs, dim=4, on_overflow="maybe"
+        )
+
+
+def test_lsh_capped_bound_skips_probe(clone_vecs, spark):
+    """ADVICE r9: with max_bucket set the tight stage-1 bound is
+    n_tables·n·(max_bucket−1)/2 — linear — so a capped call on a
+    modest corpus must not pay the stage-2 shuffle probe. Observable
+    contract: the capped call with a cap ABOVE the tight bound
+    (4·10·4/2 = 80 ≤ 100) runs no probe and succeeds even though the
+    loose bound (4·10·9/2 = 180) would have forced one."""
+    out = similarity.embedding_dup_pairs_lsh(
+        clone_vecs, dim=4, max_bucket=5, max_candidate_pairs=100
+    )
+    assert out.count() == 0

@@ -1,0 +1,155 @@
+"""LedgeredFactSink — exactly-once parquet fact appends (r10).
+
+The last at-least-once edge in the delivery story (VERDICT r9 ask #1):
+plain ``mode("append")`` parquet doubles fact rows when Structured
+Streaming replays a crashed epoch. The sink stages each epoch, renames
+it into a committed ``cseq=<n>`` slot, and makes it visible only via an
+atomic pointer write — the same ledger discipline as
+``SummingParquetSink.apply_delta``. These tests drive the sink through
+every crash window directly; the streaming e2e retry is
+tests/test_streaming.py::test_mid_epoch_failure_replay_no_double_count.
+"""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from adguard2clickhouse_spark.sinks.facts import LedgeredFactSink
+
+
+def _df(spark, rows):
+    return (
+        spark.createDataFrame(rows, ["date", "date_time", "QH"])
+        .withColumn("date", F.to_date("date"))
+    )
+
+
+@pytest.fixture()
+def sink(tmp_path):
+    return LedgeredFactSink(
+        str(tmp_path / "log2"),
+        partition_by=["date"],
+        sort_within=["date_time"],
+    )
+
+
+def test_epoch_retry_is_noop(sink, spark):
+    df = _df(spark, [("2024-01-01", 1, "a.com"), ("2024-01-02", 2, "b.com")])
+    assert sink.append(df, epoch_id=0) is True
+    assert sink.append(df, epoch_id=0) is False  # the crash-replay path
+    assert sink.read(spark).count() == 2
+    assert sink.applied(0) and not sink.applied(1)
+
+
+def test_epoch_hwm_covers_evicted_window(sink, spark):
+    """Epochs beyond the tracked window are still recognized via the
+    high-water mark (foreachBatch epochs are monotonic)."""
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    sink.append(df, epoch_id=7)
+    meta = sink._pointer()
+    meta["epochs"] = []  # simulate window eviction
+    sink._write_pointer(meta)
+    assert sink.applied(7) and sink.applied(3)
+    assert sink.append(df, epoch_id=5) is False
+
+
+def test_crash_between_publish_and_commit_is_invisible_then_gcd(
+    sink, spark, tmp_path
+):
+    """The torn-epoch window: a ``cseq=`` directory exists but the
+    ledger was never written. Readers must not see it; the next append
+    garbage-collects it and commits its own slot."""
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    sink.append(df, epoch_id=0)
+    orphan = str(tmp_path / "log2" / "cseq=00000099")
+    df.write.partitionBy("date").parquet(orphan)  # simulated torn epoch
+    assert sink.read(spark).count() == 1  # invisible
+    assert sink.append(df, epoch_id=1) is True
+    assert not os.path.exists(orphan)  # GC'd
+    assert sink.read(spark).count() == 2
+
+
+def test_crash_mid_stage_is_invisible_then_gcd(sink, spark, tmp_path):
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    stage = str(tmp_path / "log2" / ".stage.deadbeef")
+    df.write.partitionBy("date").parquet(stage)  # simulated mid-write crash
+    assert sink.read(spark) is None
+    sink.append(df, epoch_id=0)
+    assert not os.path.exists(stage)
+    assert sink.read(spark).count() == 1
+
+
+def test_empty_epoch_commits_idempotency_without_directory(sink, spark):
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    empty = df.filter("date_time < 0")
+    assert sink.append(empty, epoch_id=0) is True
+    assert sink.applied(0)
+    assert sink._pointer()["dirs"] == []
+    assert sink.read(spark) is None
+
+
+def test_token_ledger_is_separate_from_epochs(sink, spark):
+    """Out-of-band appends (dead-letter replay) identify by token and
+    must not disturb the monotonic epoch hwm — same two-ledger contract
+    as the summing sink."""
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    sink.append(df, epoch_id=10)
+    assert sink.append(df, token="replay-1") is True
+    assert sink.append(df, token="replay-1") is False
+    assert sink._pointer()["epoch_hwm"] == 10  # untouched by the token
+    assert sink.append(df, epoch_id=11) is True
+    assert sink.read(spark).count() == 3
+
+
+def test_partition_pruning_survives_the_ledgered_layout(sink, spark):
+    """The whole point of ``cseq=`` naming + basePath: the committed
+    roots read as ONE file source and the real ``date`` partition
+    column still prunes."""
+    sink.append(
+        _df(spark, [("2024-01-01", 1, "a.com"), ("2024-01-02", 2, "b.com")]),
+        epoch_id=0,
+    )
+    sink.append(_df(spark, [("2024-01-02", 3, "c.com")]), epoch_id=1)
+    out = sink.read(spark)
+    assert set(out.columns) == {"date", "date_time", "QH"}  # cseq dropped
+    pruned = out.filter(F.col("date") == F.lit(datetime.date(2024, 1, 2)))
+    assert pruned.count() == 2
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("FileScan") == 1  # one scan node, not one per epoch
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "date" in part_lines[0]
+
+
+def test_compact_folds_epoch_dirs_and_preserves_ledgers(sink, spark):
+    for e in range(5):
+        sink.append(_df(spark, [("2024-01-01", e, f"q{e}.com")]), epoch_id=e)
+    assert len(sink._pointer()["dirs"]) == 5
+    assert sink.compact(spark) == 5
+    assert len(sink._pointer()["dirs"]) == 1
+    assert sink.read(spark).count() == 5
+    assert sink.applied(4)  # epoch history survives compaction
+    assert sink.append(
+        _df(spark, [("2024-01-01", 9, "x.com")]), epoch_id=3
+    ) is False
+
+
+def test_replace_swaps_atomically_even_from_own_read(sink, spark):
+    sink.append(_df(spark, [("2024-01-01", 1, "a.com")]), epoch_id=0)
+    sink.append(_df(spark, [("2024-01-01", 2, "b.com")]), epoch_id=1)
+    sink.replace(sink.read(spark).filter("QH = 'b.com'"))
+    out = sink.read(spark)
+    assert out.count() == 1 and out.first().QH == "b.com"
+    assert sink.applied(1)  # history preserved across the swap
+
+
+def test_reserved_column_rejected(sink, spark):
+    df = _df(spark, [("2024-01-01", 1, "a.com")]).withColumn(
+        "cseq", F.lit(1)
+    )
+    with pytest.raises(ValueError, match="cseq"):
+        sink.append(df, epoch_id=0)

@@ -201,3 +201,27 @@ def test_with_fill_guard_handles_interval_steps(spark):
         defaults={"n": 0},
     )
     assert day.count() == 4  # 2 source rows + Jan1+45d, Jan1+90d
+
+
+def test_with_fill_nonpositive_step_raises_step_error(spark):
+    """ADVICE r9: a zero/negative step makes lo + allowed·step ≤ hi
+    trivially true, so the guard used to raise its cap-violation
+    message for what is really an invalid step. The step-sign check
+    now runs first and names the real problem."""
+    df = spark.createDataFrame(
+        [("x", 1, 10), ("x", 5, 20)], "k STRING, t LONG, n LONG"
+    )
+    for bad in (F.lit(0), F.lit(-1)):
+        with pytest.raises(ValueError, match="step must be positive"):
+            with_fill(df, "t", bad, partition_cols=["k"], defaults={"n": 0})
+
+
+def test_with_fill_negative_interval_step_raises_step_error(spark):
+    """Same check for interval steps (which never convert to Python):
+    the sign probe is evaluated JVM-side."""
+    import datetime
+
+    rows = [(datetime.date(2024, 1, 1), 1), (datetime.date(2024, 1, 5), 2)]
+    df = spark.createDataFrame(rows, "day DATE, n LONG")
+    with pytest.raises(ValueError, match="step must be positive"):
+        with_fill(df, "day", F.expr("interval -1 day"), defaults={"n": 0})

@@ -105,9 +105,12 @@ def test_epoch_retry_is_noop(run_dirs, spark):
 
 
 def test_log2_partitioned_by_date(run_dirs, spark):
+    """date= partition dirs live INSIDE each committed epoch slot
+    (cseq=N/date=D/...) since r10 — pruning still reaches the scan
+    (asserted in tests/test_facts_sink.py)."""
     src, out, pipe, _ = run_dirs
-    files = list((out / "log2").glob("date=*"))
-    assert files, "expected date= partition directories"
+    files = list((out / "log2").glob("cseq=*/date=*"))
+    assert files, "expected date= partition directories in committed slots"
 
 
 # ---------------------------------------------------------------------------
@@ -383,14 +386,30 @@ def test_progress_recorder_captures_batch_rates(tmp_path, spark):
 
 def test_read_log2_merges_evolved_schema(tmp_path, spark):
     """A column added mid-stream must reconcile across old and new
-    fact files under merge_schema (older rows null-filled)."""
+    fact epochs under merge_schema (older rows null-filled). Epochs
+    are committed through the ledgered fact sink — the only writer of
+    log2 since r10."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
     pipe = QuerylogPipeline(spark, str(tmp_path / "s"), str(tmp_path / "o"))
-    spark.range(3).selectExpr("id", "CAST(id AS STRING) AS QH").write.parquet(
-        pipe.log2_path
+    d = F.lit(datetime.date(2024, 1, 1))
+    pipe.log2_sink.append(
+        spark.range(3)
+        .selectExpr("id AS date_time", "CAST(id AS STRING) AS QH")
+        .withColumn("date", d),
+        epoch_id=0,
     )
-    spark.range(2).selectExpr(
-        "id", "CAST(id AS STRING) AS QH", "'edns' AS transport"
-    ).write.mode("append").parquet(pipe.log2_path)
+    pipe.log2_sink.append(
+        spark.range(2)
+        .selectExpr(
+            "id AS date_time", "CAST(id AS STRING) AS QH",
+            "'edns' AS transport",
+        )
+        .withColumn("date", d),
+        epoch_id=1,
+    )
 
     merged = pipe.read_log2(merge_schema=True)
     assert "transport" in merged.columns
@@ -483,9 +502,11 @@ def test_mid_epoch_failure_replay_no_double_count(tmp_path, spark):
     state on disk. On restart Structured Streaming replays the epoch
     from the checkpoint; the sinks that applied it must no-op (epoch
     high-water mark) while the failed sink catches up — final additive
-    state equals the batch answer. The log2 fact append is documented
-    at-least-once under this exact scenario, so the fact assertion is
-    on the natural-key dedup (the documented reader-side mitigation).
+    state equals the batch answer. The log2 fact append goes through
+    the ledgered fact sink (r10): the replayed epoch's re-append is a
+    committed-epoch no-op, so the fact table holds EXACTLY the input
+    rows — before r10 this very scenario doubled them and only a
+    natural-key dedup restored the count.
     """
     from pyspark.errors.exceptions.captured import StreamingQueryException
 
@@ -529,12 +550,15 @@ def test_mid_epoch_failure_replay_no_double_count(tmp_path, spark):
     for name in agg.ALL_AGGREGATES:
         got = {tuple(r) for r in pipe2.read_aggregate(name).collect()}
         assert got == expected[name], f"{name} diverged after epoch replay"
-    # at-least-once facts: replayed epoch may appear twice; the
-    # documented natural-key dedup restores exactly-once reads
+    # exactly-once facts (r10): the replayed epoch must NOT double —
+    # the ledgered sink no-ops the retry of a committed epoch. This
+    # assertion fails on the pre-r10 plain parquet append (the epoch
+    # that crashed mid-fan had already appended its fact rows, and the
+    # replay appended them again).
     log2 = pipe2.read_log2()
-    assert log2.count() >= len(all_lines)
-    deduped = log2.dropDuplicates(["date_time", "QH", "IP", "Elapsed"])
-    assert deduped.count() == len(all_lines)
+    assert log2.count() == len(all_lines)
+    # the dead-letter channel is ledgered too: no dead rows here at all
+    assert pipe2.dead_sink.read(spark) is None
 
 
 def test_replay_dead_letters_recovers_fixed_lines(tmp_path, spark):
@@ -552,16 +576,15 @@ def test_replay_dead_letters_recovers_fixed_lines(tmp_path, spark):
     pipe.run_available()
 
     # simulate an old-parser artifact: valid lines mis-filed as dead,
-    # alongside genuinely broken ones
+    # alongside genuinely broken ones — installed through the ledgered
+    # dead sink (the only writer of the channel since r10)
     recoverable = [_line(i, minute=i % 5, filtered=False,
                          qh="late.example.com", ip="10.3.0.2")
                    for i in range(100, 105)]
-    import shutil
-    shutil.rmtree(str(out / "dead_letter"))
-    spark.createDataFrame(
+    pipe.dead_sink.replace(spark.createDataFrame(
         [(l,) for l in recoverable + ["{ not json", "also broken"]],
         ["raw_line"],
-    ).write.parquet(str(out / "dead_letter"))
+    ))
 
     # snapshot every bucket file of one sink: the delta replay must
     # rewrite ONLY the buckets the 5 recovered lines touch (they share
@@ -662,6 +685,54 @@ def test_dense_fold_strategy_auto_and_pinned(spark, tmp_path):
     pinned_off = QuerylogPipeline(
         spark, str(tmp_path / "s3"), str(tmp_path / "o3"), dense_folds=False)
     assert pinned_off._dense_fold(s, 10_000) is False
+
+
+def test_dense_regime_reprobes_and_recovers_from_traffic_shift(
+    spark, tmp_path
+):
+    """r10, closing the documented dense-state blindness: once a sink
+    flipped dense it never re-measured bucket coverage, so a traffic
+    shift to hot-key deltas kept rewriting every bucket forever. Every
+    Nth consecutive dense fold now runs sparse; its discovery job
+    re-observes coverage, and a shifted stream returns to the sparse
+    O(touched-state) path within N epochs and stays there."""
+    pipe = QuerylogPipeline(spark, str(tmp_path / "s"), str(tmp_path / "o"))
+    pipe.sparse_reprobe_every = 4
+
+    class _Sink:
+        n_buckets = 8
+        last_fold_touched_all = None
+
+    s = _Sink()
+    shifted = {"hot": False}
+
+    def epoch(n_rows):
+        """One epoch's strategy decision + the measurement a SPARSE
+        fold's discovery job performs (dense folds never measure)."""
+        dense = pipe._dense_fold(s, n_rows)
+        if not dense:
+            s.last_fold_touched_all = not shifted["hot"]
+        return dense
+
+    # keyed traffic: first epoch sparse (measures), then dense
+    assert epoch(10_000) is False
+    assert [epoch(10_000) for _ in range(3)] == [True, True, True]
+    # 4th consecutive dense candidate is the re-probe: runs sparse
+    assert epoch(10_000) is False
+    # traffic unchanged -> re-probe observed full coverage -> dense again
+    assert epoch(10_000) is True
+    # traffic SHIFTS to one hot key while the sink is dense
+    shifted["hot"] = True
+    decisions = [epoch(10_000) for _ in range(pipe.sparse_reprobe_every)]
+    assert False in decisions, "re-probe never fired within the cadence"
+    # ...and after the re-probe observed the shift, sparse sticks
+    assert [epoch(10_000) for _ in range(3)] == [False, False, False]
+    # disabling the cadence restores the r9 behavior (never re-probe)
+    pipe2 = QuerylogPipeline(spark, str(tmp_path / "s2"), str(tmp_path / "o2"))
+    pipe2.sparse_reprobe_every = 0
+    s2 = _Sink()
+    s2.last_fold_touched_all = True
+    assert all(pipe2._dense_fold(s2, 10_000) for _ in range(40))
 
 
 def test_low_traffic_epoch_keeps_untouched_buckets_byte_identical(
@@ -766,3 +837,22 @@ def test_fused_delta_auto_gates_on_epoch_rows(tmp_path, spark):
         b = {tuple(r) for r in fused.read_aggregate(name).collect()}
         c = {tuple(r) for r in pinned.read_aggregate(name).collect()}
         assert a == b == c, f"{name}: delta strategies disagree"
+
+
+def test_strategy_knobs_reject_unknown_strings(spark, tmp_path):
+    """ADVICE r9: any string other than 'auto' ('false', 'off', a typo
+    like 'Auto') used to silently pin the strategy ON via bool(str);
+    it must be a construction-time error."""
+    import pytest
+
+    for knob in ("dense_folds", "fused_deltas"):
+        with pytest.raises(ValueError, match=knob):
+            QuerylogPipeline(
+                spark, str(tmp_path / "s"), str(tmp_path / "o"),
+                **{knob: "off"},
+            )
+    # bool and "auto" stay accepted
+    QuerylogPipeline(
+        spark, str(tmp_path / "s2"), str(tmp_path / "o2"),
+        dense_folds=True, fused_deltas="auto",
+    )
