@@ -2293,6 +2293,28 @@ def q_ngram_jaccard_ppjoin(spark, sf_dir):
     )
 
 
+def q_ngram_jaccard_reroute(spark, sf_dir):
+    """X2a through the r10 overflow REROUTE (VERDICT r9 ask #2): a
+    deliberately-tripping candidate cap (max_candidate_pairs=1) with
+    ``on_overflow='reroute'`` dispatches to the PPJoin twin instead of
+    the sized refusal. Bit-identical answers by construction, so the
+    oracle is the SAME relational query as x2_ngram_jaccard — the
+    reroute's exactness is hash-gated at driver SF, not just asserted
+    at pytest fixture scale."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8,
+        max_candidate_pairs=1, on_overflow="reroute",
+    )
+    return pairs.select(
+        "doc_a",
+        "doc_b",
+        F.col("common").cast("long").alias("common"),
+        F.col("size_a").cast("long").alias("size_a"),
+        F.col("size_b").cast("long").alias("size_b"),
+    )
+
+
 def q_ngram_jaccard_auto(spark, sf_dir):
     """X2a through the strategy DISPATCHER (VERDICT r6 #5 made the
     PPJoin crossover actionable): ``strategy='auto'`` measures the
@@ -3626,6 +3648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_lang_id": q_lang_id,
         "x2_ngram_jaccard": q_ngram_jaccard,
         "x2_ngram_jaccard_ppjoin": q_ngram_jaccard_ppjoin,
+        "x2_ngram_jaccard_reroute": q_ngram_jaccard_reroute,
         "x2_ngram_jaccard_auto": q_ngram_jaccard_auto,
         "x2_ngram_containment": q_ngram_containment,
         "x2_ngram_jaccard_capped": q_ngram_jaccard_capped,
@@ -4919,6 +4942,17 @@ def oracle_sql() -> dict[str, str]:
         # semantics change: the answer set is the exact Jaccard pairs,
         # so the oracle is the same relational query as x2_ngram_jaccard
         "x2_ngram_jaccard_ppjoin": (
+            f"WITH {_SHINGLE_CTE}, "
+            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
+            "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
+            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
+        ),
+        # the r10 overflow reroute dispatches to PPJoin, which answers
+        # the exact Jaccard query bit-identically: same oracle again
+        "x2_ngram_jaccard_reroute": (
             f"WITH {_SHINGLE_CTE}, "
             "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
             "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
