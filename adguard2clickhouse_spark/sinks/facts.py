@@ -267,16 +267,65 @@ class LedgeredFactSink:
         for d in old_dirs:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
-    def compact(self, spark: SparkSession) -> int:
-        """Fold all committed epoch directories into one (bounded-
-        maintenance answer to per-epoch directory growth): returns the
-        number of directories folded. Readers holding the old ledger
-        keep a consistent view until the swap; the epoch/token ledgers
-        are preserved."""
+    def compact(
+        self, spark: SparkSession, small_bytes: int | None = None
+    ) -> int:
+        """Fold committed epoch directories together (the maintenance
+        answer to per-epoch directory growth). Returns the number of
+        directories folded away.
+
+        ``small_bytes=None`` folds EVERYTHING into one directory —
+        fine for tables that fit a rewrite. At warehouse scale a full
+        rewrite is exactly the cost this sink exists to avoid, so pass
+        ``small_bytes``: only directories smaller than that threshold
+        are merged (the steady trickle of micro-batch epochs), while
+        already-compacted large slots are left untouched — each
+        maintenance run costs O(recent small epochs), not O(table),
+        and repeated runs converge to a few large slots. Readers
+        holding the old ledger keep a consistent view until the
+        atomic swap; the epoch/token ledgers are preserved."""
         meta = self._pointer()
-        if len(meta["dirs"]) <= 1:
+        if small_bytes is None:
+            if len(meta["dirs"]) <= 1:
+                return 0
+            n = len(meta["dirs"])
+            self.replace(self.read(spark))
+            return n
+
+        def _dir_bytes(name: str) -> int:
+            total = 0
+            for root, _dirs, files in os.walk(os.path.join(self.path, name)):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+
+        small = [d for d in meta["dirs"] if _dir_bytes(d) < small_bytes]
+        if len(small) <= 1:
             return 0
-        n = len(meta["dirs"])
-        current = self.read(spark)
-        self.replace(current)
-        return n
+        keep = [d for d in meta["dirs"] if d not in small]
+        paths = [os.path.join(self.path, d) for d in small]
+        reader = spark.read.option("basePath", self.path)
+        merged = reader.parquet(*paths).drop("cseq")
+
+        stage = os.path.join(self.path, f".stage.{uuid.uuid4().hex}")
+        out = merged
+        if self.sort_within:
+            out = out.sortWithinPartitions(*self.sort_within)
+        writer = out.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(stage)
+        seq = meta["seq"] + 1
+        dirs = list(keep)
+        if _staged_rows(stage) > 0:
+            dst = os.path.join(self.path, f"cseq={seq:08d}")
+            if os.path.exists(dst):
+                shutil.rmtree(dst)
+            os.replace(stage, dst)
+            dirs.append(os.path.basename(dst))
+        else:
+            shutil.rmtree(stage, ignore_errors=True)
+        self._write_pointer({**meta, "seq": seq, "dirs": dirs})
+        for d in small:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
+        return len(small)

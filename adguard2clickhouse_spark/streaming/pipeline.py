@@ -484,6 +484,17 @@ class QuerylogPipeline:
         return df
 
     # -- maintenance ---------------------------------------------------------
+    def compact_facts(self, small_bytes: int | None = 128 << 20) -> int:
+        """Fold small committed fact epochs together (run while the
+        stream is stopped, like replay). The default threshold matches
+        ``spark.sql.files.maxPartitionBytes`` (128 MB) — the file size
+        the scan layer wants anyway — so each maintenance run merges
+        only the trickle of recent micro-batch epochs and repeated
+        runs converge to a few scan-friendly slots; it never rewrites
+        already-compacted history (``small_bytes=None`` = full fold,
+        for tables that fit a rewrite). Returns directories folded."""
+        return self.log2_sink.compact(self.spark, small_bytes=small_bytes)
+
     def rebuild_aggregates(self, names: list[str] | None = None) -> None:
         """Backfill aggregate tables from the fact table — the recovery
         path ClickHouse's insert-triggered MVs don't have (an MV created

@@ -208,7 +208,8 @@ def main() -> None:
         }
 
     n_fact = pipe.read_log2().count()
-    n_dead = spark.read.parquet(str(out / "dead_letter")).count()
+    _dead = pipe.dead_sink.read(spark)
+    n_dead = _dead.count() if _dead is not None else 0
     assert n_fact + n_dead == n_rows, (n_fact, n_dead, n_rows)
 
     result = {

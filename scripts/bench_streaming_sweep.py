@@ -90,7 +90,8 @@ def run_once(spark, src: str, writer, files_per_trigger: int, n_rows: int) -> di
             if (p if isinstance(p, dict) else {}).get("numInputRows", 0) > 0
         )
         n_fact = pipe.read_log2().count()
-        n_dead = pipe.spark.read.parquet(out + "/dead_letter").count()
+        _dead = pipe.dead_sink.read(pipe.spark)
+        n_dead = _dead.count() if _dead is not None else 0
         assert n_fact > 0 and epochs > 0, "void run: nothing ingested"
         assert n_fact + n_dead == n_rows, (n_fact, n_dead, n_rows)
         return {

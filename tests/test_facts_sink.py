@@ -153,3 +153,81 @@ def test_reserved_column_rejected(sink, spark):
     )
     with pytest.raises(ValueError, match="cseq"):
         sink.append(df, epoch_id=0)
+
+
+def test_bounded_compaction_merges_only_small_dirs(sink, spark):
+    """The 100 TB form of maintenance: only directories under the
+    threshold fold together; a large already-compacted slot is never
+    rewritten (its files stay byte-identical), and repeated runs
+    converge instead of rewriting the table."""
+    import hashlib
+
+    # one "large" slot (many rows) + a trickle of small epochs
+    big = _df(spark, [("2024-01-01", i, f"b{i}.com") for i in range(500)])
+    sink.append(big, epoch_id=0)
+    big_dir = sink._pointer()["dirs"][0]
+    for e in range(1, 5):
+        sink.append(_df(spark, [("2024-01-01", e, f"s{e}.com")]), epoch_id=e)
+
+    def _hashes(d):
+        out = {}
+        root_dir = os.path.join(sink.path, d)
+        for root, _dirs, files in os.walk(root_dir):
+            for f in files:
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, root_dir)] = hashlib.md5(
+                    open(p, "rb").read()
+                ).hexdigest()
+        return out
+
+    big_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, fs in os.walk(os.path.join(sink.path, big_dir))
+        for f in fs
+    )
+    before = _hashes(big_dir)
+    # threshold below the big slot, above each single-row epoch
+    folded = sink.compact(spark, small_bytes=big_bytes)
+    assert folded == 4
+    meta = sink._pointer()
+    assert big_dir in meta["dirs"] and len(meta["dirs"]) == 2
+    assert _hashes(big_dir) == before, "large slot must not be rewritten"
+    assert sink.read(spark).count() == 504
+    assert sink.applied(4)
+    # converged: a second run finds at most the one merged small slot
+    assert sink.compact(spark, small_bytes=big_bytes) == 0
+
+
+def test_bounded_compaction_noop_below_two_small_dirs(sink, spark):
+    sink.append(_df(spark, [("2024-01-01", 1, "a.com")]), epoch_id=0)
+    assert sink.compact(spark, small_bytes=1 << 20) == 0
+    assert sink.read(spark).count() == 1
+
+
+def test_pipeline_compact_facts_keeps_reads_identical(spark, tmp_path):
+    """Maintenance through the pipeline API: compaction changes the
+    file layout, never the table."""
+    import json as _json
+
+    from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+    src = tmp_path / "src"
+    src.mkdir()
+    from tests.test_streaming import _line
+
+    for i in range(3):
+        (src / f"f{i}.jsonl").write_text(
+            "\n".join(
+                _line(j, minute=j % 5, filtered=False,
+                      qh=f"c{j}.example.com", ip="10.0.0.1")
+                for j in range(i * 5, i * 5 + 5)
+            ) + "\n"
+        )
+    pipe = QuerylogPipeline(spark, str(src), str(tmp_path / "out"))
+    q = pipe.start(available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+    before = sorted(map(repr, pipe.read_log2().collect()))
+    assert len(pipe.log2_sink._pointer()["dirs"]) >= 2  # one per epoch
+    folded = pipe.compact_facts()  # default threshold: everything is small
+    assert folded >= 2
+    assert sorted(map(repr, pipe.read_log2().collect())) == before
