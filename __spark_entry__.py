@@ -3409,11 +3409,21 @@ def q_dedup_clusters(spark, sf_dir):
     """X1 transitive closure: near-dup pairs (exact Jaccard ≥ 0.8) as
     edges, hash-min label propagation to connected components
     (operators/graph.py — the iterative fixpoint a single declarative
-    query can't express). Oracle: DuckDB recursive CTE reachability."""
+    query can't express). Oracle: DuckDB recursive CTE reachability.
+
+    The edge generator runs with ``on_overflow='reroute'`` (r10): on a
+    corpus whose candidate mass tops the guard (the marker corpus does
+    at sf10 — measured 3.2e9, BENCH_reroute_r10.json) the edges come
+    from the bit-identical PPJoin twin instead of a refusal, so the
+    clusters stay EXACT at every scale instead of erroring at the one
+    that used to exhaust the heap. Below the cap nothing changes —
+    same plan, same oracle, same hash."""
     from adguard2clickhouse_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, on_overflow="reroute"
+    )
     comp = connected_components(docs.select("doc_id"), pairs)
     return comp.select("doc_id", F.col("component").cast("long").alias("component"))
 

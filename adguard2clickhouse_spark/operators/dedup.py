@@ -314,10 +314,17 @@ def ngram_jaccard_pairs(
     ``on_overflow``: what to do when the guard measures a candidate
     mass above the cap — ``"raise"`` (default, the sized refusal) or
     ``"reroute"``: dispatch to the PPJoin prefix-filtered twin, which
-    returns BIT-IDENTICAL answers (parity asserted at both measured
-    SFs) while emitting only prefix-surviving candidates — the regime
-    the measured sf1 crossover showed it winning (1.39×). Reroute
-    applies only when no df cap is set: with ``max_df``/
+    returns BIT-IDENTICAL answers while emitting only prefix-surviving
+    candidates. Measured r10 (BENCH_reroute_r10.json, 48g session):
+    the sf10 marker corpus (500k docs) whose exact mass of 3.206e9
+    refuses by default COMPLETES via reroute in 446 s with row-level
+    parity against direct PPJoin (228 s; 25,501 pairs) — the corpus
+    class that exhausted an 8 GB heap in r4 now finishes exact; a
+    hot-shingle corpus (17-word boilerplate on every doc, mass
+    1.89e10) reroutes in 25 s. The reroute's premium over direct
+    PPJoin is the guard's exact stage-2 probe — a caller who KNOWS the
+    corpus is hot should say ``strategy='ppjoin'`` and skip it.
+    Reroute applies only when no df cap is set: with ``max_df``/
     ``max_df_ratio`` the caller already chose a scale strategy, and a
     still-overflowing CAPPED mass means the corpus needs the banded-
     MinHash path (``minhash_lsh_pairs``), which a same-semantics

@@ -351,11 +351,16 @@ def test_collector_entrypoint_inserts_via_env(tmp_path, spark, monkeypatch):
         assert received, "collector sent no inserts"
         assert received[0][0].startswith("INSERT INTO log2 (")
         total = 0
-        schema = spark.read.parquet(str(tmp_path / "out" / "log2")).drop("date").schema
+        # read through the ledgered fact sink (r10): the raw directory
+        # now carries cseq= commit slots the sink strips on read
+        from adguard2clickhouse_spark.sinks.facts import LedgeredFactSink
+
+        fact = LedgeredFactSink(str(tmp_path / "out" / "log2")).read(spark)
+        schema = fact.drop("date").schema
         for _q, body in received:
             total += sum(1 for _ in decode_rowbinary(body, schema))
         assert total == 12
-        assert spark.read.parquet(str(tmp_path / "out" / "log2")).count() == 12
+        assert fact.count() == 12
     finally:
         srv.shutdown()
 

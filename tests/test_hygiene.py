@@ -230,3 +230,28 @@ def test_latest_selfcheck_artifact_covers_every_registered_query():
         f"{latest.name} has no row for {missing}; "
         "re-run scripts/selfcheck.py --json SELFCHECK_r<N>.json"
     )
+
+
+def test_latest_selfcheck_queries_stay_cold_fast():
+    """VERDICT r9 ask #4 made permanent: 132 registered queries have
+    never drawn a driver CORRECTNESS row, so whenever the rotation
+    finally samples them they must pass COLD. The selfcheck records
+    each query's cold wall (vanilla session, first execution); hold
+    every one under 8 s so operator growth can't silently push the
+    tail past the driver's patience. (r9 slowest: 4.85 s.)"""
+    import json
+    import re
+
+    repo = Path(__file__).resolve().parent.parent
+    files = sorted(
+        repo.glob("SELFCHECK_r*.json"),
+        key=lambda p: int(re.search(r"r(\d+)", p.stem).group(1)),
+    )
+    assert files, "no SELFCHECK artifact committed"
+    rows = json.loads(files[-1].read_text())
+    slow = {
+        k: v["secs"]
+        for k, v in rows.items()
+        if not k.startswith("_") and v.get("secs", 0) >= 8
+    }
+    assert not slow, f"registered queries no longer cold-fast: {slow}"
