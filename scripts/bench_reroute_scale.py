@@ -207,5 +207,113 @@ def main() -> None:
     spark.stop()
 
 
+
+
+def lsh_section(spark, results: dict) -> None:
+    """Section 4 (run separately via --lsh): the embedding-LSH reroute
+    at sf1 (20k vectors, dim 64, 10 label clusters + per-copy noise).
+    Records the MEASURED candidate masses of the fixed-bits demo form
+    (bits=6) and the auto-scaled rerouted form (bits=ceil(log2(n/64)),
+    max_bucket=256), then times both: the guard cap is set between the
+    two measured masses so the trip + reroute path is exercised, and
+    the entry records both masses so the choice is transparent."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.operators import similarity
+
+    emb_path = str(REPO / ".localdata" / "sf1" / "embeddings.parquet")
+    if not os.path.exists(emb_path):
+        from gen_scale import replicate_embeddings
+
+        replicate_embeddings(
+            "/root/testdata/sf0.1", str(REPO / ".localdata" / "sf1"), 10
+        )
+        print(f"generated {emb_path}")
+    emb = spark.read.parquet(emb_path)
+    n = emb.count()
+    dim = 64
+
+    def mass(bits: int, n_tables: int, max_bucket: int | None) -> int:
+        sigs = emb.select(
+            F.posexplode(
+                similarity.lsh_signatures_udf(dim, bits, n_tables, 42)(
+                    F.col("embedding")
+                )
+            ).alias("_t", "_s")
+        )
+        counts = sigs.groupBy("_t", "_s").agg(F.count(F.lit(1)).alias("_c"))
+        if max_bucket is not None:
+            counts = counts.filter(F.col("_c") <= max_bucket)
+        row = counts.agg(
+            F.sum(F.col("_c") * (F.col("_c") - 1) / F.lit(2)).alias("_p")
+        ).collect()[0]
+        return int(row["_p"] or 0)
+
+    auto_bits = max(6, min(16, math.ceil(math.log2(max(n, 2) / 64))))
+    pre = mass(6, 8, None)
+    post = mass(auto_bits, 8, 256)
+    entry: dict = {
+        "n_vecs": n, "fixed_bits": 6, "auto_bits": auto_bits,
+        "mass_fixed_bits": pre, "mass_rerouted": post,
+        "mass_reduction_x": round(pre / max(post, 1), 1),
+    }
+    cap = (pre + post) // 2
+    entry["cap_used"] = cap
+
+    med_f, walls_f, rows_f = wall(
+        lambda: similarity.embedding_dup_pairs_lsh(
+            emb, threshold=0.9, bits=6, n_tables=8, dim=dim,
+            max_candidate_pairs=None,
+        ).count(),
+        2,
+    )
+    entry["fixed_bits_run"] = {
+        "median_s": med_f, "walls": walls_f, "rows": rows_f,
+    }
+    try:
+        similarity.embedding_dup_pairs_lsh(
+            emb, threshold=0.9, bits=6, n_tables=8, dim=dim,
+            max_candidate_pairs=cap,
+        ).count()
+        entry["guard_at_cap"] = "DID NOT TRIP (unexpected)"
+    except ValueError:
+        entry["guard_at_cap"] = "refused"
+    med_r, walls_r, rows_r = wall(
+        lambda: similarity.embedding_dup_pairs_lsh(
+            emb, threshold=0.9, bits=6, n_tables=8, dim=dim,
+            max_candidate_pairs=cap, on_overflow="reroute",
+        ).count(),
+        2,
+    )
+    entry["reroute_run"] = {
+        "median_s": med_r, "walls": walls_r, "rows": rows_r,
+    }
+    # every pair from EITHER form passed the exact cosine verify; the
+    # rerouted form trades recall on marginal pairs for O(n) candidates
+    entry["recall_vs_fixed"] = round(rows_r / max(rows_f, 1), 3)
+    results["lsh_sf1"] = entry
+    print("lsh_sf1", entry)
+
+
+def lsh_main() -> None:
+    """Append the LSH section to the existing artifact."""
+    from adguard2clickhouse_spark.session import get_spark as _gs
+
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    spark = _gs(app_name="reroute-scale-bench-lsh")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = REPO / "BENCH_reroute_r10.json"
+    res = json.loads(out.read_text()) if out.exists() else {}
+    lsh_section(spark, res)
+    out.write_text(json.dumps(res, indent=1))
+    print(f"wrote {out}")
+    spark.stop()
+
+
 if __name__ == "__main__":
-    main()
+    if "--lsh" in sys.argv:
+        lsh_main()
+    else:
+        main()

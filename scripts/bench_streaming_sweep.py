@@ -19,7 +19,8 @@ becomes a measured claim with an operating point instead of a lever
 named in prose.
 
 Usage: python scripts/bench_streaming_sweep.py [n_rows] [reps]
-Writes BENCH_streaming_r9.json at the repo root.
+Writes BENCH_streaming_r10.json at the repo root (r10: measures the
+ledgered exactly-once fact+dead sinks on the same protocol as r9).
 """
 
 from __future__ import annotations
@@ -193,7 +194,7 @@ def main() -> None:
         },
         "reference_ceiling_rows_per_s": 1000,
     }
-    (REPO / "BENCH_streaming_r9.json").write_text(json.dumps(result, indent=1) + "\n")
+    (REPO / "BENCH_streaming_r10.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     srv.shutdown()
     spark.stop()

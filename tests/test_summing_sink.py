@@ -334,8 +334,10 @@ def test_auto_dense_gate_tracks_delta_keys_not_epoch_rows(tmp_path, spark):
     sink = SummingParquetSink(
         str(tmp_path / "s"), keys=["k"], measures=["cnt"], n_buckets=8
     )
-    pipe = object.__new__(QuerylogPipeline)  # only dense_folds is read
+    pipe = object.__new__(QuerylogPipeline)  # only the fold knobs are read
     pipe.dense_folds = "auto"
+    pipe.sparse_reprobe_every = 16
+    pipe._dense_streaks = {}
 
     # no observation yet: even a huge epoch must start sparse
     assert pipe._dense_fold(sink, n_rows=100_000) is False
