@@ -3762,6 +3762,20 @@ sh AS (
 sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
 """.strip()
 
+# One relational answer for every EXACT Jaccard execution strategy
+# (inverted index, PPJoin, auto dispatcher, guard reroute) — a single
+# constant so a threshold/CTE fix cannot silently desynchronize one
+# of the four oracles.
+_JACCARD_PAIRS_ORACLE = (
+    f"WITH {_SHINGLE_CTE}, "
+    "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+    "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
+    "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
+    "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
+    "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
+    "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
+)
+
 def _lsh_topk_portable_oracle(
     dim: int = 64, bits: int = 16, seed: int = 42, radius: int = 4, k: int = 10
 ) -> str:
@@ -4939,47 +4953,15 @@ def oracle_sql() -> dict[str, str]:
             "CAST(count(c) AS BIGINT) AS n_pairs "
             "FROM g LEFT JOIN j ON c * 1000 >= t * u GROUP BY t"
         ),
-        "x2_ngram_jaccard": (
-            f"WITH {_SHINGLE_CTE}, "
-            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
-            "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
-            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
-            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
-        ),
+        "x2_ngram_jaccard": _JACCARD_PAIRS_ORACLE,
         # PPJoin prefix filtering is an execution strategy, not a
         # semantics change: the answer set is the exact Jaccard pairs,
         # so the oracle is the same relational query as x2_ngram_jaccard
-        "x2_ngram_jaccard_ppjoin": (
-            f"WITH {_SHINGLE_CTE}, "
-            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
-            "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
-            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
-            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
-        ),
+        "x2_ngram_jaccard_ppjoin": _JACCARD_PAIRS_ORACLE,
         # the r10 overflow reroute dispatches to PPJoin, which answers
         # the exact Jaccard query bit-identically: same oracle again
-        "x2_ngram_jaccard_reroute": (
-            f"WITH {_SHINGLE_CTE}, "
-            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
-            "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
-            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
-            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
-        ),
-        "x2_ngram_jaccard_auto": (
-            f"WITH {_SHINGLE_CTE}, "
-            "p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
-            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2) "
-            "SELECT da AS doc_a, db AS doc_b, CAST(c AS BIGINT) AS common, "
-            "CAST(x.n AS BIGINT) AS size_a, CAST(y.n AS BIGINT) AS size_b "
-            "FROM p JOIN sz x ON da = x.doc_id JOIN sz y ON db = y.doc_id "
-            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)"
-        ),
+        "x2_ngram_jaccard_reroute": _JACCARD_PAIRS_ORACLE,
+        "x2_ngram_jaccard_auto": _JACCARD_PAIRS_ORACLE,
         # identical cap semantics: common counts only shingles with
         # document frequency <= 50; sizes keep the full shingle counts
         "x2_ngram_jaccard_capped": (

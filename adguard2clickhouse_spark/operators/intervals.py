@@ -258,25 +258,15 @@ def with_fill(
         # interval types don't convert): lo + step ≤ lo ⟺ step ≤ 0.
         # NULL (lo + step overflowed the type) falls through to the
         # over-check, which handles that case via try arithmetic.
-        nonpos = (
+        # Both predicates evaluate as two columns of ONE range(1) job —
+        # the guard stays a single bounded driver action, checked in
+        # order (sign before cap) on the returned row.
+        allowed = max(max_axis_rows // max(probe._np, 1), 1)
+        checks = (
             df.sparkSession.range(1)
             .select(
                 (F.try_add(F.lit(probe._lo), step) <= F.lit(probe._lo))
-                .alias("_nonpos")
-            )
-            .first()["_nonpos"]
-        )
-        if nonpos is True:
-            raise ValueError(
-                "with_fill: step must be positive — the fill axis runs "
-                f"from min to max of {fill_col!r} "
-                f"({probe._lo!r}..{probe._hi!r}), so sequence() requires "
-                "a step that moves forward; got a zero or negative step"
-            )
-        allowed = max(max_axis_rows // max(probe._np, 1), 1)
-        over = (
-            df.sparkSession.range(1)
-            .select(
+                .alias("_nonpos"),
                 F.coalesce(
                     F.try_add(
                         F.lit(probe._lo),
@@ -284,11 +274,18 @@ def with_fill(
                     )
                     <= F.lit(probe._hi),
                     F.lit(False),
-                ).alias("_over")
+                ).alias("_over"),
             )
-            .first()["_over"]
+            .first()
         )
-        if over:
+        if checks["_nonpos"] is True:
+            raise ValueError(
+                "with_fill: step must be positive — the fill axis runs "
+                f"from min to max of {fill_col!r} "
+                f"({probe._lo!r}..{probe._hi!r}), so sequence() requires "
+                "a step that moves forward; got a zero or negative step"
+            )
+        if checks["_over"]:
             raise ValueError(
                 f"with_fill axis would exceed max_axis_rows="
                 f"{max_axis_rows:,}: more than {allowed:,} steps per "

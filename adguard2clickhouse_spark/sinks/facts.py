@@ -86,6 +86,45 @@ class LedgeredFactSink:
         self.partition_by = list(partition_by or [])
         self.sort_within = list(sort_within or [])
         os.makedirs(path, exist_ok=True)
+        self._adopt_legacy()
+
+    def _adopt_legacy(self) -> None:
+        """One-time migration of a pre-ledger flat layout: a directory
+        with data but no pointer (written by the plain ``mode("append")``
+        era) would otherwise be silently invisible — ``has_data()``
+        False, gigabytes orphaned. Move every visible entry (``date=``
+        partition dirs, loose part files) into the first committed slot
+        and commit a pointer over it: pure renames, no data rewrite,
+        and the epoch/token ledgers start empty exactly as the old
+        layout's delivery contract (at-least-once, no retry tracking)
+        warrants. Hidden entries (``_SUCCESS``, ``.crc``) stay behind —
+        Spark ignores them either way."""
+        if os.path.exists(os.path.join(self.path, _POINTER)):
+            return
+        # cseq=/stage entries without a pointer are NOT legacy data:
+        # they are leftovers of a crash before the very first commit
+        # (the epoch was never committed, Spark will replay it) — the
+        # next append garbage-collects them; adopting them would
+        # duplicate the replayed epoch.
+        legacy = [
+            n for n in os.listdir(self.path)
+            if not n.startswith((".", "_", "cseq="))
+        ]
+        if not legacy:
+            return
+        slot = os.path.join(self.path, "cseq=00000001")
+        os.makedirs(slot)
+        for n in legacy:
+            os.replace(os.path.join(self.path, n), os.path.join(slot, n))
+        self._write_pointer(
+            {
+                "seq": 1,
+                "dirs": ["cseq=00000001"],
+                "epochs": [],
+                "epoch_hwm": None,
+                "tokens": [],
+            }
+        )
 
     # -- pointer management (same shape as SummingParquetSink) --------------
     def _pointer(self) -> dict:
@@ -113,6 +152,20 @@ class LedgeredFactSink:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.path, _POINTER))  # atomic commit
+        # fsync the DIRECTORY too: the rename itself lives in the page
+        # cache until the dirent is flushed, and Structured Streaming's
+        # offset commit racing ahead of an unflushed ledger on power
+        # loss would orphan a committed epoch (the offsets say "done",
+        # the reverted ledger says "never happened", and GC would
+        # delete the slot). One cheap O_DIRECTORY fsync per epoch
+        # closes our side of that window; the parquet data files
+        # themselves follow the filesystem's ordinary durability, as
+        # everywhere else in Spark's local-fs writes.
+        dfd = os.open(self.path, os.O_DIRECTORY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
 
     def applied(self, epoch_id: int) -> bool:
         meta = self._pointer()
@@ -137,6 +190,12 @@ class LedgeredFactSink:
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
             if not os.path.isdir(full):
+                # crashed pointer write: tmp pointers are junk forever
+                if name.startswith(f".{_POINTER}.") and name.endswith(".tmp"):
+                    try:
+                        os.remove(full)
+                    except OSError:
+                        pass
                 continue
             if name.startswith(".stage.") or (
                 name.startswith("cseq=") and name not in committed
@@ -155,7 +214,10 @@ class LedgeredFactSink:
         already-committed epoch/token. With neither epoch_id nor token
         the append is unconditional (maintenance writes)."""
         meta = self._pointer()
-        if epoch_id is not None and self.applied(epoch_id):
+        hwm = meta["epoch_hwm"]
+        if epoch_id is not None and (
+            epoch_id in meta["epochs"] or (hwm is not None and epoch_id <= hwm)
+        ):
             return False
         if token is not None and token in meta["tokens"]:
             return False
@@ -289,7 +351,10 @@ class LedgeredFactSink:
             if len(meta["dirs"]) <= 1:
                 return 0
             n = len(meta["dirs"])
-            self.replace(self.read(spark))
+            # mergeSchema: compaction rewrites history, so it must
+            # carry the UNION schema — sampling one pre-evolution
+            # footer would silently destroy later columns for good.
+            self.replace(self.read(spark, merge_schema=True))
             return n
 
         def _dir_bytes(name: str) -> int:
@@ -304,7 +369,10 @@ class LedgeredFactSink:
             return 0
         keep = [d for d in meta["dirs"] if d not in small]
         paths = [os.path.join(self.path, d) for d in small]
-        reader = spark.read.option("basePath", self.path)
+        # mergeSchema for the same reason as the full fold above
+        reader = spark.read.option("basePath", self.path).option(
+            "mergeSchema", "true"
+        )
         merged = reader.parquet(*paths).drop("cseq")
 
         stage = os.path.join(self.path, f".stage.{uuid.uuid4().hex}")

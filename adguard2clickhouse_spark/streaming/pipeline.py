@@ -612,11 +612,21 @@ class QuerylogPipeline:
                         ]
                         for f in futures:
                             f.result()
-            # Swap the dead channel LAST: a crash anywhere above leaves
-            # the committed dead-letter content (and hence the digest
-            # token) unchanged, so the retry is recognized. replace()
-            # stages the survivors while the old committed dirs still
-            # back the frame, then commits the swap atomically.
+            if n_good and mode == "rebuild":
+                # Rebuild BEFORE the dead-channel swap: log2 already
+                # holds the recovered rows, and a crash after the swap
+                # but before a trailing rebuild would leave aggregates
+                # permanently missing them (the retry would see an
+                # empty recovered set and never rebuild). Rebuilding
+                # here keeps the whole replay re-runnable: a crash
+                # anywhere above leaves the committed dead content —
+                # and hence the digest token — unchanged, so the retry
+                # no-ops the done steps and redoes the rebuild (a full
+                # recompute, idempotent by construction).
+                self.rebuild_aggregates()
+            # Swap the dead channel LAST. replace() stages the
+            # survivors while the old committed dirs still back the
+            # frame, then commits the swap atomically.
             self.dead_sink.replace(still_dead)
             after = self.dead_sink.read(self.spark)
             n_dead = after.count() if after is not None else 0
@@ -624,6 +634,4 @@ class QuerylogPipeline:
             # a failed append/insert/fold must not leave the parsed frame
             # pinned in executor memory for the rest of the session
             good.unpersist()
-        if n_good and mode == "rebuild":
-            self.rebuild_aggregates()
         return {"replayed": n_good, "still_dead": n_dead}

@@ -231,3 +231,53 @@ def test_pipeline_compact_facts_keeps_reads_identical(spark, tmp_path):
     folded = pipe.compact_facts()  # default threshold: everything is small
     assert folded >= 2
     assert sorted(map(repr, pipe.read_log2().collect())) == before
+
+
+def test_legacy_flat_layout_is_adopted_once(spark, tmp_path):
+    """Pre-r10 data (flat date= layout, no ledger) must become visible
+    through the sink — moved into the first committed slot by pure
+    renames, not silently orphaned."""
+    legacy = str(tmp_path / "log2")
+    df = _df(spark, [("2024-01-01", 1, "a.com"), ("2024-01-02", 2, "b.com")])
+    df.write.partitionBy("date").parquet(legacy)  # the old writer's layout
+    sink = LedgeredFactSink(legacy, partition_by=["date"],
+                            sort_within=["date_time"])
+    assert sink.has_data()
+    assert sink._pointer()["dirs"] == ["cseq=00000001"]
+    out = sink.read(spark)
+    assert out.count() == 2 and set(out.columns) == {"date", "date_time", "QH"}
+    # appends continue on top of the adopted slot
+    sink.append(_df(spark, [("2024-01-03", 3, "c.com")]), epoch_id=0)
+    assert sink.read(spark).count() == 3
+    # re-opening does NOT re-adopt (pointer exists)
+    again = LedgeredFactSink(legacy, partition_by=["date"])
+    assert len(again._pointer()["dirs"]) == 2
+
+
+def test_crashed_first_epoch_slot_is_not_adopted(spark, tmp_path):
+    """A cseq= directory without a pointer is a crash leftover from
+    before the very first commit — Spark will REPLAY that epoch, so
+    adopting the orphan as legacy data would double it."""
+    path = str(tmp_path / "log2")
+    os.makedirs(path)
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    df.write.partitionBy("date").parquet(os.path.join(path, "cseq=00000001"))
+    sink = LedgeredFactSink(path, partition_by=["date"])
+    assert not sink.has_data()  # orphan invisible, not adopted
+    sink.append(df, epoch_id=0)  # the replayed epoch commits cleanly
+    assert sink.read(spark).count() == 1
+
+
+def test_compaction_preserves_evolved_schema(sink, spark):
+    """Compaction rewrites history, so it must carry the UNION schema:
+    sampling one pre-evolution footer would destroy later columns."""
+    sink.append(_df(spark, [("2024-01-01", 1, "a.com")]), epoch_id=0)
+    evolved = _df(spark, [("2024-01-02", 2, "b.com")]).withColumn(
+        "transport", F.lit("doh")
+    )
+    sink.append(evolved, epoch_id=1)
+    assert sink.compact(spark) == 2
+    out = sink.read(spark, merge_schema=True)
+    assert "transport" in out.columns
+    assert out.filter("transport = 'doh'").count() == 1
+    assert out.filter("transport IS NULL").count() == 1
