@@ -317,13 +317,18 @@ def ngram_jaccard_pairs(
     returns BIT-IDENTICAL answers while emitting only prefix-surviving
     candidates. Measured r10 (BENCH_reroute_r10.json, 48g session):
     the sf10 marker corpus (500k docs) whose exact mass of 3.206e9
-    refuses by default COMPLETES via reroute in 446 s with row-level
-    parity against direct PPJoin (228 s; 25,501 pairs) — the corpus
-    class that exhausted an 8 GB heap in r4 now finishes exact; a
+    refuses by default COMPLETES via reroute with row-level parity
+    against direct PPJoin (25,501 pairs) — 110 s on the fast-dispatch
+    path, 446 s when the exact probe must decide — so the corpus class
+    that exhausted an 8 GB heap in r4 now finishes exact. A
     hot-shingle corpus (17-word boilerplate on every doc, mass
-    1.89e10) reroutes in 25 s. The reroute's premium over direct
-    PPJoin is the guard's exact stage-2 probe — a caller who KNOWS the
-    corpus is hot should say ``strategy='ppjoin'`` and skip it.
+    1.89e10) reroutes in 25 s. Above the measured posting-mass
+    crossover the reroute dispatches BEFORE building the shingle cache
+    or probing (one map-only 1-row aggregate — see the fast path in
+    the body), so reroute there costs the same as saying
+    ``strategy='ppjoin'`` outright; only the below-crossover regime
+    pays the exact probe, where the index form wins whenever the true
+    mass fits the cap.
     Reroute applies only when no df cap is set: with ``max_df``/
     ``max_df_ratio`` the caller already chose a scale strategy, and a
     still-overflowing CAPPED mass means the corpus needs the banded-
@@ -345,6 +350,32 @@ def ngram_jaccard_pairs(
         return ngram_jaccard_pairs_ppjoin(
             df, text_col, id_col, n, threshold, balance
         )
+    # Fast reroute (r10, from the sf10 measurement): a reroute-enabled
+    # caller on a corpus where (a) the guard's worst-case bound — off
+    # the SAME map-only split-size stat choose_jaccard_strategy uses,
+    # an upper bound on distinct-shingle postings — could trip, and
+    # (b) the posting mass already sits above the measured
+    # index-vs-PPJoin crossover, ends up at PPJoin whatever the exact
+    # probe would say (auto would pick it for speed even below the
+    # cap). Dispatch NOW, before the shingle-array cache is built:
+    # measured on the sf10 marker corpus, reroute-with-probe paid
+    # 446 s (217 s probe + shingle build) where direct PPJoin paid
+    # 229 s — this check costs one 1-row map-only aggregate and makes
+    # the two equal. Below the crossover the normal guard decides on
+    # the exact mass, where the index form wins when it fits.
+    if (
+        max_candidate_pairs is not None
+        and on_overflow == "reroute"
+        and max_df is None
+        and max_df_ratio is None
+    ):
+        _strat, _stats = choose_jaccard_strategy(df, text_col, n)
+        _p, _nd = _stats["posting_mass"], _stats["n_docs"]
+        _bound = min(_p * (_p - 1) // 2, _p * max(_nd - 1, 0) // 2)
+        if _strat == "ppjoin" and _bound > max_candidate_pairs:
+            return ngram_jaccard_pairs_ppjoin(
+                df, text_col, id_col, n, threshold, balance
+            )
     # Build the shingle-hash ARRAY once and cache it pre-explode: it
     # feeds three consumers (both join sides + the size table). Without
     # the persist, Catalyst re-executes the shingle build 4× — measured
