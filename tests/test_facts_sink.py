@@ -281,3 +281,101 @@ def test_compaction_preserves_evolved_schema(sink, spark):
     assert "transport" in out.columns
     assert out.filter("transport = 'doh'").count() == 1
     assert out.filter("transport IS NULL").count() == 1
+
+
+def test_model_based_random_ops_agree_with_reference(sink, spark, tmp_path):
+    """Model-based check of the exactly-once ledger: a seeded random
+    interleaving of appends, epoch retries, simulated crashes (orphan
+    slots + stale stage dirs + tmp pointers), token appends and token
+    retries, compactions and replaces is replayed against a trivial
+    in-memory reference model; after every operation the sink's
+    committed content must equal the model exactly. This is the
+    whole-contract complement to the single-scenario tests above."""
+    import random
+
+    rng = random.Random(20240815)
+    model: list[tuple] = []  # committed rows as (date, date_time, QH)
+    next_epoch = 0
+
+    def rows_for(tag: str, n: int):
+        return [
+            (f"2024-01-{(i % 3) + 1:02d}", 100 * next_epoch + i, f"{tag}{i}.com")
+            for i in range(n)
+        ]
+
+    def check():
+        got = sink.read(spark)
+        actual = (
+            sorted((str(r["date"]), r["date_time"], r["QH"]) for r in got.collect())
+            if got is not None
+            else []
+        )
+        expected = sorted(
+            (d, t, q) for (d, t, q) in model
+        )
+        assert actual == expected, (len(actual), len(expected))
+
+    for step in range(24):
+        op = rng.choice(
+            ["append", "retry", "crash_orphan", "crash_stage",
+             "crash_tmp_pointer", "token", "token_retry", "compact",
+             "empty_epoch"]
+        )
+        if op == "append":
+            rows = rows_for(f"e{next_epoch}_", rng.randint(1, 4))
+            assert sink.append(_df(spark, rows), epoch_id=next_epoch)
+            model.extend(rows)
+            next_epoch += 1
+        elif op == "retry" and next_epoch > 0:
+            e = rng.randrange(next_epoch)
+            assert sink.append(
+                _df(spark, rows_for("ghost", 2)), epoch_id=e
+            ) is False  # model unchanged
+        elif op == "crash_orphan":
+            # publish-without-commit leftover
+            seq = sink._pointer()["seq"] + 1 + rng.randint(0, 3)
+            d = os.path.join(sink.path, f"cseq={seq:08d}")
+            if not os.path.exists(d):
+                _df(spark, rows_for("orph", 2)).write.partitionBy(
+                    "date"
+                ).parquet(d)
+        elif op == "crash_stage":
+            _df(spark, rows_for("stg", 1)).write.parquet(
+                os.path.join(sink.path, f".stage.crash{step}")
+            )
+        elif op == "crash_tmp_pointer":
+            with open(
+                os.path.join(sink.path, f"._FACTS.json.crash{step}.tmp"), "w"
+            ) as f:
+                f.write("{}")
+        elif op == "token":
+            rows = rows_for(f"tk{step}_", rng.randint(1, 3))
+            assert sink.append(_df(spark, rows), token=f"tok-{step}")
+            model.extend(rows)
+        elif op == "token_retry":
+            tokens = sink._pointer()["tokens"]
+            if tokens:
+                assert sink.append(
+                    _df(spark, rows_for("ghost", 1)),
+                    token=rng.choice(tokens),
+                ) is False
+        elif op == "compact":
+            if rng.random() < 0.5:
+                sink.compact(spark)
+            else:
+                sink.compact(spark, small_bytes=rng.choice([1, 10 << 20]))
+        elif op == "empty_epoch":
+            assert sink.append(
+                _df(spark, rows_for("none", 1)).limit(0),
+                epoch_id=next_epoch,
+            )
+            next_epoch += 1
+        check()
+
+    # closing sanity: hwm survived everything and retries still no-op
+    if next_epoch:
+        assert sink.applied(next_epoch - 1)
+        assert sink.append(
+            _df(spark, rows_for("final", 1)), epoch_id=0
+        ) is False
+        check()
