@@ -915,3 +915,34 @@ def test_reprobe_restores_sparse_folds_end_to_end(spark, tmp_path):
     assert len(changed) == 1, (
         f"hot-key epoch should rewrite exactly the hot bucket, got {changed}"
     )
+
+
+def test_replay_works_on_adopted_legacy_dead_letters(tmp_path, spark):
+    """A pre-r10 out_dir has a FLAT dead-letter parquet (no ledger).
+    Opening it with the r10 pipeline adopts the channel in place, and
+    replay recovers now-parseable lines exactly as with native slots."""
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    lines = [_line(i, minute=i % 5, filtered=False,
+                   qh=f"g{i}.example.com", ip="10.4.0.1") for i in range(8)]
+    (src / "log.jsonl").write_text("\n".join(lines) + "\n")
+    pipe = QuerylogPipeline(spark, str(src), str(out))
+    pipe.run_available()
+
+    # simulate the pre-r10 writer: flat parquet at the dead path
+    import shutil
+    shutil.rmtree(str(out / "dead_letter"))
+    recoverable = [_line(i, minute=1, filtered=False,
+                         qh="fixed.example.com", ip="10.4.0.2")
+                   for i in range(100, 103)]
+    spark.createDataFrame(
+        [(l,) for l in recoverable + ["still broken"]], ["raw_line"]
+    ).write.parquet(str(out / "dead_letter"))
+
+    pipe2 = QuerylogPipeline(spark, str(src), str(out))  # adopts on open
+    assert pipe2.dead_sink.has_data()
+    stats = pipe2.replay_dead_letters()
+    assert stats == {"replayed": 3, "still_dead": 1}
+    assert pipe2.read_log2().count() == 11
+    # idempotent on the adopted channel too
+    assert pipe2.replay_dead_letters() == {"replayed": 0, "still_dead": 1}
