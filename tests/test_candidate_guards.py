@@ -197,3 +197,41 @@ def test_lsh_capped_bound_skips_probe(clone_vecs, spark):
         clone_vecs, dim=4, max_bucket=5, max_candidate_pairs=100
     )
     assert out.count() == 0
+
+
+def test_jaccard_fast_dispatch_above_crossover_is_exact(spark):
+    """The r10 fast path: a reroute-enabled call on a corpus whose
+    posting mass sits above the PPJoin crossover dispatches BEFORE the
+    shingle cache/probe. Its answers must still be bit-identical to
+    the uncapped exact index form."""
+    import random
+
+    rng = random.Random(11)
+    rows = []
+    for d in range(8000):  # 8000 docs x 100 tokens = 800k postings
+        toks = [f"w{d}_{i}" for i in range(100)]
+        rows.append((d, " ".join(toks)))
+    for k in range(5):  # five exact clone pairs so the answer is non-empty
+        src_text = rows[rng.randrange(8000)][1]
+        rows.append((9000 + 2 * k, src_text))
+        rows.append((9001 + 2 * k, src_text))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    from adguard2clickhouse_spark.operators.dedup import (
+        PPJOIN_POSTING_MASS_CROSSOVER,
+        choose_jaccard_strategy,
+    )
+
+    strat, stats = choose_jaccard_strategy(docs)
+    assert stats["posting_mass"] >= PPJOIN_POSTING_MASS_CROSSOVER
+    assert strat == "ppjoin"  # the fast path's precondition holds
+
+    rerouted = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, max_candidate_pairs=1,
+        on_overflow="reroute",
+    ).collect()
+    exact = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, max_candidate_pairs=None
+    ).collect()
+    assert len(exact) >= 5
+    assert sorted(map(tuple, rerouted)) == sorted(map(tuple, exact))
