@@ -379,3 +379,138 @@ def test_model_based_random_ops_agree_with_reference(sink, spark, tmp_path):
             _df(spark, rows_for("final", 1)), epoch_id=0
         ) is False
         check()
+
+
+# ---------------------------------------------------------------------------
+# r11 hardening: crash-safe adoption, enforced single-writer, remote-path
+# rejection, stream-identity-scoped epoch ledger
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("uri", ["s3://bucket/facts", "hdfs://nn/facts",
+                                 "abfss://c@a.dfs.core.windows.net/facts",
+                                 "file:///tmp/facts"])
+def test_remote_paths_rejected_loudly(uri):
+    """The ledger is POSIX rename/flock-bound; an object-store URI must
+    fail at construction naming the cluster backends this interface
+    maps to, not obscurely at the first os.replace."""
+    with pytest.raises(ValueError) as e:
+        LedgeredFactSink(uri)
+    msg = str(e.value)
+    assert "Delta Lake" in msg and "Iceberg" in msg
+
+
+def test_adoption_crash_after_slot_rename_resumes(spark, tmp_path):
+    """The ADVICE r10 medium: a crash after the legacy entries reached
+    cseq=00000001 but before the pointer write used to leave a
+    slot-without-pointer that the next append GC'd — silent total loss
+    of the pre-ledger table. The marker makes the window resumable."""
+    path = str(tmp_path / "log2")
+    df = _df(spark, [("2024-01-01", 1, "a.com"), ("2024-01-02", 2, "b.com")])
+    df.write.partitionBy("date").parquet(path)  # legacy flat layout
+    # simulate the crash window: marker written, entries moved, slot
+    # renamed, pointer NOT yet written
+    slot = os.path.join(path, "cseq=00000001")
+    os.makedirs(slot)
+    for n in os.listdir(path):
+        if not n.startswith((".", "_", "cseq=")):
+            os.replace(os.path.join(path, n), os.path.join(slot, n))
+    with open(os.path.join(path, "_ADOPTING"), "w") as f:
+        f.write("crash window")
+    sink = LedgeredFactSink(path, partition_by=["date"])
+    assert sink.has_data()
+    assert sink._pointer()["dirs"] == ["cseq=00000001"]
+    assert not os.path.exists(os.path.join(path, "_ADOPTING"))
+    assert sink.read(spark).count() == 2
+    # the next append keeps the adopted slot (this is the exact loss
+    # scenario: _gc_orphans must see it as committed)
+    sink.append(_df(spark, [("2024-01-03", 3, "c.com")]), epoch_id=0)
+    assert sink.read(spark).count() == 3
+
+
+def test_adoption_crash_mid_move_resumes(spark, tmp_path):
+    """Crash while moving legacy entries into the stage: part of the
+    data sits in .adopting, the rest still at top level. Resume must
+    complete the move (pre-r11 this raised FileExistsError) and adopt
+    EVERYTHING exactly once."""
+    path = str(tmp_path / "log2")
+    df = _df(spark, [("2024-01-01", 1, "a.com"), ("2024-01-02", 2, "b.com")])
+    df.write.partitionBy("date").parquet(path)
+    stage = os.path.join(path, ".adopting")
+    os.makedirs(stage)
+    moved = [n for n in os.listdir(path)
+             if not n.startswith((".", "_", "cseq="))][0]
+    os.replace(os.path.join(path, moved), os.path.join(stage, moved))
+    with open(os.path.join(path, "_ADOPTING"), "w") as f:
+        f.write("crash window")
+    sink = LedgeredFactSink(path, partition_by=["date"])
+    assert sink._pointer()["dirs"] == ["cseq=00000001"]
+    assert sink.read(spark).count() == 2  # both halves adopted, no dupes
+    assert not os.path.exists(stage)
+    assert not os.path.exists(os.path.join(path, "_ADOPTING"))
+
+
+def test_concurrent_append_and_compact_lose_nothing(sink, spark):
+    """VERDICT r10 #2: the pointer read-modify-write is now flocked, so
+    a maintenance compaction racing appends serializes instead of
+    interleaving (the pre-r11 race could drop committed dirs from the
+    ledger and then GC the orphaned data). Interleave real appends and
+    full compactions from two threads and assert nothing is lost."""
+    import threading
+
+    rows_per_append, n_appends = 3, 6
+    errs = []
+
+    def _appender():
+        try:
+            for k in range(n_appends):
+                rows = [
+                    ("2024-01-01", 100 * k + i, f"t{k}_{i}.com")
+                    for i in range(rows_per_append)
+                ]
+                sink.append(_df(spark, rows), token=f"race-{k}")
+        except Exception as e:  # pragma: no cover - failure reporting
+            errs.append(e)
+
+    t = threading.Thread(target=_appender)
+    t.start()
+    compactions = 0
+    while t.is_alive():
+        compactions += sink.compact(spark) and 1 or 0
+    t.join()
+    sink.compact(spark)
+    assert not errs
+    assert sink.read(spark).count() == rows_per_append * n_appends
+
+
+def test_stream_identity_change_voids_epoch_ledger(spark, tmp_path):
+    """ADVICE r10 low: epoch ids are only monotonic within one
+    checkpoint. After a checkpoint delete/relocate (new query id) the
+    restarted ids must append, not silently vanish under the old hwm."""
+    path = str(tmp_path / "log2")
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    s1 = LedgeredFactSink(path, partition_by=["date"], stream_id="q-one")
+    for e in range(3):
+        assert s1.append(df, epoch_id=e) is True
+    assert s1.append(df, epoch_id=1) is False  # same stream: retry no-ops
+    # new query identity, epoch ids restart at 0
+    s2 = LedgeredFactSink(path, partition_by=["date"], stream_id="q-two")
+    assert not s2.applied(0)
+    assert s2.append(df, epoch_id=0) is True  # pre-r11: silently dropped
+    assert s2.read(spark).count() == 4
+    assert s2.append(df, epoch_id=0) is False  # scoped ledger still dedups
+
+
+def test_stream_identity_grandfathers_unscoped_pointer(spark, tmp_path):
+    """A pointer written before identities were recorded keeps its
+    epoch ledger when an identified sink opens it — the same checkpoint
+    continuing across the upgrade must keep replay protection."""
+    path = str(tmp_path / "log2")
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    old = LedgeredFactSink(path, partition_by=["date"])  # no identity
+    old.append(df, epoch_id=5)
+    new = LedgeredFactSink(path, partition_by=["date"], stream_id="q-one")
+    assert new.applied(5)
+    assert new.append(df, epoch_id=5) is False  # grandfathered, not voided
+    assert new.append(df, epoch_id=6) is True
+    assert new._pointer()["stream_id"] == "q-one"  # scoped from here on
