@@ -2642,11 +2642,23 @@ def q_embedding_dup_lsh(spark, sf_dir):
 
     bits/tables tuned for the demo threshold 0.35 (per-bit collision
     p≈0.61 → 6-bit sigs, 8 tables ≈ 35% recall); production near-dup
-    thresholds (≥0.9, p≈0.86) reach >90% recall with the same cost."""
+    thresholds (≥0.9, p≈0.86) reach >90% recall with the same cost.
+
+    Registered as ``x2_embedding_dup_lsh_reroute95`` (r11, retiring the
+    weak-list demo): fixed bits are quadratic by construction (bucket
+    occupancy ∝ n at constant 2^bits), so this entry carries
+    ``on_overflow='reroute'`` — when the candidate-mass guard trips,
+    the call re-dispatches to the auto-bits + max_bucket production
+    policy. The reroute is LOSSY in recall, hence the contract in the
+    name: measured 95.2% pair retention at the sf1 measurement point
+    (BENCH_reroute_r10.json), precision stays 1 (every reported pair is
+    exact-cosine verified). At the test SFs the guard never trips and
+    the plain fixed-bits result is returned unchanged."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_dup_pairs_lsh(
         emb, threshold=0.35, bits=6, n_tables=8,
         dim=len(_query_vec(spark, sf_dir, 0)),
+        on_overflow="reroute",
     )
 
 
@@ -3672,7 +3684,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x2_winnow_fingerprints": q_winnow,
         "x2_winnow_md5": q_winnow_md5,
         "x2_embedding_dup": q_embedding_dup,
-        "x2_embedding_dup_lsh": q_embedding_dup_lsh,
+        "x2_embedding_dup_lsh_reroute95": q_embedding_dup_lsh,
         "x2_embedding_dup_lsh_capped": q_embedding_dup_lsh_capped,
         "x2_embedding_dup_lsh_portable": q_embedding_dup_lsh_portable,
         "x3_topk_cosine": q_topk_cosine,
@@ -5551,7 +5563,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         # Intentionally omitted (driver records rows-only checks):
         # x2_minhash_lsh, x2_simhash_pairs, x2_winnow_fingerprints,
-        # x2_embedding_dup_lsh, x3_lsh_topk, x3_ivf_topk — xxhash64 /
+        # x2_embedding_dup_lsh_reroute95, x3_lsh_topk, x3_ivf_topk — xxhash64 /
         # numpy-kernel fast paths with no DuckDB twin; each has an
         # oracle-gated portable twin (*_md5 / *_portable) proving the
         # identical pipeline, plus a pytest recall gate vs its exact

@@ -334,7 +334,14 @@ def ngram_jaccard_pairs(
     still-overflowing CAPPED mass means the corpus needs the banded-
     MinHash path (``minhash_lsh_pairs``), which a same-semantics
     reroute cannot silently substitute — capped overflow raises
-    regardless.
+    regardless. Note that reroute's fast dispatch binds TIGHTER than a
+    pinned plan choice: an explicit ``strategy='index'`` with
+    ``on_overflow='reroute'`` still dispatches to the PPJoin twin when
+    the corpus sits above the crossover and the loose worst-case bound
+    trips — even if the exact mass would have fit the cap. The answers
+    are bit-identical; only the physical plan differs. Pin
+    ``on_overflow='raise'`` (the default) to keep a pinned strategy
+    authoritative.
     """
     if strategy not in ("index", "ppjoin", "auto"):
         raise ValueError(f"strategy must be index|ppjoin|auto, got {strategy!r}")
@@ -342,6 +349,7 @@ def ngram_jaccard_pairs(
         raise ValueError(
             f"on_overflow must be 'raise' or 'reroute', got {on_overflow!r}"
         )
+    _stats = None  # posting-mass stats, measured at most once (ADVICE r10)
     if strategy == "auto" and max_df is None and max_df_ratio is None:
         strategy, _stats = choose_jaccard_strategy(df, text_col, n)
     if strategy == "ppjoin":
@@ -363,11 +371,21 @@ def ngram_jaccard_pairs(
     # 229 s — this check costs one 1-row map-only aggregate and makes
     # the two equal. Below the crossover the normal guard decides on
     # the exact mass, where the index form wins when it fits.
+    # When strategy='auto' already measured the corpus and resolved to
+    # 'index', the posting mass sits BELOW the crossover, so this block
+    # could never dispatch — skip it instead of paying the 1-row
+    # aggregate a second time (ADVICE r10). Note for pinned callers:
+    # an explicit strategy='index' with reroute enabled may still
+    # dispatch to the PPJoin twin here — the worst-case bound is loose,
+    # so the dispatch can fire even when the exact mass would have fit
+    # the cap; results are bit-identical either way, only the plan
+    # differs (see the docstring).
     if (
         max_candidate_pairs is not None
         and on_overflow == "reroute"
         and max_df is None
         and max_df_ratio is None
+        and _stats is None
     ):
         _strat, _stats = choose_jaccard_strategy(df, text_col, n)
         _p, _nd = _stats["posting_mass"], _stats["n_docs"]

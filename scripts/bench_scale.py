@@ -34,7 +34,7 @@ from bench import BENCH_QUERIES, _calibrate, CALIBRATION_REF
 EXTRA = [
     "x1_dedup_clusters",
     "x3_ivf_topk",
-    "x2_embedding_dup_lsh",
+    "x2_embedding_dup_lsh_reroute95",
     "x2_ngram_jaccard_capped",
 ]
 

@@ -57,7 +57,7 @@ QUERIES = [
     # superlinear — the capped entry is the production plan.
     "x1_dedup_clusters",
     "x1_dedup_clusters_capped",
-    "x2_embedding_dup_lsh",
+    "x2_embedding_dup_lsh_reroute95",
     "x2_embedding_dup_lsh_capped",
 ]
 

@@ -235,3 +235,25 @@ def test_jaccard_fast_dispatch_above_crossover_is_exact(spark):
     ).collect()
     assert len(exact) >= 5
     assert sorted(map(tuple, rerouted)) == sorted(map(tuple, exact))
+
+
+def test_auto_reroute_measures_posting_mass_once(boiler_docs, monkeypatch):
+    """ADVICE r10 low: strategy='auto' + on_overflow='reroute' used to
+    run choose_jaccard_strategy twice (auto resolution, then the fast
+    dispatch re-probing the same stats). The stats are measured at most
+    once now; when auto resolves to 'index' the corpus is below the
+    crossover and the fast dispatch could never fire anyway."""
+    calls = {"n": 0}
+    real = dedup.choose_jaccard_strategy
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "choose_jaccard_strategy", counting)
+    out = dedup.ngram_jaccard_pairs(
+        boiler_docs, n=3, threshold=0.1, strategy="auto",
+        max_candidate_pairs=None, on_overflow="reroute",
+    ).collect()
+    assert calls["n"] == 1
+    assert len(out) == 66  # same answer as the exact form
