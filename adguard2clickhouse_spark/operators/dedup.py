@@ -827,26 +827,46 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) — num_hashes independent min-hashes.
 
-    Shape chosen for codegen, not elegance: explode one row per
-    (doc, shingle), hash the shingle string ONCE (xxhash64 → long),
-    then num_hashes grouped ``min(xxhash64(h, i))`` aggregates.
-    Array higher-order functions (transform/array_min) evaluate
-    interpreted per element; the explode+groupBy form stays inside
-    WholeStageCodegen with map-side partial mins, so the shuffle
-    carries one partial signature row per (doc × partition), not the
-    shingles. min() over a multiset ≡ min() over the set — and the
-    shingle helper already dedupes per doc (array_distinct), so the
-    exploded row count is the per-doc distinct-shingle count, keeping
-    the 16 per-row hashes off within-doc repetition.
+    MAP-ONLY (r11): per row, ``array_min(transform(shingle_hashes,
+    x -> xxhash64(x, i)))`` for each of the num_hashes seeds — no
+    explode, no groupBy, ZERO shuffle. The r4 explode+groupBy form
+    (one row per (doc, shingle), 16 grouped mins) was chosen on the
+    assumption that interpreted higher-order functions lose to
+    WholeStageCodegen aggregates; measured on Spark 4 at bench SF
+    that is backwards — the HOF form is 1.9× faster (median-of-5
+    0.452 s vs 0.867 s at sf0.1, bit-identical signatures), because
+    the exchange + partial-agg machinery costs more than interpreted
+    per-element hashing. At 100 TB the gap is structural, not just
+    measured: signatures become a pure map stage that fuses with the
+    scan, where the old form shuffled one partial row per
+    (doc × partition). min() over a multiset ≡ min() over the set,
+    and the shingle helper dedupes per doc (array_distinct), so both
+    forms hash the per-doc DISTINCT shingles exactly once per seed.
+
+    The token-count filter preserves the explode semantics exactly: a
+    doc with fewer than n tokens has no shingles — explode dropped it,
+    while array_min over an empty array would keep it as an all-NULL
+    signature that spuriously bands with every other empty doc. The
+    filter tests ``size(tokens) >= n`` (≡ non-empty shingle array)
+    rather than the shingle array itself: Catalyst pushes filters
+    below the balance exchange, and a predicate on ``_arr`` would
+    re-evaluate the whole shingle transform there a second time
+    (measured: the full LSH query regressed 1.5 s → 4.3 s exactly
+    this way — the r5 pushed-filter gotcha).
     """
-    tok = (
+    arr = (
         _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select("_id", F.explode(shingle_hashes_from_tokens(F.col("_toks"), n)).alias("_h"))
+        .filter(F.size("_toks") >= n)
+        .select("_id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("_arr"))
     )
-    return tok.groupBy("_id").agg(
-        *[F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}") for i in range(num_hashes)]
-    )
+
+    def _mh(i: int):
+        return F.array_min(
+            F.transform("_arr", (lambda j: (lambda x: F.xxhash64(x, F.lit(j))))(i))
+        ).alias(f"mh_{i}")
+
+    return arr.select("_id", *[_mh(i) for i in range(num_hashes)])
 
 
 def minhash_md5_signatures(

@@ -553,6 +553,27 @@ def test_minhash_lsh_recall_vs_exact_jaccard(fixture_docs):
     assert recall >= 0.9, recall
 
 
+def test_minhash_drops_docs_shorter_than_shingle(spark):
+    """r11 regression for the map-only signature build: a doc with
+    fewer than n tokens has NO shingles. The old explode+groupBy form
+    dropped it implicitly; array_min over its empty shingle array
+    would instead yield an all-NULL signature that bands with every
+    other short doc — so the build must filter them out, and short
+    docs must never appear as LSH pairs."""
+    from adguard2clickhouse_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(1, "one two"), (2, "a b"), (3, ""),
+         (4, "alpha beta gamma delta"), (5, "alpha beta gamma delta")],
+        ["doc_id", "text"],
+    )
+    sig = dedup.minhash_signatures(docs, "text", "doc_id", 3, 16, True)
+    assert sorted(r._id for r in sig.collect()) == [4, 5]
+    pairs = dedup.minhash_lsh_pairs(docs).collect()
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(4, 5)]
+    assert pairs[0].est_jaccard_permille == 1000
+
+
 def test_embedding_lsh_recall_vs_exact(fixture_emb):
     exact = {
         (r.id_a, r.id_b)
