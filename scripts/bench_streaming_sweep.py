@@ -19,8 +19,9 @@ becomes a measured claim with an operating point instead of a lever
 named in prose.
 
 Usage: python scripts/bench_streaming_sweep.py [n_rows] [reps]
-Writes BENCH_streaming_r10.json at the repo root (r10: measures the
-ledgered exactly-once fact+dead sinks on the same protocol as r9).
+Writes BENCH_streaming_r11.json at the repo root (r11: same protocol,
+now with the flocked ledger, stream-identity scoping and the auto-
+compaction hook in place - holding the r9/r10 line).
 """
 
 from __future__ import annotations
@@ -194,7 +195,7 @@ def main() -> None:
         },
         "reference_ceiling_rows_per_s": 1000,
     }
-    (REPO / "BENCH_streaming_r10.json").write_text(json.dumps(result, indent=1) + "\n")
+    (REPO / "BENCH_streaming_r11.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     srv.shutdown()
     spark.stop()
