@@ -314,6 +314,36 @@ class LedgeredFactSink:
         hwm = meta["epoch_hwm"]
         return epoch_id in meta["epochs"] or (hwm is not None and epoch_id <= hwm)
 
+    def _stage_and_publish(self, df: DataFrame, seq: int) -> str | None:
+        """Write ``df`` to a private stage directory with the sink's
+        layout, then rename it into committed slot ``cseq=<seq>``.
+        Returns the slot's basename, or None when the frame produced no
+        rows (the stage is dropped — publishing data-less directories
+        would grow the committed listing forever). The slot is NOT yet
+        visible: callers commit it via ``_write_pointer``. Callers hold
+        the writer lock."""
+        if "cseq" in df.columns:
+            raise ValueError(
+                "LedgeredFactSink reserves the column name 'cseq' for "
+                "its commit-slot partition directories"
+            )
+        stage = os.path.join(self.path, f".stage.{uuid.uuid4().hex}")
+        out = df
+        if self.sort_within:
+            out = out.sortWithinPartitions(*self.sort_within)
+        writer = out.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(stage)
+        if _staged_rows(stage) == 0:
+            shutil.rmtree(stage, ignore_errors=True)
+            return None
+        dst = os.path.join(self.path, f"cseq={seq:08d}")
+        if os.path.exists(dst):  # unreachable after _gc_orphans; belt
+            shutil.rmtree(dst)
+        os.replace(stage, dst)
+        return os.path.basename(dst)
+
     def applied_token(self, token: str) -> bool:
         """Out-of-band append idempotency (dead-letter replay): opaque
         tokens in a 1000-entry window, separate from the monotonic
@@ -373,38 +403,17 @@ class LedgeredFactSink:
             return False
         if token is not None and token in meta["tokens"]:
             return False
-        if "cseq" in df.columns:
-            raise ValueError(
-                "LedgeredFactSink reserves the column name 'cseq' for "
-                "its commit-slot partition directories"
-            )
         self._gc_orphans(meta)
 
-        stage = os.path.join(self.path, f".stage.{uuid.uuid4().hex}")
-        out = df
-        if self.sort_within:
-            out = out.sortWithinPartitions(*self.sort_within)
-        writer = out.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(stage)
-
         # Empty epoch: commit the epoch id for idempotency without
-        # publishing a data-less directory. Spark may still write a
-        # 0-row part file for an empty frame, so existence is not
-        # enough — read the local footers (driver-side metadata, no
-        # Spark job).
-        has_rows = _staged_rows(stage) > 0
+        # publishing a data-less directory (an empty frame can still
+        # leave a 0-row part file, so _stage_and_publish reads the
+        # local footers — driver-side metadata, no Spark job).
         seq = meta["seq"] + 1
         dirs = list(meta["dirs"])
-        if has_rows:
-            dst = os.path.join(self.path, f"cseq={seq:08d}")
-            if os.path.exists(dst):  # unreachable after _gc_orphans; belt
-                shutil.rmtree(dst)
-            os.replace(stage, dst)
-            dirs.append(os.path.basename(dst))
-        else:
-            shutil.rmtree(stage, ignore_errors=True)
+        slot = self._stage_and_publish(df, seq)
+        if slot is not None:
+            dirs.append(slot)
 
         epochs, hwm = meta["epochs"], meta["epoch_hwm"]
         if epoch_id is not None:
@@ -457,34 +466,14 @@ class LedgeredFactSink:
 
     def _replace(self, df: DataFrame) -> None:
         meta = self._pointer()
-        if "cseq" in df.columns:
-            raise ValueError(
-                "LedgeredFactSink reserves the column name 'cseq' for "
-                "its commit-slot partition directories"
-            )
-        stage = os.path.join(self.path, f".stage.{uuid.uuid4().hex}")
-        out = df
-        if self.sort_within:
-            out = out.sortWithinPartitions(*self.sort_within)
-        writer = out.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(stage)
-        has_rows = _staged_rows(stage) > 0
         seq = meta["seq"] + 1
         old_dirs = list(meta["dirs"])
-        dirs = []
-        if has_rows:
-            dst = os.path.join(self.path, f"cseq={seq:08d}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.replace(stage, dst)
-            dirs = [os.path.basename(dst)]
-        else:
-            shutil.rmtree(stage, ignore_errors=True)
+        slot = self._stage_and_publish(df, seq)
         # epoch/token history survives the swap: a concurrent stream's
         # retried epoch must still be recognized as committed.
-        self._write_pointer({**meta, "seq": seq, "dirs": dirs})
+        self._write_pointer(
+            {**meta, "seq": seq, "dirs": [slot] if slot else []}
+        )
         for d in old_dirs:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
@@ -544,24 +533,11 @@ class LedgeredFactSink:
         )
         merged = reader.parquet(*paths).drop("cseq")
 
-        stage = os.path.join(self.path, f".stage.{uuid.uuid4().hex}")
-        out = merged
-        if self.sort_within:
-            out = out.sortWithinPartitions(*self.sort_within)
-        writer = out.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(stage)
         seq = meta["seq"] + 1
         dirs = list(keep)
-        if _staged_rows(stage) > 0:
-            dst = os.path.join(self.path, f"cseq={seq:08d}")
-            if os.path.exists(dst):
-                shutil.rmtree(dst)
-            os.replace(stage, dst)
-            dirs.append(os.path.basename(dst))
-        else:
-            shutil.rmtree(stage, ignore_errors=True)
+        slot = self._stage_and_publish(merged, seq)
+        if slot is not None:
+            dirs.append(slot)
         self._write_pointer({**meta, "seq": seq, "dirs": dirs})
         for d in small:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
