@@ -438,6 +438,15 @@ class QuerylogPipeline:
             # compaction failure fails the batch AFTER the appends
             # committed; the retry no-ops the appends (epoch ledger)
             # and re-runs only the compaction — still exactly-once.
+            # log2 ONLY — deliberately not the dead-letter channel: its
+            # replay token is a file-level content digest
+            # (_dead_letter_digest), so a maintenance rewrite between a
+            # crashed replay and its retry would mint a fresh token and
+            # double-fold the recovered lines. The dead channel
+            # self-compacts anyway: every replay swaps it wholesale to
+            # one slot, and an epoch with zero dead lines publishes
+            # nothing, so only a persistently-noisy source fragments it
+            # at all.
             if self.auto_compact_min_slots:
                 n_slots = len(self.log2_sink._pointer()["dirs"])
                 if n_slots >= self.auto_compact_min_slots:

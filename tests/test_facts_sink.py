@@ -287,14 +287,17 @@ def test_model_based_random_ops_agree_with_reference(sink, spark, tmp_path):
     """Model-based check of the exactly-once ledger: a seeded random
     interleaving of appends, epoch retries, simulated crashes (orphan
     slots + stale stage dirs + tmp pointers), token appends and token
-    retries, compactions and replaces is replayed against a trivial
-    in-memory reference model; after every operation the sink's
-    committed content must equal the model exactly. This is the
-    whole-contract complement to the single-scenario tests above."""
+    retries, compactions, replaces — and (r11) streaming-query identity
+    switches, under which previously-committed epoch ids must become
+    appendable again (the checkpoint-recreation contract) — is replayed
+    against a trivial in-memory reference model; after every operation
+    the sink's committed content must equal the model exactly. This is
+    the whole-contract complement to the single-scenario tests above."""
     import random
 
     rng = random.Random(20240815)
     model: list[tuple] = []  # committed rows as (date, date_time, QH)
+    committed_epochs: set[int] = set()  # ids the CURRENT identity holds
     next_epoch = 0
 
     def rows_for(tag: str, n: int):
@@ -315,22 +318,29 @@ def test_model_based_random_ops_agree_with_reference(sink, spark, tmp_path):
         )
         assert actual == expected, (len(actual), len(expected))
 
-    for step in range(24):
+    for step in range(28):
         op = rng.choice(
             ["append", "retry", "crash_orphan", "crash_stage",
              "crash_tmp_pointer", "token", "token_retry", "compact",
-             "empty_epoch"]
+             "empty_epoch", "switch_stream"]
         )
         if op == "append":
-            rows = rows_for(f"e{next_epoch}_", rng.randint(1, 4))
+            rows = rows_for(f"s{step}e{next_epoch}_", rng.randint(1, 4))
             assert sink.append(_df(spark, rows), epoch_id=next_epoch)
             model.extend(rows)
+            committed_epochs.add(next_epoch)
             next_epoch += 1
-        elif op == "retry" and next_epoch > 0:
-            e = rng.randrange(next_epoch)
+        elif op == "retry" and committed_epochs:
+            e = rng.choice(sorted(committed_epochs))
             assert sink.append(
                 _df(spark, rows_for("ghost", 2)), epoch_id=e
             ) is False  # model unchanged
+        elif op == "switch_stream":
+            # checkpoint recreated: new query identity, epoch ids
+            # restart at 0 and the old ledger must not swallow them
+            sink.stream_id = f"q-{step}"
+            committed_epochs.clear()
+            next_epoch = 0
         elif op == "crash_orphan":
             # publish-without-commit leftover
             seq = sink._pointer()["seq"] + 1 + rng.randint(0, 3)
@@ -369,14 +379,17 @@ def test_model_based_random_ops_agree_with_reference(sink, spark, tmp_path):
                 _df(spark, rows_for("none", 1)).limit(0),
                 epoch_id=next_epoch,
             )
+            committed_epochs.add(next_epoch)  # the id commits, rowless
             next_epoch += 1
         check()
 
     # closing sanity: hwm survived everything and retries still no-op
-    if next_epoch:
-        assert sink.applied(next_epoch - 1)
+    # for every epoch the CURRENT identity committed
+    if committed_epochs:
+        assert sink.applied(max(committed_epochs))
         assert sink.append(
-            _df(spark, rows_for("final", 1)), epoch_id=0
+            _df(spark, rows_for("final", 1)),
+            epoch_id=min(committed_epochs),
         ) is False
         check()
 
