@@ -299,11 +299,16 @@ def ngram_jaccard_pairs(
 
     ``max_candidate_pairs`` guards the index join's quadratic term
     (same pattern as with_fill's axis guard), in two stages. Stage 1
-    is a map-only 1-row bound off the cached array frame: worst-case
-    mass ≤ min(P(P−1)/2, P·(n_docs−1)/2) for P total postings — when
-    even that clears the cap, no corpus with these stats can blow up
-    and the exact probe (a shuffle costing ~65% of the whole query at
-    bench SF) is skipped. Otherwise stage 2 computes the EXACT count
+    is a map-only 1-row bound off the RAW corpus (the same split-size
+    statistic ``choose_jaccard_strategy`` measures — reused, never
+    recomputed, when auto or the fast dispatch already ran it):
+    worst-case mass ≤ min(P(P−1)/2, P·(n_docs−1)/2) for P total
+    postings — when even that clears the cap, no corpus with these
+    stats can blow up and the exact probe (a shuffle costing ~65% of
+    the whole query at bench SF) is skipped, and the shingle cache
+    fills inside the main join job exactly as an unguarded call would
+    (r11; the previous cached-array-frame stat forced a separate
+    cache-fill job worth ~0.5 s at bench SF). Otherwise stage 2 computes the EXACT count
     the join would emit — Σ_h df_h·(df_h−1)/2 over the actual join
     input (post df-cap) — and above the cap raises with the measured
     mass and the named scale paths (df-ratio cap / PPJoin twin /
@@ -442,15 +447,24 @@ def ngram_jaccard_pairs(
         # exceed the corpus (df ≤ n ⇒ mass ≤ P(n−1)/2). When even the
         # smaller bound clears the cap, NO corpus with these stats can
         # blow up — skip the exact per-shingle probe and its shuffle
-        # (which costs ~65% of the whole query at bench SF, vs ~0 for
-        # this bound off the cached array frame).
+        # (which costs ~65% of the whole query at bench SF). The stats
+        # come from choose_jaccard_strategy's RAW split-size aggregate
+        # (r11) — the earlier form aggregated size(_arr) off the cached
+        # array frame, which forced a separate cache-fill job running
+        # the whole shingle build before the main join could start
+        # (measured 1.70 s vs 1.15 s unguarded at bench SF; with the
+        # raw-frame stat the guard costs one scan+split pass and the
+        # cache fills inside the join job as it would unguarded). The
+        # raw count bounds the distinct-shingle count from above
+        # (array_distinct only shrinks it), so the bound stays valid —
+        # merely ≥ the old one, and stage 2 is exact either way. Auto
+        # and fast-dispatch callers already measured the same stats;
+        # they are reused, never recomputed.
         need_exact_probe = False
         if max_candidate_pairs is not None:
-            st = arr.select(
-                F.count(F.lit(1)).alias("_n"),
-                F.sum(F.size("_arr")).alias("_p"),
-            ).collect()[0]
-            p, nd = st["_p"] or 0, st["_n"] or 0
+            if _stats is None:
+                _, _stats = choose_jaccard_strategy(df, text_col, n)
+            p, nd = _stats["posting_mass"], _stats["n_docs"]
             bound = min(p * (p - 1) // 2, p * max(nd - 1, 0) // 2)
             need_exact_probe = bound > max_candidate_pairs
         if (
