@@ -847,13 +847,15 @@ def minhash_signatures(
     (one row per (doc, shingle), 16 grouped mins) was chosen on the
     assumption that interpreted higher-order functions lose to
     WholeStageCodegen aggregates; measured on Spark 4 at bench SF
-    that is backwards — the HOF form is 1.9× faster (median-of-5
-    0.452 s vs 0.867 s at sf0.1, bit-identical signatures), because
-    the exchange + partial-agg machinery costs more than interpreted
-    per-element hashing. At 100 TB the gap is structural, not just
-    measured: signatures become a pure map stage that fuses with the
-    scan, where the old form shuffled one partial row per
-    (doc × partition). min() over a multiset ≡ min() over the set,
+    that is backwards — the HOF form wins 1.34× (median-of-5 0.57 s
+    vs 0.76 s at sf0.1 with every signature column forced through an
+    aggregate — a bare count() lets Catalyst prune the unevaluated
+    sketch expressions and times only the scan; the full LSH query
+    drops 1.47 s → 1.15 s), because the exchange + partial-agg
+    machinery costs more than interpreted per-element hashing. At
+    100 TB the gap is structural, not just measured: signatures become
+    a pure map stage that fuses with the scan, where the old form
+    shuffled one partial row per (doc × partition). min() over a multiset ≡ min() over the set,
     and the shingle helper dedupes per doc (array_distinct), so both
     forms hash the per-doc DISTINCT shingles exactly once per seed.
 
@@ -903,8 +905,10 @@ def minhash_md5_signatures(
 
     MAP-ONLY (r11): the same zero-shuffle swap as ``minhash_signatures``
     — per-row ``array_min(transform(shingles, md5 min-expr))`` instead
-    of explode+groupBy (measured 0.61 s vs 0.95 s at bench SF,
-    bit-identical), with the identical token-count filter preserving
+    of explode+groupBy (a WASH at bench SF — 1.06 s both forms with all
+    columns forced, the md5 hashing dominates — kept for the structural
+    exchange removal and shape-consistency with the fast twin,
+    bit-identical output), with the identical token-count filter preserving
     the zero-shingle drop semantics (and the identical pushed-filter
     trap avoided — see the fast form's docstring).
     """
@@ -1044,11 +1048,13 @@ def simhash(
     MAP-ONLY (r11): per row, 64 ``size(filter(hashes, bit test))``
     passes over the token-hash array — no explode, no groupBy, ZERO
     shuffle, same zero-shuffle swap as ``minhash_signatures`` and for
-    the same measured reason (Spark 4 bench SF, median-of-5: 1.66 s vs
-    the explode+groupBy form's 1.88 s, bit-identical sketches; the
-    exchange cost exceeds interpreted per-element evaluation, and at
-    fleet scale the sketch becomes a pure map stage fusing with the
-    scan). The ±1 multiset semantics are preserved: the token array is
+    the same measured reason (Spark 4 bench SF, median-of-5 with the
+    sketch column forced through an aggregate: 1.61 s vs the
+    explode+groupBy form's 1.89 s, bit-identical sketches; the exchange
+    cost exceeds interpreted per-element evaluation, and at fleet scale
+    the sketch becomes a pure map stage fusing with the scan — honest
+    decades 1.84/6.38/40.8 s at 5k/500k/5M docs,
+    BENCH_minhash_r11.json). The ±1 multiset semantics are preserved: the token array is
     NOT deduplicated, exactly like the exploded rows weren't.
     """
     arr = _balanced(df, balance).select(
