@@ -8,8 +8,9 @@ The query set spans every execution shape the engine has: the
 reference-parity aggregate fan (scan+filter+groupBy), the streaming
 parse path (JSON + the Arrow DNS UDF), joins/windows, and the
 extension operators (dedup joins, similarity search). Each query is
-executed to completion (count() forces the full plan; results are not
-collected to the driver).
+executed to COMPLETION via the noop sink (r11 — every output column
+evaluates JVM-side, nothing is collected to the driver; the previous
+count() let Catalyst prune final projections, see the R1_BASE note).
 
 Measurement protocol (round 5): each query runs REPS times inside the
 one JVM, interleaved round-robin (r1 of every query, then r2, then r3)
@@ -65,7 +66,15 @@ REPS = 3
 # frozen comparison base. Any query regressing past 2× its r1 time is
 # flagged on stderr so a perf regression can't hide inside the total.
 # (r1 numbers were single-shot; medians are compared against them with
-# that caveat — the 2× bar absorbs the protocol difference.)
+# that caveat — the 2× bar absorbs the protocol difference. r11 method
+# note: rounds 1-10 executed plans via df.count(), which lets Catalyst
+# prune final projections and unreferenced aggregate values — measured
+# per-query in BENCH_sink_method_r11.json: 12 of 14 queries within
+# host drift, x4_quality under-measured ~2.1× (its final projection IS
+# the work) and e_sessions ~1.6×. r11 onward uses the noop sink, which
+# executes the COMPLETE plan JVM-side with no driver collect; the 2×
+# bar absorbs the method delta for the two affected queries too —
+# x4_quality noop ≈ 0.32 s < 2×0.197, e_sessions ≈ 0.28 s ≈ its base.)
 R1_BASE = {
     "a1_blocked_domains": 0.361,
     "a3_clients_stats": 0.268,
@@ -128,7 +137,9 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     if os.path.isdir(warm_dir) and os.path.abspath(warm_dir) != os.path.abspath(sf_dir):
         for name in BENCH_QUERIES:
-            qs[name](spark, warm_dir).count()
+            qs[name](spark, warm_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
 
@@ -138,7 +149,12 @@ def main() -> None:
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
-            df.count()  # executes the full plan without driver collect
+            # noop sink: executes the COMPLETE plan (every output
+            # column) JVM-side with no driver collect. count() is NOT
+            # a full execution — Catalyst prunes final projections and
+            # unreferenced aggregate values under it (caught r11; see
+            # the R1_BASE method note + BENCH_sink_method_r11.json).
+            df.write.mode("overwrite").format("noop").save()
             runs[name].append(round(time.time() - t0, 3))
 
     timings = {name: round(statistics.median(r), 3) for name, r in runs.items()}
@@ -163,6 +179,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "reps": REPS,
+                "sink": "noop",  # full-plan execution; r1-r10 used count()
                 "runs": runs,
                 "host_calibration_sec": calibration,
                 "calibration_ref_sec": CALIBRATION_REF,
