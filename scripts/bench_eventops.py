@@ -29,6 +29,7 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
 from bench import CALIBRATION_REF, _calibrate
@@ -162,6 +163,7 @@ def main():
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from benchlib import force_count  # noqa: E402
     from adguard2clickhouse_spark.session import get_spark
 
     calibration = _calibrate()
@@ -198,7 +200,7 @@ def main():
     else:
         sfs = [s for s in SFS if not (args.skip_sf10 and s[0] == "sf10")]
     for name in QUERIES:  # JIT/codegen warmup
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        force_count(qs[name](spark, "/root/testdata/sf0.001"))
 
     walls: dict[str, dict[str, list[float]]] = {
         n: {tag: [] for tag, _, _ in sfs} for n in QUERIES
@@ -208,7 +210,7 @@ def main():
         for tag, sf_dir, _ in sfs:
             for name in QUERIES:
                 t0 = time.time()
-                n_rows = qs[name](spark, sf_dir).count()
+                n_rows = force_count(qs[name](spark, sf_dir))
                 walls[name][tag].append(round(time.time() - t0, 3))
                 rows[name][tag] = n_rows
                 print(

@@ -32,6 +32,7 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod  # noqa: E402
 from bench import CALIBRATION_REF, _calibrate  # noqa: E402
@@ -53,20 +54,21 @@ def main() -> None:
     args = ap.parse_args()
 
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    from benchlib import force_count  # noqa: E402
     from adguard2clickhouse_spark.session import get_spark
 
     calibration = _calibrate()
     spark = get_spark(app_name="bench_funnel_scale")
     spark.sparkContext.setLogLevel("ERROR")
     q = entrymod.queries()[NAME]
-    q(spark, "/root/testdata/sf0.001").count()  # codegen warmup
+    force_count(q(spark, "/root/testdata/sf0.001"))  # codegen warmup
 
     walls = {tag: [] for tag, _, _ in SFS}
     rows = {}
     for rep in range(args.reps):
         for tag, sf_dir, _ in SFS:
             t0 = time.time()
-            n = q(spark, sf_dir).count()
+            n = force_count(q(spark, sf_dir))
             walls[tag].append(round(time.time() - t0, 3))
             rows[tag] = n
             print(f"rep{rep} {tag}: {walls[tag][-1]}s ({n} rows)",

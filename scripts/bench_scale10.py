@@ -21,8 +21,11 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 import __spark_entry__ as entrymod
+from benchlib import force_count  # noqa: E402
+
 from adguard2clickhouse_spark.session import get_spark
 from bench import _calibrate, CALIBRATION_REF
 
@@ -90,7 +93,7 @@ def main():
     qs = entrymod.queries()
 
     for name in QUERIES:  # warmup (JIT/codegen) at sf0.001
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        force_count(qs[name](spark, "/root/testdata/sf0.001"))
 
     results = {}
     for tag, sf_dir in [("base", args.base), ("big", args.big)]:
@@ -98,7 +101,7 @@ def main():
         t = {}
         for name in QUERIES:
             t0 = time.time()
-            qs[name](spark, sf_dir).count()
+            force_count(qs[name](spark, sf_dir))
             t[name] = round(time.time() - t0, 3)
             print(f"  {name}: {t[name]}s", file=sys.stderr)
         results[tag] = t

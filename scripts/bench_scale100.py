@@ -30,6 +30,7 @@ import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -71,6 +72,7 @@ def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
     import __spark_entry__ as entrymod
+    from benchlib import force_count  # noqa: E402
     from adguard2clickhouse_spark.session import get_spark
     from bench import CALIBRATION_REF, _calibrate
 
@@ -80,14 +82,14 @@ def main() -> None:
     qs = entrymod.queries()
 
     for name in QUERIES:  # codegen warmup
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        force_count(qs[name](spark, "/root/testdata/sf0.001"))
 
     results: dict[str, dict] = {n: {} for n in QUERIES}
     for tag, sf_dir in [("sf10", args.base), ("sf100", args.big)]:
         for rep in range(args.reps):
             for name in QUERIES:
                 t0 = time.time()
-                rows = qs[name](spark, sf_dir).count()
+                rows = force_count(qs[name](spark, sf_dir))
                 wall = round(time.time() - t0, 3)
                 e = results[name].setdefault(tag, {"walls": [], "rows": rows})
                 e["walls"].append(wall)

@@ -26,6 +26,7 @@ import urllib.request
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 REPO = Path(__file__).resolve().parent.parent
 
@@ -87,6 +88,7 @@ def max_stage_id(sc) -> int:
 def main() -> None:
     os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 
+    from benchlib import force_count  # noqa: E402
     from adguard2clickhouse_spark.session import get_spark
 
     spark = get_spark(
@@ -99,7 +101,7 @@ def main() -> None:
 
     qs = entrymod.queries()
     for name in QUERIES:  # codegen warmup
-        qs[name](spark, "/root/testdata/sf0.001").count()
+        force_count(qs[name](spark, "/root/testdata/sf0.001"))
 
     sfs = {
         "sf1": str(REPO / ".localdata" / "sf1"),
@@ -112,7 +114,7 @@ def main() -> None:
                 mark = max_stage_id(sc)
                 t0 = time.time()
                 df = qs[name](spark, sf_dir)
-                rows = df.count()
+                rows = force_count(df)
                 wall = round(time.time() - t0, 3)
                 entry = results[name].setdefault(
                     tag, {"walls": [], "rows": rows}
