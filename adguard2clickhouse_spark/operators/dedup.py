@@ -1056,12 +1056,24 @@ def simhash(
     decades 1.84/6.38/40.8 s at 5k/500k/5M docs,
     BENCH_minhash_r11.json). The ±1 multiset semantics are preserved: the token array is
     NOT deduplicated, exactly like the exploded rows weren't.
+
+    NULL-text docs are dropped (r11 ADVICE): the old explode form shed
+    them implicitly (explode of a NULL array emits no rows), while the
+    per-row form would keep them as sketch-0 rows that then report each
+    other as distance-0 near-dup pairs. The filter tests the RAW text
+    column, not a derived array — a predicate on the transformed column
+    would be pushed below the balance exchange and re-evaluate the whole
+    transform a second time (the r5 pushed-filter gotcha minhash guards
+    against the same way).
     """
-    arr = _balanced(df, balance).select(
-        F.col(id_col).alias("_id"),
-        F.transform(
-            F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
-        ).alias("_hs"),
+    arr = (
+        _balanced(df.filter(F.col(text_col).isNotNull()), balance)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
+            ).alias("_hs"),
+        )
     )
     ntok = F.size("_hs")
 
@@ -1098,15 +1110,20 @@ def simhash_md5(
     verification, not the hot path. MAP-ONLY like its fast twin (r11):
     60 per-row ``size(filter(...))`` majority tests over the token-hash
     array — zero shuffle, same multiset semantics as the exploded rows.
+    NULL-text docs are dropped on the raw column before the transform,
+    exactly as in ``simhash`` (r11 ADVICE; see that docstring).
     """
-    arr = _balanced(df, balance).select(
-        F.col(id_col).alias("_id"),
-        F.transform(
-            F.split(F.col(text_col), " "),
-            lambda t: F.conv(
-                F.substring(F.md5(t), 1, 15), 16, 10
-            ).cast("long"),
-        ).alias("_hs"),
+    arr = (
+        _balanced(df.filter(F.col(text_col).isNotNull()), balance)
+        .select(
+            F.col(id_col).alias("_id"),
+            F.transform(
+                F.split(F.col(text_col), " "),
+                lambda t: F.conv(
+                    F.substring(F.md5(t), 1, 15), 16, 10
+                ).cast("long"),
+            ).alias("_hs"),
+        )
     )
     ntok = F.size("_hs")
 

@@ -24,7 +24,9 @@ def force_count(df: DataFrame) -> int:
     map_entries, which hash() cannot take directly)."""
     cols = []
     for f in df.schema.fields:
-        c = F.col(f.name)
+        # df[name], not F.col(name): a dotted column name would parse as a
+        # nested-field reference under F.col (r11 ADVICE).
+        c = df[f.name]
         if isinstance(f.dataType, MapType):
             c = F.map_entries(c)
         cols.append(c)

@@ -372,6 +372,32 @@ def test_simhash_portable_pairs_exact_dups_at_hamming_zero(spark):
     assert got.get((1, 2)) == 0
 
 
+def test_simhash_drops_null_text_docs(spark):
+    """r12 regression (r11 ADVICE): the map-only simhash must drop
+    NULL-text docs exactly as the old explode form did. Without the
+    raw-column isNotNull filter, each NULL doc becomes a sketch-0 row
+    and every NULL pair is reported as a distance-0 near-dup."""
+    from adguard2clickhouse_spark.operators.dedup import (
+        simhash, simhash_md5, simhash_near_pairs,
+    )
+
+    t = "the quick brown fox jumps over the lazy dog again and again " * 3
+    docs = spark.createDataFrame(
+        [(1, t), (2, t), (3, None), (4, None)],
+        "doc_id LONG, text STRING",
+    )
+    assert sorted(r.doc_id for r in simhash(docs).collect()) == [1, 2]
+    assert sorted(r.doc_id for r in simhash_md5(docs).collect()) == [1, 2]
+    for portable in (False, True):
+        pairs = {
+            (r.doc_a, r.doc_b)
+            for r in simhash_near_pairs(
+                docs, max_hamming=8, portable=portable
+            ).collect()
+        }
+        assert pairs == {(1, 2)}
+
+
 def test_winnow_deterministic(docs_df):
     from adguard2clickhouse_spark.operators.dedup import winnow_fingerprints
 
