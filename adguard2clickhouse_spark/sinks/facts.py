@@ -78,19 +78,24 @@ _MAX_EPOCHS_TRACKED = 1000
 _URI_SCHEME = re.compile(r"^[A-Za-z][A-Za-z0-9+.-]*://")
 
 
-def _staged_rows(stage: str) -> int:
-    """Total rows in a freshly staged local directory, from parquet
-    FOOTERS only (no Spark job): an empty epoch can still leave a
-    0-row part file, and publishing data-less directories would grow
-    the committed listing forever."""
+def _staged_stats(stage: str) -> tuple[int, int]:
+    """(rows, bytes) of a freshly staged local directory, rows from
+    parquet FOOTERS only (no Spark job): an empty epoch can still
+    leave a 0-row part file, and publishing data-less directories
+    would grow the committed listing forever. Bytes are recorded in
+    the pointer at publish time so compaction tiering never re-walks
+    immutable committed slots (at warehouse scale a per-epoch
+    listdir+stat of the whole table would grow with history)."""
     import pyarrow.parquet as pq
 
-    total = 0
+    rows = nbytes = 0
     for root, _dirs, files in os.walk(stage):
         for f in files:
+            p = os.path.join(root, f)
             if f.endswith(".parquet"):
-                total += pq.ParquetFile(os.path.join(root, f)).metadata.num_rows
-    return total
+                rows += pq.ParquetFile(p).metadata.num_rows
+            nbytes += os.path.getsize(p)
+    return rows, nbytes
 
 
 class LedgeredFactSink:
@@ -252,6 +257,8 @@ class LedgeredFactSink:
                 "epoch_hwm": None,
                 "tokens": [],
                 "stream_id": None,
+                "dir_bytes": {},
+                "generation": 0,
             }
         with open(p) as f:
             meta = json.load(f)
@@ -260,6 +267,8 @@ class LedgeredFactSink:
         meta.setdefault("epoch_hwm", None)
         meta.setdefault("tokens", [])
         meta.setdefault("stream_id", None)
+        meta.setdefault("dir_bytes", {})
+        meta.setdefault("generation", 0)
         return meta
 
     def _fsync_dir(self) -> None:
@@ -314,14 +323,18 @@ class LedgeredFactSink:
         hwm = meta["epoch_hwm"]
         return epoch_id in meta["epochs"] or (hwm is not None and epoch_id <= hwm)
 
-    def _stage_and_publish(self, df: DataFrame, seq: int) -> str | None:
+    def _stage_and_publish(
+        self, df: DataFrame, seq: int
+    ) -> tuple[str | None, int]:
         """Write ``df`` to a private stage directory with the sink's
         layout, then rename it into committed slot ``cseq=<seq>``.
-        Returns the slot's basename, or None when the frame produced no
-        rows (the stage is dropped — publishing data-less directories
-        would grow the committed listing forever). The slot is NOT yet
-        visible: callers commit it via ``_write_pointer``. Callers hold
-        the writer lock."""
+        Returns ``(slot_basename, slot_bytes)``, or ``(None, 0)`` when
+        the frame produced no rows (the stage is dropped — publishing
+        data-less directories would grow the committed listing
+        forever). The slot is NOT yet visible: callers commit it via
+        ``_write_pointer`` (recording the bytes in ``dir_bytes`` so
+        compaction tiering never re-stats committed slots). Callers
+        hold the writer lock."""
         if "cseq" in df.columns:
             raise ValueError(
                 "LedgeredFactSink reserves the column name 'cseq' for "
@@ -335,14 +348,29 @@ class LedgeredFactSink:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(stage)
-        if _staged_rows(stage) == 0:
+        rows, nbytes = _staged_stats(stage)
+        if rows == 0:
             shutil.rmtree(stage, ignore_errors=True)
-            return None
+            return None, 0
         dst = os.path.join(self.path, f"cseq={seq:08d}")
         if os.path.exists(dst):  # unreachable after _gc_orphans; belt
             shutil.rmtree(dst)
         os.replace(stage, dst)
-        return os.path.basename(dst)
+        return os.path.basename(dst), nbytes
+
+    def _slot_bytes(self, meta: dict, name: str) -> int:
+        """Size of a committed slot: the pointer's publish-time record,
+        falling back to one walk for slots that predate the cache
+        (legacy pointers, adopted layouts). Committed slots are
+        immutable, so the cached value never goes stale."""
+        b = meta["dir_bytes"].get(name)
+        if b is not None:
+            return b
+        total = 0
+        for root, _dirs, files in os.walk(os.path.join(self.path, name)):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
 
     def applied_token(self, token: str) -> bool:
         """Out-of-band append idempotency (dead-letter replay): opaque
@@ -411,9 +439,11 @@ class LedgeredFactSink:
         # local footers — driver-side metadata, no Spark job).
         seq = meta["seq"] + 1
         dirs = list(meta["dirs"])
-        slot = self._stage_and_publish(df, seq)
+        dir_bytes = dict(meta["dir_bytes"])
+        slot, nbytes = self._stage_and_publish(df, seq)
         if slot is not None:
             dirs.append(slot)
+            dir_bytes[slot] = nbytes
 
         epochs, hwm = meta["epochs"], meta["epoch_hwm"]
         if epoch_id is not None:
@@ -430,6 +460,7 @@ class LedgeredFactSink:
                 "epoch_hwm": hwm,
                 "tokens": tokens,
                 "stream_id": meta["stream_id"],
+                "dir_bytes": dir_bytes,
             }
         )
         return True
@@ -453,32 +484,56 @@ class LedgeredFactSink:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths).drop("cseq")
 
-    def replace(self, df: DataFrame) -> None:
+    def generation(self) -> int:
+        """Content-generation counter: bumped ONLY by
+        ``replace(bump_generation=True)`` (the dead-letter replay's
+        final swap), never by appends or compaction. Salting the
+        replay token with it keeps the token stable across a crashed
+        replay's retry AND across maintenance folds (both preserve
+        content + generation) while distinguishing two different
+        replays whose dead populations happen to be byte-identical (a
+        deterministic noisy line recurring after a parser regression) —
+        the uniqueness the pre-r12 file-level digest got implicitly
+        from slot names embedding the monotonic seq."""
+        return self._pointer()["generation"]
+
+    def replace(self, df: DataFrame, bump_generation: bool = False) -> None:
         """Wholesale swap (dead-letter rewrite after replay, compaction
         target): stage the new content — while any reader of the OLD
         committed dirs, including ``df`` itself when it derives from
         this sink, can still finish — then commit a ledger pointing
         only at the new directory and delete the superseded ones.
         Serialized by the pointer lock (a swap racing a live append
-        would otherwise lose whichever pointer write landed first)."""
+        would otherwise lose whichever pointer write landed first).
+        ``bump_generation`` advances the content generation atomically
+        with the swap (see ``generation``)."""
         with self._locked():
-            self._replace(df)
+            self._replace(df, bump_generation)
 
-    def _replace(self, df: DataFrame) -> None:
+    def _replace(self, df: DataFrame, bump_generation: bool = False) -> None:
         meta = self._pointer()
         seq = meta["seq"] + 1
         old_dirs = list(meta["dirs"])
-        slot = self._stage_and_publish(df, seq)
+        slot, nbytes = self._stage_and_publish(df, seq)
         # epoch/token history survives the swap: a concurrent stream's
         # retried epoch must still be recognized as committed.
         self._write_pointer(
-            {**meta, "seq": seq, "dirs": [slot] if slot else []}
+            {
+                **meta,
+                "seq": seq,
+                "dirs": [slot] if slot else [],
+                "dir_bytes": {slot: nbytes} if slot else {},
+                "generation": meta["generation"] + (1 if bump_generation else 0),
+            }
         )
         for d in old_dirs:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
 
     def compact(
-        self, spark: SparkSession, small_bytes: int | None = None
+        self,
+        spark: SparkSession,
+        small_bytes: int | None = None,
+        max_fold_slots: int | None = None,
     ) -> int:
         """Fold committed epoch directories together (the maintenance
         answer to per-epoch directory growth). Returns the number of
@@ -491,21 +546,39 @@ class LedgeredFactSink:
         are merged (the steady trickle of micro-batch epochs), while
         already-compacted large slots are left untouched — each
         maintenance run costs O(recent small epochs), not O(table),
-        and repeated runs converge to a few large slots. Readers
-        holding the old ledger keep a consistent view until the
-        atomic swap; the epoch/token ledgers are preserved. Serialized
-        by the pointer lock, so a maintenance run racing a live stream
-        blocks behind the in-flight epoch instead of losing it (the
-        pipeline additionally refuses maintenance while its own stream
-        is active — see ``QuerylogPipeline.compact_facts``)."""
+        and repeated runs converge to a few large slots.
+
+        ``max_fold_slots=k`` (r12, VERDICT r11 #2) makes the call ONE
+        bounded size-tiered step instead of an all-smalls fold: slots
+        below ``small_bytes`` are bucketed by geometric size class
+        (tier = ⌊log_k(bytes)⌋ — k similar slots merge into the next
+        tier, LSM-style), and only the OLDEST k slots of the lowest
+        tier holding ≥ k are folded. Per call the pause is one k-slot
+        rewrite (the r11 all-at-once policy stalled the writer thread
+        15–25 s against a 0.76 s p50 append, BENCH_factledger_r11);
+        across calls each byte is rewritten O(log_k n) times, and slot
+        count stays O(k·log_k n). Returns 0 when no tier is full —
+        a cheap pointer-only check (slot sizes are cached at publish
+        time in ``dir_bytes``), safe to run every epoch.
+
+        Readers holding the old ledger keep a consistent view until
+        the atomic swap; the epoch/token ledgers are preserved.
+        Serialized by the pointer lock, so a maintenance run racing a
+        live stream blocks behind the in-flight epoch instead of
+        losing it (the pipeline additionally refuses maintenance while
+        its own stream is active — see
+        ``QuerylogPipeline.compact_facts``)."""
         with self._locked():
-            return self._compact(spark, small_bytes)
+            return self._compact(spark, small_bytes, max_fold_slots)
 
     def _compact(
-        self, spark: SparkSession, small_bytes: int | None = None
+        self,
+        spark: SparkSession,
+        small_bytes: int | None = None,
+        max_fold_slots: int | None = None,
     ) -> int:
         meta = self._pointer()
-        if small_bytes is None:
+        if small_bytes is None and max_fold_slots is None:
             if len(meta["dirs"]) <= 1:
                 return 0
             n = len(meta["dirs"])
@@ -515,14 +588,28 @@ class LedgeredFactSink:
             self._replace(self.read(spark, merge_schema=True))
             return n
 
-        def _dir_bytes(name: str) -> int:
-            total = 0
-            for root, _dirs, files in os.walk(os.path.join(self.path, name)):
-                for f in files:
-                    total += os.path.getsize(os.path.join(root, f))
-            return total
+        small = [
+            d
+            for d in meta["dirs"]
+            if small_bytes is None or self._slot_bytes(meta, d) < small_bytes
+        ]
+        if max_fold_slots is not None:
+            if max_fold_slots < 2:
+                raise ValueError("max_fold_slots must be >= 2")
+            import math
 
-        small = [d for d in meta["dirs"] if _dir_bytes(d) < small_bytes]
+            tiers: dict[int, list[str]] = {}
+            for d in small:
+                tier = int(
+                    math.log(max(self._slot_bytes(meta, d), 1), max_fold_slots)
+                )
+                tiers.setdefault(tier, []).append(d)
+            full = [t for t, ds in tiers.items() if len(ds) >= max_fold_slots]
+            if not full:
+                return 0
+            # lowest over-full tier first: that's where epochs arrive,
+            # and merging it feeds the next tier up
+            small = tiers[min(full)][:max_fold_slots]
         if len(small) <= 1:
             return 0
         keep = [d for d in meta["dirs"] if d not in small]
@@ -535,10 +622,16 @@ class LedgeredFactSink:
 
         seq = meta["seq"] + 1
         dirs = list(keep)
-        slot = self._stage_and_publish(merged, seq)
+        dir_bytes = {
+            d: b for d, b in meta["dir_bytes"].items() if d not in small
+        }
+        slot, nbytes = self._stage_and_publish(merged, seq)
         if slot is not None:
             dirs.append(slot)
-        self._write_pointer({**meta, "seq": seq, "dirs": dirs})
+            dir_bytes[slot] = nbytes
+        self._write_pointer(
+            {**meta, "seq": seq, "dirs": dirs, "dir_bytes": dir_bytes}
+        )
         for d in small:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return len(small)

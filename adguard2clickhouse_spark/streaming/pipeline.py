@@ -199,7 +199,20 @@ class QuerylogPipeline:
         # bounds write amplification the way tiered compaction does.
         # 0/None disables. The slot-count check per epoch is one small
         # JSON read.
+        #
+        # r12 (VERDICT r11 #2): the maintenance is now INCREMENTAL —
+        # each epoch runs at most ONE size-tiered fold of
+        # auto_compact_fanout similar-sized slots (LSM tiering; see
+        # LedgeredFactSink.compact(max_fold_slots=...)), so the
+        # writer-thread pause per epoch is one k-slot rewrite instead
+        # of the r11 all-smalls fold that stalled ingest 15–25 s
+        # against a 0.76 s p50 append (BENCH_factledger_r11.json).
+        # auto_compact_min_slots stays as the BACKSTOP: if the slot
+        # count ever reaches it despite tiering (pathological size
+        # distributions, fanout disabled), the full small fold runs as
+        # before.
         self.auto_compact_min_slots: int | None = 48
+        self.auto_compact_fanout: int | None = 8
         self.compact_small_bytes = 128 << 20
         # Streaming-query identity for the fact/dead-letter epoch
         # ledgers (ADVICE r10): resolved lazily from the checkpoint's
@@ -438,15 +451,34 @@ class QuerylogPipeline:
             # compaction failure fails the batch AFTER the appends
             # committed; the retry no-ops the appends (epoch ledger)
             # and re-runs only the compaction — still exactly-once.
-            # log2 ONLY — deliberately not the dead-letter channel: its
-            # replay token is a file-level content digest
-            # (_dead_letter_digest), so a maintenance rewrite between a
-            # crashed replay and its retry would mint a fresh token and
-            # double-fold the recovered lines. The dead channel
-            # self-compacts anyway: every replay swaps it wholesale to
-            # one slot, and an epoch with zero dead lines publishes
-            # nothing, so only a persistently-noisy source fragments it
-            # at all.
+            if self.auto_compact_fanout:
+                t0 = _time.time()
+                folded = self.log2_sink.compact(
+                    self.spark,
+                    small_bytes=self.compact_small_bytes,
+                    max_fold_slots=self.auto_compact_fanout,
+                )
+                if folded:
+                    timings["auto_compact_s"] = round(_time.time() - t0, 3)
+                    timings["auto_compact_folded"] = folded
+                # The dead-letter channel joins the same incremental
+                # maintenance (VERDICT r11 #3): safe now that the
+                # replay token is a CONTENT digest of the committed
+                # dead lines (order/layout-independent, see
+                # _dead_letter_digest) — a fold between a crashed
+                # replay and its retry preserves the multiset of
+                # lines, hence the token, hence idempotence. Only a
+                # persistently-noisy source ever makes this fire
+                # (clean epochs publish nothing to the dead channel).
+                t0 = _time.time()
+                dead_folded = self.dead_sink.compact(
+                    self.spark,
+                    small_bytes=self.compact_small_bytes,
+                    max_fold_slots=self.auto_compact_fanout,
+                )
+                if dead_folded:
+                    timings["dead_compact_s"] = round(_time.time() - t0, 3)
+                    timings["dead_compact_folded"] = dead_folded
             if self.auto_compact_min_slots:
                 n_slots = len(self.log2_sink._pointer()["dirs"])
                 if n_slots >= self.auto_compact_min_slots:
@@ -609,40 +641,53 @@ class QuerylogPipeline:
             log2.unpersist()
 
     def _dead_letter_digest(self) -> str:
-        """Deterministic identity of the CURRENT dead-letter directory:
-        file names + sizes + a CRC of each file's CONTENT. Stable across
-        retries of one replay (the directory is only swapped at the very
-        end, so a crashed replay re-reads identical bytes), different
-        for any later replay — including the pathological case of two
-        distinct dead-letter populations whose (name, size) listings
-        happen to coincide, which a listing-only digest would conflate
-        and wrongly skip. Dead-letter directories hold failed lines only,
-        so hashing their content is cheap relative to the replay itself.
+        """Deterministic identity of the CURRENT dead-letter content:
+        an order- and layout-independent multiset digest of the
+        committed lines (count + sum + xor of per-row xxhash64, plus an
+        independent crc32 sum), salted with the dead sink's content
+        generation.
 
+        r12 (VERDICT r11 #3): the pre-r12 digest hashed FILES (names +
+        sizes + CRCs), which made any maintenance rewrite of the dead
+        channel mint a fresh token — a fold between a crashed replay
+        and its retry would double-fold the recovered lines, so the
+        channel was exempt from auto-compaction and a persistently-
+        noisy source fragmented it without bound. The multiset digest
+        is invariant under compaction (same lines, different files), so
+        the dead channel now joins the per-epoch incremental
+        maintenance. Stability/uniqueness contract:
+
+        - retry of a crashed replay → same content, same generation →
+          SAME token (the swap that changes either runs last), even if
+          an auto-compaction folded the channel in between;
+        - any later replay → generation bumped by the previous swap →
+          different token, even for byte-identical dead populations
+          (deterministic noisy line recurring after a parser
+          regression — the case slot-name-embedded seqs used to cover).
+
+        Sum/xor over full-range 64-bit hashes: the sums go through
+        decimal(38,0) — ANSI mode makes long sums RAISE on overflow.
         The token is checked against ``SummingParquetSink``'s
-        ``replay_tokens`` ledger, which keeps the most recent 1000
-        entries (see ``applied_token`` for the window contract), and
-        (r10) against the fact sink's token ledger for the log2 append.
+        ``replay_tokens`` ledger (most recent 1000 entries, see
+        ``applied_token``) and the fact sink's token ledger for the
+        log2 append."""
+        import hashlib
 
-        Only COMMITTED dead-letter directories are hashed — the sink's
-        ledger file and any crash orphans are not dead-letter content
-        (and the ledger's epoch bookkeeping changes even when the
-        content is identical)."""
-        import zlib
-
-        listing = []
-        for d in self.dead_sink._pointer()["dirs"]:
-            droot = os.path.join(self.dead_letter_path, d)
-            for root, _dirs, files in os.walk(droot):
-                rel = os.path.relpath(root, self.dead_letter_path)
-                for f in sorted(files):
-                    p = os.path.join(root, f)
-                    crc = 0
-                    with open(p, "rb") as fh:
-                        while chunk := fh.read(1 << 20):
-                            crc = zlib.crc32(chunk, crc)
-                    listing.append((rel, f, os.path.getsize(p), crc))
-        return f"replay-{zlib.crc32(repr(sorted(listing)).encode()):08x}"
+        dead = self.dead_sink.read(self.spark)
+        if dead is None:
+            ident: tuple = (0,)
+        else:
+            h = F.xxhash64(*[dead[c] for c in sorted(dead.columns)])
+            row = dead.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.bit_xor(h).alias("x"),
+                F.sum(h.cast("decimal(38,0)")).alias("s"),
+                F.sum(F.crc32(F.to_binary(h.cast("string"), F.lit("utf-8"))).cast("decimal(38,0)")).alias("c"),
+            ).collect()[0]
+            ident = (row["n"], row["x"], str(row["s"]), str(row["c"]))
+        gen = self.dead_sink.generation()
+        blob = repr((gen,) + ident).encode()
+        return f"replay-{hashlib.sha256(blob).hexdigest()[:16]}"
 
     def replay_dead_letters(self, mode: str = "delta") -> dict:
         """Re-parse the dead-letter channel — the operational recovery
@@ -724,8 +769,11 @@ class QuerylogPipeline:
                 self.rebuild_aggregates()
             # Swap the dead channel LAST. replace() stages the
             # survivors while the old committed dirs still back the
-            # frame, then commits the swap atomically.
-            self.dead_sink.replace(still_dead)
+            # frame, then commits the swap atomically — bumping the
+            # content generation in the same pointer write, so the
+            # NEXT replay's token differs even if its dead population
+            # is byte-identical to this one's (see _dead_letter_digest).
+            self.dead_sink.replace(still_dead, bump_generation=True)
             after = self.dead_sink.read(self.spark)
             n_dead = after.count() if after is not None else 0
         finally:

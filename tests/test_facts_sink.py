@@ -527,3 +527,68 @@ def test_stream_identity_grandfathers_unscoped_pointer(spark, tmp_path):
     assert new.append(df, epoch_id=5) is False  # grandfathered, not voided
     assert new.append(df, epoch_id=6) is True
     assert new._pointer()["stream_id"] == "q-one"  # scoped from here on
+
+
+def test_incremental_tiered_compaction_folds_k_oldest(sink, spark):
+    """r12 (VERDICT r11 #2): compact(max_fold_slots=k) is ONE bounded
+    size-tiered step — folds exactly the k oldest slots of the lowest
+    over-full tier, returns 0 when no tier is full — instead of the
+    all-smalls fold that stalled the writer thread 15-25 s."""
+    df = _df(spark, [("2024-01-01", i, f"d{i}.com") for i in range(5)])
+    for e in range(10):
+        assert sink.append(df, epoch_id=e) is True
+    assert len(sink._pointer()["dirs"]) == 10
+
+    folded = sink.compact(spark, small_bytes=1 << 30, max_fold_slots=4)
+    assert folded == 4
+    meta = sink._pointer()
+    assert len(meta["dirs"]) == 7  # 10 - 4 + 1 merged
+    # identical epochs => identical sizes => one tier: the OLDEST fold
+    for old in ("cseq=00000001", "cseq=00000004"):
+        assert old not in meta["dirs"]
+    assert "cseq=00000010" in meta["dirs"]
+    # the size cache tracks the ledger exactly (no stale/missing entries)
+    assert set(meta["dir_bytes"]) == set(meta["dirs"])
+    assert sink.read(spark).count() == 50
+
+    # repeated steps converge, then the call becomes a cheap no-op
+    for _ in range(20):
+        if sink.compact(spark, small_bytes=1 << 30, max_fold_slots=4) == 0:
+            break
+    assert sink.compact(spark, small_bytes=1 << 30, max_fold_slots=4) == 0
+    assert len(sink._pointer()["dirs"]) < 7
+    assert sink.read(spark).count() == 50
+    # epoch idempotency survives maintenance
+    assert sink.applied(9)
+    assert sink.append(df, epoch_id=9) is False
+
+
+def test_tiered_compaction_respects_small_bytes_cap(sink, spark):
+    """Slots at or above small_bytes are never selected by the tiered
+    step — already-compacted history is not rewritten."""
+    df = _df(spark, [("2024-01-01", i, f"d{i}.com") for i in range(5)])
+    for e in range(4):
+        sink.append(df, epoch_id=e)
+    meta = sink._pointer()
+    # every slot is "large" under a 1-byte threshold: nothing to fold
+    assert sink.compact(spark, small_bytes=1, max_fold_slots=2) == 0
+    assert sink._pointer()["dirs"] == meta["dirs"]
+    with pytest.raises(ValueError, match="max_fold_slots"):
+        sink.compact(spark, small_bytes=1 << 30, max_fold_slots=1)
+
+
+def test_replace_generation_bumps_only_when_asked(sink, spark):
+    """The content generation feeds the dead-letter replay token: it
+    must survive appends and compaction (a crashed replay's retry needs
+    the same token) and advance only on an explicit replay swap."""
+    df = _df(spark, [("2024-01-01", 1, "a.com")])
+    assert sink.generation() == 0
+    sink.append(df, epoch_id=0)
+    sink.append(df, epoch_id=1)
+    assert sink.generation() == 0
+    sink.compact(spark, small_bytes=1 << 30, max_fold_slots=2)
+    assert sink.generation() == 0
+    sink.replace(sink.read(spark))
+    assert sink.generation() == 0
+    sink.replace(sink.read(spark), bump_generation=True)
+    assert sink.generation() == 1

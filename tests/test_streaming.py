@@ -1048,3 +1048,121 @@ def test_checkpoint_recreation_does_not_drop_epochs(tmp_path, spark):
     # dedupe_horizon exists for), but the NEW files must never vanish.
     qhs = {r.QH for r in pipe2.read_log2().select("QH").distinct().collect()}
     assert {"a3.example.com", "a4.example.com"} <= qhs
+
+
+def test_noisy_source_dead_channel_stays_bounded(tmp_path, spark):
+    """r12 (VERDICT r11 #3): a persistently-noisy source used to
+    fragment the dead-letter channel without bound between replays
+    (the channel was exempt from maintenance because its replay token
+    hashed FILES). With the content-multiset token the channel joins
+    the per-epoch incremental compaction: slot count stays bounded
+    while every dead line is preserved."""
+    src = tmp_path / "src"
+    src.mkdir()
+    n_files = 12
+    for i in range(n_files):
+        (src / f"f{i:03d}.jsonl").write_text(
+            _line(i, minute=i % 50, filtered=False,
+                  qh=f"n{i}.example.com", ip="10.0.0.1")
+            + "\n" + f"{{ broken line {i}\n"
+        )
+    pipe = QuerylogPipeline(spark, str(src), str(tmp_path / "out"))
+    pipe.auto_compact_fanout = 2  # force folds inside a short run
+    q = pipe.start(available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+    dead_dirs = pipe.dead_sink._pointer()["dirs"]
+    # unbounded = one slot per epoch (12); tiered maintenance keeps it
+    # logarithmic (fanout 2 over 12 epochs: a handful)
+    assert len(dead_dirs) <= 5, dead_dirs
+    assert any("dead_compact_folded" in t for t in pipe.batch_timings)
+    dead = pipe.dead_sink.read(spark)
+    assert dead.count() == n_files  # every bad line preserved
+    assert pipe.read_log2().count() == n_files
+
+
+def test_dead_letter_digest_survives_compaction(tmp_path, spark):
+    """The replay token is a multiset digest of the committed dead
+    LINES: invariant under any content-preserving fold (incremental or
+    full), sensitive to content changes, and distinct across replay
+    generations even for byte-identical content."""
+    pipe = QuerylogPipeline(
+        spark, str(tmp_path / "src"), str(tmp_path / "out")
+    )
+    for i in range(3):
+        pipe.dead_sink.append(
+            spark.createDataFrame([(f"bad {i}",)], ["raw_line"]),
+            token=f"seed-{i}",
+        )
+    d0 = pipe._dead_letter_digest()
+    assert pipe.dead_sink.compact(
+        spark, small_bytes=1 << 30, max_fold_slots=2
+    ) == 2
+    assert pipe._dead_letter_digest() == d0
+    pipe.dead_sink.compact(spark)  # full fold
+    assert pipe._dead_letter_digest() == d0
+    # content-sensitive
+    pipe.dead_sink.append(spark.createDataFrame([("bad 3",)], ["raw_line"]))
+    d1 = pipe._dead_letter_digest()
+    assert d1 != d0
+    # generation-sensitive: identical content, bumped generation
+    pipe.dead_sink.replace(pipe.dead_sink.read(spark), bump_generation=True)
+    assert pipe._dead_letter_digest() != d1
+
+
+def test_crashed_replay_retry_noops_after_dead_compaction(tmp_path, spark):
+    """The r11 hazard that kept the dead channel out of maintenance:
+    a fold between a crashed replay and its retry used to mint a fresh
+    token and double-fold the recovered lines. With the content
+    digest, the retry after a maintenance fold completes the missing
+    steps and no-ops the committed ones."""
+    src, out = tmp_path / "src", tmp_path / "out"
+    src.mkdir()
+    base = [_line(i, minute=i % 5, filtered=i % 2 == 0,
+                  qh=f"r{i % 3}.example.com", ip="10.3.0.1")
+            for i in range(10)]
+    (src / "log.jsonl").write_text("\n".join(base) + "\n")
+    pipe = QuerylogPipeline(spark, str(src), str(out))
+    pipe.run_available()
+    assert pipe.read_log2().count() == 10
+
+    # recoverable lines spread across TWO dead slots, so the
+    # between-crash-and-retry fold has something to merge
+    rec = [_line(i, minute=i % 5, filtered=False,
+                 qh="late.example.com", ip="10.3.0.2")
+           for i in range(100, 104)]
+    pipe.dead_sink.replace(spark.createDataFrame(
+        [(l,) for l in rec[:2] + ["{ not json"]], ["raw_line"]))
+    pipe.dead_sink.append(spark.createDataFrame(
+        [(l,) for l in rec[2:]], ["raw_line"]))
+    assert len(pipe.dead_sink._pointer()["dirs"]) == 2
+
+    # crash the replay AFTER the log2 append: first aggregate fold dies
+    orig = pipe.sinks["visited_domains"].apply_delta
+    calls = {"n": 0}
+
+    def sabotage(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected crash mid-replay")
+        return orig(*a, **k)
+
+    pipe.sinks["visited_domains"].apply_delta = sabotage
+    with pytest.raises(RuntimeError, match="injected crash"):
+        pipe.replay_dead_letters()
+    assert pipe.read_log2().count() == 14  # log2 append committed
+
+    # maintenance fold between the crash and the retry — the r11 hazard
+    assert pipe.dead_sink.compact(
+        spark, small_bytes=1 << 30, max_fold_slots=2
+    ) == 2
+
+    stats = pipe.replay_dead_letters()
+    assert stats == {"replayed": 4, "still_dead": 1}
+    # the retry's log2 append no-opped under the SAME token: no doubles
+    assert pipe.read_log2().count() == 14
+    assert pipe.read_log2().filter("QH = 'late.example.com'").count() == 4
+    # aggregates match the batch answer over all effective lines
+    expected = _batch_answer(spark, base + rec)
+    for name in agg.ALL_AGGREGATES:
+        got = {tuple(r) for r in pipe.read_aggregate(name).collect()}
+        assert got == expected[name], f"{name} diverged after retry"
