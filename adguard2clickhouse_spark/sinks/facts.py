@@ -66,6 +66,7 @@ import json
 import os
 import re
 import shutil
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -137,6 +138,23 @@ class LedgeredFactSink:
         # keep its replay protection); it becomes scoped from the first
         # identified append onward. Assignable after construction.
         self.stream_id = stream_id
+        # Stage directories currently being written by THIS process
+        # (a background maintenance fold stages outside the lock, so a
+        # concurrent append's orphan GC must not delete them mid-write).
+        # In-memory on purpose: cross-process, the single-writer
+        # deployment discipline applies, and a crashed process's
+        # leftover stages are exactly the orphans GC exists to remove.
+        self._live_stages: set[str] = set()
+        # Retired-slot retention (r12): compaction folds COMMIT the new
+        # slot atomically but must not delete the superseded slots
+        # immediately — a reader that listed the old pointer may still
+        # be mid-scan (the exact race Delta/Iceberg split commit from
+        # VACUUM for; observed as FileNotFoundException the moment
+        # folds moved off the writer thread). Folded slots are instead
+        # recorded in the pointer's trash list and physically removed
+        # by later commits once older than this many seconds — size it
+        # above the longest reader job, like a VACUUM retention.
+        self.trash_retention_s: float = 60.0
         os.makedirs(path, exist_ok=True)
         with self._locked():
             self._adopt_legacy()
@@ -259,6 +277,7 @@ class LedgeredFactSink:
                 "stream_id": None,
                 "dir_bytes": {},
                 "generation": 0,
+                "trash": [],
             }
         with open(p) as f:
             meta = json.load(f)
@@ -269,6 +288,7 @@ class LedgeredFactSink:
         meta.setdefault("stream_id", None)
         meta.setdefault("dir_bytes", {})
         meta.setdefault("generation", 0)
+        meta.setdefault("trash", [])
         return meta
 
     def _fsync_dir(self) -> None:
@@ -340,23 +360,56 @@ class LedgeredFactSink:
                 "LedgeredFactSink reserves the column name 'cseq' for "
                 "its commit-slot partition directories"
             )
+        stage, nbytes = self._stage(df)
+        if stage is None:
+            return None, 0
+        return self._publish(stage, seq), nbytes
+
+    def _stage(self, df: DataFrame) -> tuple[str | None, int]:
+        """Write ``df`` to a private ``.stage.<uuid>`` directory with
+        the sink's layout. Returns ``(stage_path, bytes)``, or
+        ``(None, 0)`` for an empty frame (the stage is dropped). No
+        lock needed: stages are invisible to readers, and concurrent
+        appends' orphan GC skips stages registered in
+        ``_live_stages`` (maintenance staging runs OUTSIDE the lock so
+        a multi-second fold write never blocks the epoch appends)."""
+        if "cseq" in df.columns:
+            raise ValueError(
+                "LedgeredFactSink reserves the column name 'cseq' for "
+                "its commit-slot partition directories"
+            )
         stage = os.path.join(self.path, f".stage.{uuid.uuid4().hex}")
-        out = df
-        if self.sort_within:
-            out = out.sortWithinPartitions(*self.sort_within)
-        writer = out.write.mode("overwrite")
-        if self.partition_by:
-            writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(stage)
-        rows, nbytes = _staged_stats(stage)
+        self._live_stages.add(os.path.basename(stage))
+        try:
+            out = df
+            if self.sort_within:
+                out = out.sortWithinPartitions(*self.sort_within)
+            writer = out.write.mode("overwrite")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(stage)
+            rows, nbytes = _staged_stats(stage)
+        except BaseException:
+            self._live_stages.discard(os.path.basename(stage))
+            shutil.rmtree(stage, ignore_errors=True)
+            raise
         if rows == 0:
+            self._live_stages.discard(os.path.basename(stage))
             shutil.rmtree(stage, ignore_errors=True)
             return None, 0
+        return stage, nbytes
+
+    def _publish(self, stage: str, seq: int) -> str:
+        """Rename a staged directory into committed slot ``cseq=<seq>``
+        (one local-fs move). The slot is NOT yet visible: callers
+        commit it via ``_write_pointer``. Callers hold the writer
+        lock (seq allocation races otherwise)."""
         dst = os.path.join(self.path, f"cseq={seq:08d}")
         if os.path.exists(dst):  # unreachable after _gc_orphans; belt
             shutil.rmtree(dst)
         os.replace(stage, dst)
-        return os.path.basename(dst), nbytes
+        self._live_stages.discard(os.path.basename(stage))
+        return os.path.basename(dst)
 
     def _slot_bytes(self, meta: dict, name: str) -> int:
         """Size of a committed slot: the pointer's publish-time record,
@@ -385,8 +438,11 @@ class LedgeredFactSink:
         (crash between publish and commit). Single-writer discipline —
         foreachBatch serializes epochs, replay runs with the stream
         stopped — makes this safe: nothing outside the ledger is ever
-        read."""
-        committed = set(meta["dirs"])
+        read. Exemptions: stages this process is actively writing
+        (``_live_stages``) and retired slots inside their trash
+        retention (a reader holding the pre-fold pointer may still be
+        scanning them — see ``trash_retention_s``)."""
+        committed = set(meta["dirs"]) | {t["dir"] for t in meta["trash"]}
         for name in os.listdir(self.path):
             full = os.path.join(self.path, name)
             if not os.path.isdir(full):
@@ -397,10 +453,25 @@ class LedgeredFactSink:
                     except OSError:
                         pass
                 continue
-            if name.startswith(".stage.") or (
-                name.startswith("cseq=") and name not in committed
-            ):
+            if (
+                name.startswith(".stage.") and name not in self._live_stages
+            ) or (name.startswith("cseq=") and name not in committed):
                 shutil.rmtree(full, ignore_errors=True)
+
+    def _swept_trash(self, meta: dict) -> tuple[list[dict], list[str]]:
+        """Split the pointer's retired-slot list into (still retained,
+        expired dir names). Callers write the retained list back in the
+        SAME pointer commit and physically delete the expired dirs
+        AFTER that commit — a crash in between leaves them as plain
+        orphans for the next GC (no longer in dirs OR trash)."""
+        now = time.time()
+        kept, expired = [], []
+        for t in meta["trash"]:
+            if now - t["t"] >= self.trash_retention_s:
+                expired.append(t["dir"])
+            else:
+                kept.append(t)
+        return kept, expired
 
     # -- public API ----------------------------------------------------------
     def append(
@@ -452,17 +523,21 @@ class LedgeredFactSink:
         tokens = meta["tokens"]
         if token is not None:
             tokens = (tokens + [token])[-_MAX_EPOCHS_TRACKED:]
+        trash, expired = self._swept_trash(meta)
         self._write_pointer(
             {
+                **meta,
                 "seq": seq,
                 "dirs": dirs,
                 "epochs": epochs,
                 "epoch_hwm": hwm,
                 "tokens": tokens,
-                "stream_id": meta["stream_id"],
                 "dir_bytes": dir_bytes,
+                "trash": trash,
             }
         )
+        for d in expired:
+            shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return True
 
     def has_data(self) -> bool:
@@ -561,77 +636,115 @@ class LedgeredFactSink:
         a cheap pointer-only check (slot sizes are cached at publish
         time in ``dir_bytes``), safe to run every epoch.
 
-        Readers holding the old ledger keep a consistent view until
-        the atomic swap; the epoch/token ledgers are preserved.
-        Serialized by the pointer lock, so a maintenance run racing a
-        live stream blocks behind the in-flight epoch instead of
-        losing it (the pipeline additionally refuses maintenance while
-        its own stream is active — see
-        ``QuerylogPipeline.compact_facts``)."""
-        with self._locked():
-            return self._compact(spark, small_bytes, max_fold_slots)
-
-    def _compact(
-        self,
-        spark: SparkSession,
-        small_bytes: int | None = None,
-        max_fold_slots: int | None = None,
-    ) -> int:
-        meta = self._pointer()
+        Locking (r12): the selection and the MERGED WRITE run OUTSIDE
+        the pointer lock — stages are invisible and exempt from orphan
+        GC while live (``_live_stages``) — so a fold's multi-second
+        Spark job never blocks a concurrent epoch append; only the
+        final publish (one rename + one pointer write, milliseconds)
+        holds the lock, after re-verifying every folded slot is still
+        committed (appends only ADD slots, so the check can only fail
+        if a replace()/another compactor intervened — then the staged
+        output is discarded and the step reports 0). Readers holding
+        the old ledger keep a consistent view until the atomic swap;
+        the epoch/token ledgers are preserved."""
+        if max_fold_slots is not None and max_fold_slots < 2:
+            raise ValueError("max_fold_slots must be >= 2")
         if small_bytes is None and max_fold_slots is None:
-            if len(meta["dirs"]) <= 1:
-                return 0
-            n = len(meta["dirs"])
-            # mergeSchema: compaction rewrites history, so it must
-            # carry the UNION schema — sampling one pre-evolution
-            # footer would silently destroy later columns for good.
-            self._replace(self.read(spark, merge_schema=True))
-            return n
-
-        small = [
-            d
-            for d in meta["dirs"]
-            if small_bytes is None or self._slot_bytes(meta, d) < small_bytes
-        ]
-        if max_fold_slots is not None:
-            if max_fold_slots < 2:
-                raise ValueError("max_fold_slots must be >= 2")
-            import math
-
-            tiers: dict[int, list[str]] = {}
-            for d in small:
-                tier = int(
-                    math.log(max(self._slot_bytes(meta, d), 1), max_fold_slots)
-                )
-                tiers.setdefault(tier, []).append(d)
-            full = [t for t, ds in tiers.items() if len(ds) >= max_fold_slots]
-            if not full:
-                return 0
-            # lowest over-full tier first: that's where epochs arrive,
-            # and merging it feeds the next tier up
-            small = tiers[min(full)][:max_fold_slots]
+            with self._locked():
+                meta = self._pointer()
+                if len(meta["dirs"]) <= 1:
+                    return 0
+                n = len(meta["dirs"])
+                # mergeSchema: compaction rewrites history, so it must
+                # carry the UNION schema — sampling one pre-evolution
+                # footer would silently destroy later columns for good.
+                self._replace(self.read(spark, merge_schema=True))
+                return n
+        meta = self._pointer()  # lock-free snapshot; re-verified below
+        small = self._select_fold(meta, small_bytes, max_fold_slots)
         if len(small) <= 1:
             return 0
-        keep = [d for d in meta["dirs"] if d not in small]
         paths = [os.path.join(self.path, d) for d in small]
         # mergeSchema for the same reason as the full fold above
         reader = spark.read.option("basePath", self.path).option(
             "mergeSchema", "true"
         )
-        merged = reader.parquet(*paths).drop("cseq")
+        in_bytes = sum(self._slot_bytes(meta, d) for d in small)
+        # COALESCE the fold output: compaction must compact FILES, not
+        # just ledger entries. Without this the merged slot inherits
+        # one file per (write task × partition) — measured 1300+ files
+        # in an 8-epoch fold of the worst-case protocol, making every
+        # higher-tier fold re-read thousands of tiny files. Target one
+        # output task per small_bytes of input (the scan layer's
+        # maxPartitionBytes — the file size reads want anyway).
+        target = small_bytes or (128 << 20)
+        n_out = max(1, -(-in_bytes // target))
+        merged = reader.parquet(*paths).drop("cseq").coalesce(n_out)
+        stage, nbytes = self._stage(merged)
 
-        seq = meta["seq"] + 1
-        dirs = list(keep)
-        dir_bytes = {
-            d: b for d, b in meta["dir_bytes"].items() if d not in small
-        }
-        slot, nbytes = self._stage_and_publish(merged, seq)
-        if slot is not None:
-            dirs.append(slot)
-            dir_bytes[slot] = nbytes
-        self._write_pointer(
-            {**meta, "seq": seq, "dirs": dirs, "dir_bytes": dir_bytes}
-        )
-        for d in small:
+        with self._locked():
+            now = self._pointer()
+            if any(d not in now["dirs"] for d in small):
+                # a replace()/competing compactor removed a source slot
+                # while we staged — the staged output is stale; drop it.
+                if stage is not None:
+                    self._live_stages.discard(os.path.basename(stage))
+                    shutil.rmtree(stage, ignore_errors=True)
+                return 0
+            seq = now["seq"] + 1
+            dirs = [d for d in now["dirs"] if d not in small]
+            dir_bytes = {
+                d: b for d, b in now["dir_bytes"].items() if d not in small
+            }
+            if stage is not None:
+                slot = self._publish(stage, seq)
+                dirs.append(slot)
+                dir_bytes[slot] = nbytes
+            # retire the folded slots instead of deleting them: a
+            # reader holding the pre-fold pointer may still be
+            # scanning (see trash_retention_s); the same commit sweeps
+            # previously-retired slots whose retention expired.
+            t_retired = time.time()
+            trash, expired = self._swept_trash(now)
+            trash += [{"dir": d, "t": t_retired} for d in small]
+            self._write_pointer(
+                {
+                    **now,
+                    "seq": seq,
+                    "dirs": dirs,
+                    "dir_bytes": dir_bytes,
+                    "trash": trash,
+                }
+            )
+        for d in expired:
             shutil.rmtree(os.path.join(self.path, d), ignore_errors=True)
         return len(small)
+
+    def _select_fold(
+        self,
+        meta: dict,
+        small_bytes: int | None,
+        max_fold_slots: int | None,
+    ) -> list[str]:
+        """The slots one compaction call will fold (see ``compact``)."""
+        small = [
+            d
+            for d in meta["dirs"]
+            if small_bytes is None or self._slot_bytes(meta, d) < small_bytes
+        ]
+        if max_fold_slots is None:
+            return small
+        import math
+
+        tiers: dict[int, list[str]] = {}
+        for d in small:
+            tier = int(
+                math.log(max(self._slot_bytes(meta, d), 1), max_fold_slots)
+            )
+            tiers.setdefault(tier, []).append(d)
+        full = [t for t, ds in tiers.items() if len(ds) >= max_fold_slots]
+        if not full:
+            return []
+        # lowest over-full tier first: that's where epochs arrive,
+        # and merging it feeds the next tier up
+        return tiers[min(full)][:max_fold_slots]

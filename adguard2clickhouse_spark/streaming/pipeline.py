@@ -33,6 +33,7 @@ key, not window state.
 from __future__ import annotations
 
 import os
+import time as _time
 from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession
@@ -214,6 +215,20 @@ class QuerylogPipeline:
         self.auto_compact_min_slots: int | None = 48
         self.auto_compact_fanout: int | None = 8
         self.compact_small_bytes = 128 << 20
+        # The incremental folds run on THIS single-thread pool,
+        # overlapped with subsequent epochs (VERDICT r11 #2: the fold
+        # must not sit on the ingest critical path). Safe because the
+        # sink stages the merged output outside the pointer lock and
+        # publishes under it in milliseconds (see LedgeredFactSink.
+        # compact); a fold failure surfaces at the NEXT epoch via
+        # future.result() — that batch fails, Spark retries it, the
+        # appends no-op (epoch ledger) and the fold re-runs: still
+        # exactly-once, one epoch later than the r11 synchronous
+        # surface point.
+        self._maint_pool = ThreadPoolExecutor(
+            max_workers=1, thread_name_prefix="ledger-maint"
+        )
+        self._maint_future = None
         # Streaming-query identity for the fact/dead-letter epoch
         # ledgers (ADVICE r10): resolved lazily from the checkpoint's
         # metadata file (Spark writes it at query init, before the
@@ -236,20 +251,61 @@ class QuerylogPipeline:
                 return None  # leave the ledgers unscoped; retry next epoch
         return self._stream_identity
 
+    def _maintenance_step(self) -> dict:
+        """One incremental size-tiered fold step per ledgered channel
+        (see ``auto_compact_fanout`` in ``__init__``). Runs on the
+        maintenance thread; returns the walls to merge into the
+        collecting batch's timings. The dead-letter channel joins the
+        maintenance (VERDICT r11 #3): safe now that the replay token
+        is a CONTENT digest of the committed dead lines (order/layout-
+        independent, see ``_dead_letter_digest``) — a fold between a
+        crashed replay and its retry preserves the multiset of lines,
+        hence the token, hence idempotence. Only a persistently-noisy
+        source ever gives the dead fold work (clean epochs publish
+        nothing to the dead channel)."""
+        out: dict = {}
+        for key, sink in (
+            ("auto_compact", self.log2_sink),
+            ("dead_compact", self.dead_sink),
+        ):
+            t0 = _time.time()
+            folded = sink.compact(
+                self.spark,
+                small_bytes=self.compact_small_bytes,
+                max_fold_slots=self.auto_compact_fanout,
+            )
+            if folded:
+                out[f"{key}_s"] = round(_time.time() - t0, 3)
+                out[f"{key}_folded"] = folded
+        return out
+
+    def join_maintenance(self) -> dict:
+        """Wait for any in-flight background fold and return its
+        timings (re-raising its failure). Maintenance entry points
+        (replay, manual compaction, the backstop) call this so ledger
+        surgery never overlaps an in-flight fold; harnesses call it
+        after ``awaitTermination`` so slot counts are post-maintenance."""
+        f, self._maint_future = self._maint_future, None
+        return f.result() if f is not None else {}
+
     def _require_stream_stopped(self, op: str) -> None:
         """Maintenance that swaps ledgers out from under the stream
         (compaction from a second thread, dead-letter replay) must not
         race the per-epoch appends. The sinks' flock already prevents
         CORRUPTION (writers serialize), but interleaving would still
         produce surprising orders — e.g. a replay reading a dead-letter
-        set mid-swap. Enforced, not documented (VERDICT r10 #2)."""
+        set mid-swap. Enforced, not documented (VERDICT r10 #2).
+        With the stream stopped, any background fold the last epoch
+        left in flight is joined before the caller touches the
+        ledgers (r12)."""
         if self._query is not None and self._query.isActive:
             raise RuntimeError(
                 f"{op} must run while the stream is stopped: this "
                 "pipeline's streaming query is active — stop() it "
                 "first. (In-pipeline auto-compaction runs between "
-                "epochs on the writer thread and is exempt.)"
+                "epochs on the maintenance thread and is exempt.)"
             )
+        self.join_maintenance()
 
     def _dense_fold(self, sink: SummingParquetSink, n_rows: int) -> bool:
         """Per-epoch per-sink fold strategy (see ``dense_folds`` in
@@ -443,45 +499,35 @@ class QuerylogPipeline:
                     fused.unpersist()
             timings["overlap_section_s"] = round(_time.time() - t, 3)
             good.unpersist()
-            # Automatic fact-ledger maintenance (see __init__): runs on
-            # THIS thread between the epoch's appends and the next
-            # epoch — the single writer by construction, so it calls
-            # the sink directly rather than the stream-stop-guarded
-            # public compact_facts(). Inside the foreachBatch body a
-            # compaction failure fails the batch AFTER the appends
-            # committed; the retry no-ops the appends (epoch ledger)
-            # and re-runs only the compaction — still exactly-once.
+            # Automatic fact-ledger maintenance (see __init__): one
+            # incremental fold step at a time, OFF the writer thread
+            # (r12 — the r11 synchronous fold stalled ingest 15-25 s).
+            # The fold stages outside the pointer lock and publishes
+            # in milliseconds under it, so the next epoch's appends
+            # overlap the fold's Spark work and block only on the
+            # brief pointer swap. Calls the sink directly rather than
+            # the stream-stop-guarded public compact_facts() — the
+            # pipeline owns both the stream and the maintenance, so
+            # this is the single writing PROCESS by construction.
             if self.auto_compact_fanout:
-                t0 = _time.time()
-                folded = self.log2_sink.compact(
-                    self.spark,
-                    small_bytes=self.compact_small_bytes,
-                    max_fold_slots=self.auto_compact_fanout,
-                )
-                if folded:
-                    timings["auto_compact_s"] = round(_time.time() - t0, 3)
-                    timings["auto_compact_folded"] = folded
-                # The dead-letter channel joins the same incremental
-                # maintenance (VERDICT r11 #3): safe now that the
-                # replay token is a CONTENT digest of the committed
-                # dead lines (order/layout-independent, see
-                # _dead_letter_digest) — a fold between a crashed
-                # replay and its retry preserves the multiset of
-                # lines, hence the token, hence idempotence. Only a
-                # persistently-noisy source ever makes this fire
-                # (clean epochs publish nothing to the dead channel).
-                t0 = _time.time()
-                dead_folded = self.dead_sink.compact(
-                    self.spark,
-                    small_bytes=self.compact_small_bytes,
-                    max_fold_slots=self.auto_compact_fanout,
-                )
-                if dead_folded:
-                    timings["dead_compact_s"] = round(_time.time() - t0, 3)
-                    timings["dead_compact_folded"] = dead_folded
+                # collect a finished background fold first: its walls
+                # land in THIS batch's timings, and a failed fold
+                # re-raises here — failing this batch, whose retry
+                # no-ops the appends and re-submits the fold.
+                if self._maint_future is not None and self._maint_future.done():
+                    f, self._maint_future = self._maint_future, None
+                    timings.update(f.result())
+                if self._maint_future is None:
+                    self._maint_future = self._maint_pool.submit(
+                        self._maintenance_step
+                    )
             if self.auto_compact_min_slots:
                 n_slots = len(self.log2_sink._pointer()["dirs"])
                 if n_slots >= self.auto_compact_min_slots:
+                    # backstop (expected never to fire while the
+                    # incremental folds keep up): synchronous all-smalls
+                    # fold, joining any in-flight step first
+                    timings.update(self.join_maintenance())
                     t0 = _time.time()
                     folded = self.log2_sink.compact(
                         self.spark, small_bytes=self.compact_small_bytes
@@ -563,6 +609,12 @@ class QuerylogPipeline:
         """Process everything currently in the source dir, then stop."""
         q = self.start(available_now=True, dedupe_horizon=dedupe_horizon)
         q.awaitTermination()
+        # drain the background fold the last epoch may have submitted,
+        # so callers observe a post-maintenance ledger; its walls land
+        # as a trailing timings entry (no epoch collected them).
+        final = self.join_maintenance()
+        if final:
+            self.batch_timings.append(final)
 
     # -- read API (SURVEY.md §3.3) -------------------------------------------
     def read_aggregate(self, name: str) -> DataFrame | None:

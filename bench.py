@@ -62,35 +62,55 @@ BENCH_QUERIES = [
 
 REPS = 3
 
-# Round-1 per-query seconds (BENCH_r01.json, sf0.1, local[32]) — the
-# frozen comparison base. Any query regressing past 2× its r1 time is
-# flagged on stderr so a perf regression can't hide inside the total.
-# (r1 numbers were single-shot; medians are compared against them with
-# that caveat — the 2× bar absorbs the protocol difference. r11 method
-# note: rounds 1-10 executed plans via df.count(), which lets Catalyst
-# prune final projections and unreferenced aggregate values — measured
-# per-query in BENCH_sink_method_r11.json: 12 of 14 queries within
-# host drift, x4_quality under-measured ~2.1× (its final projection IS
-# the work) and e_sessions ~1.6×. r11 onward uses the noop sink, which
-# executes the COMPLETE plan JVM-side with no driver collect; the 2×
-# bar absorbs the method delta for the two affected queries too —
-# x4_quality noop ≈ 0.32 s < 2×0.197, e_sessions ≈ 0.28 s ≈ its base.)
-R1_BASE = {
-    "a1_blocked_domains": 0.361,
-    "a3_clients_stats": 0.268,
-    "a6_stats2": 0.554,
-    "a7_tld_stats": 1.18,
-    "p7_dns_parse": 0.775,
-    "q1_pricing_summary": 0.312,
-    "x_join_revenue_by_nation": 0.533,
-    "x_window_rank": 0.477,
-    "e_sessions": 0.281,
-    "x1_dedup_count": 0.387,
-    "x2_ngram_jaccard": 2.157,
-    "x2_minhash_lsh": 1.492,
-    "x3_topk_cosine": 0.541,
-    "x4_quality": 0.197,
+# Frozen per-query regression bases, in NORMALIZED seconds (r12,
+# VERDICT r11 #1). Provenance: the r1 bases were measured under
+# df.count(), which lets Catalyst prune final projections — the
+# per-query method bridge is BENCH_sink_method_r11.json (x4_quality
+# under-measured ~2.1×, e_sessions ~1.6×), and comparing the r11+
+# full-plan (noop sink) medians against them in RAW seconds produced
+# a spurious PERF-REGRESSION flag on x4_quality in the official r11
+# run. These bases are the per-query MEDIAN of three full bench.py
+# sessions (each itself median-of-REPS) under the noop method,
+# recorded with the raw runs in BENCH_r12_base_runs.json; flags
+# compare the current run's NORMALIZED value (median × calibration
+# ratio, see CALIBRATION_REF) so host drift can neither hide nor
+# invent a regression. The flag itself lives in regression_flags()
+# and is unit-tested (tests/test_hygiene.py): a genuine 2× slowdown
+# still trips.
+FROZEN_BASE_NORMALIZED = {
+    "a1_blocked_domains": 0.284,
+    "a3_clients_stats": 0.288,
+    "a6_stats2": 0.484,
+    "a7_tld_stats": 0.807,
+    "p7_dns_parse": 0.811,
+    "q1_pricing_summary": 0.366,
+    "x_join_revenue_by_nation": 0.416,
+    "x_window_rank": 0.364,
+    "e_sessions": 0.378,
+    "x1_dedup_count": 0.368,
+    "x2_ngram_jaccard": 1.919,
+    "x2_minhash_lsh": 1.277,
+    "x3_topk_cosine": 0.428,
+    "x4_quality": 0.317,
 }
+
+
+def regression_flags(
+    queries_normalized: dict[str, float],
+    base: dict[str, float] | None = None,
+    factor: float = 2.0,
+) -> list[str]:
+    """Queries whose normalized time exceeds ``factor`` × their frozen
+    base — the per-query bar that keeps a regression from hiding
+    inside the total. Pure function so the trip condition is
+    unit-testable."""
+    base = FROZEN_BASE_NORMALIZED if base is None else base
+    return [
+        f"PERF-REGRESSION {name}: normalized {secs:.3f}s vs frozen base "
+        f"{base[name]:.3f}s (>{factor:g}x)"
+        for name, secs in queries_normalized.items()
+        if name in base and secs > factor * base[name]
+    ]
 
 
 # Frozen calibration reference: host_calibration_sec recorded in
@@ -159,16 +179,12 @@ def main() -> None:
 
     timings = {name: round(statistics.median(r), 3) for name, r in runs.items()}
 
-    if sf == 0.1:
-        for name, secs in timings.items():
-            base = R1_BASE.get(name)
-            if base and secs > 2 * base:
-                print(
-                    f"PERF-REGRESSION {name}: median {secs:.3f}s vs r1 {base:.3f}s (>2x)",
-                    file=sys.stderr,
-                )
-
     norm = CALIBRATION_REF / calibration
+    if sf == 0.1:
+        for flag in regression_flags(
+            {name: secs * norm for name, secs in timings.items()}
+        ):
+            print(flag, file=sys.stderr)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

@@ -1,32 +1,38 @@
-"""Fact-ledger fragmentation under AUTO-compaction (r11, VERDICT r10 #1).
+"""Fact-ledger fragmentation under INCREMENTAL auto-compaction (r12,
+VERDICT r11 #2).
 
-BENCH_factledger_r10.json established the problem and the manual fix:
-200 worst-case-fragmented epoch slots (500 rows x 28 date partitions
-each) degraded reads to ~17 s, and one manual 94 s compaction restored
-~6.6 s. r11 wires that maintenance into the pipeline (auto-compaction
-between epochs once the committed-slot count reaches
-``auto_compact_min_slots``); this bench replays the SAME fragmentation
-protocol with the auto policy active and records what an operator now
-gets for free:
+History of this protocol:
+- BENCH_factledger_r10.json: no maintenance — 200 worst-case-fragmented
+  epoch slots (500 rows x 28 date partitions each) degraded reads to
+  ~17 s; one manual 94 s compaction restored ~6.6 s.
+- BENCH_factledger_r11.json: threshold policy (at 48 slots, fold ALL
+  smalls) — slots bounded <=47 and reads flat, but each fold stalled
+  the writer thread 15-25 s against a 0.76 s p50 append: a ~30x
+  epoch-latency spike four times per 200 epochs.
+- r12 (this file): the pipeline's per-epoch decision is ONE bounded
+  size-tiered fold step (LSM tiering, fanout k — see
+  LedgeredFactSink.compact(max_fold_slots=...)) run on a BACKGROUND
+  maintenance thread: the fold stages its merged output outside the
+  pointer lock and publishes under it in milliseconds, so the epoch's
+  appends overlap the fold's Spark work. Fold outputs are coalesced
+  (compaction compacts FILES, not just ledger entries — the r11 fold
+  inherited one file per write-task×partition, 1300+ files per merged
+  slot, which is why its higher-tier rewrites took 15-25 s). The
+  48-slot all-smalls fold stays as a synchronous backstop. The
+  done-criterion from VERDICT r11: same 200-epoch worst-case
+  protocol, max EPOCH wall (the ingest-visible latency) <= ~3x the
+  p50 epoch wall, slots still bounded, reads still flat.
 
-- committed-slot count over time (bounded by the threshold, not
-  epoch count),
-- read wall sampled every 25 epochs (stays flat instead of degrading
-  linearly with slots),
-- each auto-compaction's wall and fold count (the bounded maintenance
-  cost, amortized across epochs instead of one deferred 94 s stop-the-
-  world the r10 protocol required an operator to remember).
-
-The trigger logic here is the same decision QuerylogPipeline.
-process_batch makes per epoch (threshold on committed-slot count,
-128 MB small-slot fold), driven through the sink directly so the
-measurement isolates ledger maintenance from parse/UDF cost exactly
-like the r10 baseline did. The end-to-end pipeline trigger is
-pytest-gated (tests/test_streaming.py::
-test_auto_compaction_bounds_committed_slots).
+The loop below is QuerylogPipeline.process_batch's r12 decision
+verbatim (collect-finished-fold, submit-if-idle, synchronous
+backstop), driven through the sink directly so the measurement
+isolates ledger maintenance from parse/UDF cost exactly like the r10
+and r11 baselines did. The end-to-end pipeline trigger is pytest-gated
+(tests/test_streaming.py::test_auto_compaction_bounds_committed_slots,
+test_noisy_source_dead_channel_stays_bounded).
 
 Usage: python scripts/bench_factledger.py [epochs] [rows_per_epoch]
-Writes BENCH_factledger_r11.json at the repo root.
+Writes BENCH_factledger_r12.json at the repo root.
 """
 
 from __future__ import annotations
@@ -46,7 +52,8 @@ from pyspark.sql import functions as F  # noqa: E402
 from adguard2clickhouse_spark.session import get_spark  # noqa: E402
 from adguard2clickhouse_spark.sinks.facts import LedgeredFactSink  # noqa: E402
 
-AUTO_COMPACT_MIN_SLOTS = 48  # QuerylogPipeline.__init__ default
+AUTO_COMPACT_MIN_SLOTS = 48  # QuerylogPipeline.__init__ backstop
+AUTO_COMPACT_FANOUT = 8  # QuerylogPipeline.__init__ default
 COMPACT_SMALL_BYTES = 128 << 20
 
 
@@ -55,12 +62,12 @@ def main() -> None:
     rows_per_epoch = int(sys.argv[2]) if len(sys.argv) > 2 else 500
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
-    tmp = tempfile.mkdtemp(prefix="factledger_r11_")
+    tmp = tempfile.mkdtemp(prefix="factledger_r12_")
     sink = LedgeredFactSink(
         f"{tmp}/log2", partition_by=["date"], sort_within=["date_time"]
     )
 
-    # identical shape to the r10 protocol: 28 date partitions per epoch
+    # identical shape to the r10/r11 protocol: 28 date partitions/epoch
     def epoch_df(e: int):
         return (
             spark.range(rows_per_epoch)
@@ -82,58 +89,116 @@ def main() -> None:
         df.selectExpr("count(*) c", "max(date_time) m").collect()
         return round(time.time() - t0, 3)
 
-    appends, reads, compacts, slot_counts = [], [], [], []
-    for e in range(epochs):
+    from concurrent.futures import ThreadPoolExecutor
+
+    def fold_step(epoch: int) -> dict | None:
         t0 = time.time()
+        folded = sink.compact(
+            spark,
+            small_bytes=COMPACT_SMALL_BYTES,
+            max_fold_slots=AUTO_COMPACT_FANOUT,
+        )
+        if not folded:
+            return None
+        return {"epoch": epoch, "folded": folded,
+                "wall_s": round(time.time() - t0, 3)}
+
+    # JVM/codegen warmup on a scratch sink — epoch 0 otherwise absorbs
+    # ~5 s of one-time compilation and dominates epoch_wall_s_max (the
+    # same steady-state practice as bench.py's warmup pass; verified:
+    # without this, the 10 slowest epochs were epoch 0 at 5.6 s and
+    # then nine ~1.4 s ones).
+    scratch = LedgeredFactSink(
+        f"{tmp}/warmup", partition_by=["date"], sort_within=["date_time"]
+    )
+    scratch.append(epoch_df(0), epoch_id=0)
+    scratch.append(epoch_df(1), epoch_id=1)
+    scratch.compact(spark, small_bytes=COMPACT_SMALL_BYTES, max_fold_slots=2)
+    scratch.read(spark).selectExpr("count(*) c", "max(date_time) m").collect()
+
+    pool = ThreadPoolExecutor(max_workers=1, thread_name_prefix="maint")
+    future = None
+    epoch_walls, appends, reads, compacts, slot_counts = [], [], [], [], []
+    backstop_fired = 0
+    for e in range(epochs):
+        t_epoch = time.time()
         sink.append(epoch_df(e), epoch_id=e)
-        appends.append(time.time() - t0)
+        appends.append(time.time() - t_epoch)
+        # the pipeline's r12 between-epoch maintenance decision,
+        # verbatim: collect a finished background fold, submit the
+        # next step if idle, synchronous backstop at the threshold
+        if future is not None and future.done():
+            res, future = future.result(), None
+            if res:
+                compacts.append(res)
+        if future is None:
+            future = pool.submit(fold_step, e)
         n_slots = len(sink._pointer()["dirs"])
-        # the pipeline's between-epoch maintenance decision, verbatim
-        if n_slots >= AUTO_COMPACT_MIN_SLOTS:
-            t0 = time.time()
-            folded = sink.compact(spark, small_bytes=COMPACT_SMALL_BYTES)
-            compacts.append(
-                {
-                    "epoch": e,
-                    "folded": folded,
-                    "wall_s": round(time.time() - t0, 3),
-                }
-            )
+        if n_slots >= AUTO_COMPACT_MIN_SLOTS:  # backstop (expect: never)
+            backstop_fired += 1
+            res = future.result()
+            future = None
+            if res:
+                compacts.append(res)
+            sink.compact(spark, small_bytes=COMPACT_SMALL_BYTES)
             n_slots = len(sink._pointer()["dirs"])
+        epoch_walls.append(time.time() - t_epoch)
         slot_counts.append(n_slots)
         if (e + 1) % 25 == 0:
             reads.append({"epoch": e + 1, "slots": n_slots,
                           "read_s": timed_read()})
             print(f"epoch {e + 1}: slots={n_slots} read={reads[-1]['read_s']}s",
                   flush=True)
+    if future is not None:  # drain, as run_available does
+        res = future.result()
+        if res:
+            compacts.append(res)
 
     total_rows = sink.read(spark).count()
     assert total_rows == epochs * rows_per_epoch, total_rows
+    p50_epoch = statistics.median(epoch_walls)
     result = {
-        "metric": "factledger_auto_compaction",
+        "metric": "factledger_incremental_auto_compaction",
         "epochs": epochs,
         "rows_per_epoch": rows_per_epoch,
         "rows_total": total_rows,
-        "auto_compact_min_slots": AUTO_COMPACT_MIN_SLOTS,
-        "append_wall_s_p50": round(statistics.median(appends), 3),
-        "append_wall_s_p99": round(
-            sorted(appends)[int(0.99 * (len(appends) - 1))], 3
+        "auto_compact_fanout": AUTO_COMPACT_FANOUT,
+        "auto_compact_min_slots_backstop": AUTO_COMPACT_MIN_SLOTS,
+        "backstop_fired": backstop_fired,
+        "epoch_wall_s_p50": round(p50_epoch, 3),
+        "epoch_wall_s_p99": round(
+            sorted(epoch_walls)[int(0.99 * (len(epoch_walls) - 1))], 3
         ),
+        "epoch_wall_s_max": round(max(epoch_walls), 3),
+        "epoch_wall_max_over_p50": round(max(epoch_walls) / p50_epoch, 2),
+        "slowest_epochs": sorted(
+            (
+                {"epoch": i, "wall_s": round(w, 3)}
+                for i, w in enumerate(epoch_walls)
+            ),
+            key=lambda x: -x["wall_s"],
+        )[:10],
+        "append_wall_s_p50": round(statistics.median(appends), 3),
         "max_committed_slots": max(slot_counts),
         "final_committed_slots": slot_counts[-1],
-        "reads_over_time": reads,
-        "compactions": compacts,
+        "n_compactions": len(compacts),
+        "compact_wall_s_max": round(
+            max((c["wall_s"] for c in compacts), default=0.0), 3
+        ),
         "compact_wall_s_total": round(
             sum(c["wall_s"] for c in compacts), 3
         ),
-        "r10_baseline": {
-            "read_s_at_200_slots": [17.939, 16.768],
-            "manual_compact_s": 94.437,
-            "note": "BENCH_factledger_r10.json, same 28-date-partition protocol, no maintenance",
+        "reads_over_time": reads,
+        "compactions": compacts,
+        "r11_baseline": {
+            "append_wall_s_p50": 0.763,
+            "compact_walls_s": [14.823, 21.682, 21.782, 24.711],
+            "max_committed_slots": 47,
+            "note": "BENCH_factledger_r11.json, same protocol, all-smalls fold at 48 slots",
         },
-        "note": "local[8]; worst-case slot fragmentation; auto policy = QuerylogPipeline defaults",
+        "note": "local[8]; worst-case slot fragmentation; policy = QuerylogPipeline r12 defaults (incremental tiered fold per epoch + 48-slot backstop)",
     }
-    (REPO / "BENCH_factledger_r11.json").write_text(
+    (REPO / "BENCH_factledger_r12.json").write_text(
         json.dumps(result, indent=1) + "\n"
     )
     print(json.dumps(result))

@@ -19,9 +19,10 @@ becomes a measured claim with an operating point instead of a lever
 named in prose.
 
 Usage: python scripts/bench_streaming_sweep.py [n_rows] [reps]
-Writes BENCH_streaming_r11.json at the repo root (r11: same protocol,
-now with the flocked ledger, stream-identity scoping and the auto-
-compaction hook in place - holding the r9/r10 line).
+Writes BENCH_streaming_r12.json at the repo root (r12: same protocol,
+now with the BACKGROUND incremental tiered compaction (log2 + dead
+channel), coalesced fold outputs and trash-retention publishes in
+place - holding the r11 line).
 """
 
 from __future__ import annotations
@@ -195,7 +196,7 @@ def main() -> None:
         },
         "reference_ceiling_rows_per_s": 1000,
     }
-    (REPO / "BENCH_streaming_r11.json").write_text(json.dumps(result, indent=1) + "\n")
+    (REPO / "BENCH_streaming_r12.json").write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
     srv.shutdown()
     spark.stop()

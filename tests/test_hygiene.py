@@ -255,3 +255,26 @@ def test_latest_selfcheck_queries_stay_cold_fast():
         if not k.startswith("_") and v.get("secs", 0) >= 8
     }
     assert not slow, f"registered queries no longer cold-fast: {slow}"
+
+
+def test_bench_regression_flag_trips_on_genuine_2x():
+    """r12 (VERDICT r11 #1): the per-query perf bar compares NORMALIZED
+    values against bases frozen under the full-plan method — and a
+    genuine 2x slowdown must still trip it."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import FROZEN_BASE_NORMALIZED, regression_flags
+
+    # unchanged code at the frozen bases: no flags
+    assert regression_flags(dict(FROZEN_BASE_NORMALIZED)) == []
+    # 1.9x of base: inside the bar (host drift headroom)
+    ok = {k: v * 1.9 for k, v in FROZEN_BASE_NORMALIZED.items()}
+    assert regression_flags(ok) == []
+    # one genuine 2.1x regression: exactly that query trips
+    bad = dict(ok)
+    bad["x4_quality"] = FROZEN_BASE_NORMALIZED["x4_quality"] * 2.1
+    flags = regression_flags(bad)
+    assert len(flags) == 1 and "x4_quality" in flags[0], flags
+    # a query with no frozen base never crashes the flag pass
+    assert regression_flags({"brand_new_query": 99.0}) == []

@@ -975,6 +975,9 @@ def test_auto_compaction_bounds_committed_slots(tmp_path, spark):
     pipe.auto_compact_min_slots = 4  # force maintenance in a short run
     q = pipe.start(available_now=True, max_files_per_trigger=1)
     q.awaitTermination()
+    final = pipe.join_maintenance()  # drain the in-flight background fold
+    if final:
+        pipe.batch_timings.append(final)
     dirs = pipe.log2_sink._pointer()["dirs"]
     # without maintenance this is n_files slots; with it, bounded by
     # the threshold (one fold leaves 1 merged slot, then regrowth)
@@ -1070,6 +1073,9 @@ def test_noisy_source_dead_channel_stays_bounded(tmp_path, spark):
     pipe.auto_compact_fanout = 2  # force folds inside a short run
     q = pipe.start(available_now=True, max_files_per_trigger=1)
     q.awaitTermination()
+    final = pipe.join_maintenance()  # drain the in-flight background fold
+    if final:
+        pipe.batch_timings.append(final)
     dead_dirs = pipe.dead_sink._pointer()["dirs"]
     # unbounded = one slot per epoch (12); tiered maintenance keeps it
     # logarithmic (fanout 2 over 12 epochs: a handful)
