@@ -1720,15 +1720,28 @@ def q_salted_join(spark, sf_dir):
 
 def q_sessions(spark, sf_dir):
     """Sessionization: 30-min-gap sessions per user (lag + cumulative
-    new-session markers — the batch twin of stateful streaming)."""
+    new-session markers — the batch twin of stateful streaming).
+
+    r12 profile (VERDICT r11 #4, dedicated session, interleaved
+    median-of-7 noop at sf0.1): the plan is already minimal — ONE
+    exchange on user_id, ONE sort, the groupBy(user_id) partial agg
+    fuses above the window with no second exchange, ReadSchema is the
+    3 needed columns. The one wart the profile found: writing
+    ``lag(ts)`` twice inside ``when`` made Catalyst extract TWO window
+    expressions (_we0/_we1 in the r11 plan) — staging the lag once in
+    its own select leaves ONE lag in the Window op and measured
+    0.308 → 0.282 s (bit-identical results)."""
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = ev.select(
+    staged = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("_t"),
+        F.lag(F.unix_timestamp("ts")).over(w).alias("_prev"),
+    )
+    marked = staged.select(
         "user_id",
         F.when(
-            F.lag("ts").over(w).isNull()
-            | (F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w)) > 1800),
-            1,
+            F.col("_prev").isNull() | (F.col("_t") - F.col("_prev") > 1800), 1
         )
         .otherwise(0)
         .alias("is_new"),
