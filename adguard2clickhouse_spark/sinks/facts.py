@@ -71,6 +71,8 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 
+from adguard2clickhouse_spark.sinks.contract import FactSink
+
 _POINTER = "_FACTS.json"
 _LOCKFILE = "_FACTS.lock"
 _ADOPT_MARKER = "_ADOPTING"
@@ -99,7 +101,7 @@ def _staged_stats(stage: str) -> tuple[int, int]:
     return rows, nbytes
 
 
-class LedgeredFactSink:
+class LedgeredFactSink(FactSink):
     def __init__(
         self,
         path: str,

@@ -1,0 +1,281 @@
+"""The executable fact-sink contract (VERDICT r11 #5).
+
+Every backend behind ``QuerylogPipeline``'s ``fact_sink_factory`` must
+pass this suite. It runs against:
+
+- ``LedgeredFactSink`` — the local staged-commit implementation the
+  pipeline defaults to;
+- ``InMemoryFactSink`` (below) — an independent minimal
+  implementation sharing NO code with the ledgered one, proving the
+  contract is implementation-independent (the "mock-backed" leg);
+- ``DeltaFactSink`` — only when ``delta-spark`` is importable (not in
+  this sandbox); the gated live leg for the cluster backend.
+
+The assertions ARE the semantics documented in
+``adguard2clickhouse_spark/sinks/contract.py``: exactly-once epoch
+retries, bounded token idempotency, ledger-surviving replace, swap-
+only generation bumps, content-preserving compaction, and the stream-
+identity scoping rules.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+import pytest
+from pyspark.sql import functions as F
+
+from adguard2clickhouse_spark.sinks.contract import FactSink
+from adguard2clickhouse_spark.sinks.facts import LedgeredFactSink
+
+
+class InMemoryFactSink(FactSink):
+    """Minimal conforming implementation: rows + ledgers in driver
+    memory, visibility by list mutation. Shares no machinery with
+    LedgeredFactSink on purpose — if both pass the suite, the contract
+    (not an implementation detail) is what the pipeline relies on."""
+
+    _MAX_TRACKED = 1000
+
+    def __init__(self, path=None, partition_by=None, sort_within=None,
+                 stream_id=None):
+        self.stream_id = stream_id
+        self._recorded_stream = None
+        self._slots: list[list] = []  # each slot: list of Rows
+        self._schemas: list = []  # schema per slot (evolution)
+        self._epochs: list[int] = []
+        self._hwm: int | None = None
+        self._tokens: list[str] = []
+        self._generation = 0
+
+    # -- identity scoping (same rules as the ledgered sink) ---------------
+    def _scope(self) -> None:
+        if self.stream_id is None:
+            return
+        if self._recorded_stream is None:
+            self._recorded_stream = self.stream_id  # grandfather
+        elif self._recorded_stream != self.stream_id:
+            self._recorded_stream = self.stream_id
+            self._epochs, self._hwm = [], None  # void: ids restarted
+
+    def append(self, df, epoch_id=None, token=None) -> bool:
+        self._scope()
+        if epoch_id is not None and (
+            epoch_id in self._epochs
+            or (self._hwm is not None and epoch_id <= self._hwm)
+        ):
+            return False
+        if token is not None and token in self._tokens:
+            return False
+        rows = df.collect()
+        if rows:
+            self._slots.append(rows)
+            self._schemas.append(df.schema)
+        if epoch_id is not None:
+            self._epochs = (self._epochs + [epoch_id])[-self._MAX_TRACKED:]
+            self._hwm = epoch_id if self._hwm is None else max(self._hwm, epoch_id)
+        if token is not None:
+            self._tokens = (self._tokens + [token])[-self._MAX_TRACKED:]
+        return True
+
+    def applied(self, epoch_id) -> bool:
+        self._scope()
+        return epoch_id in self._epochs or (
+            self._hwm is not None and epoch_id <= self._hwm
+        )
+
+    def applied_token(self, token) -> bool:
+        return token in self._tokens
+
+    def read(self, spark, merge_schema: bool = False):
+        if not self._slots:
+            return None
+        dfs = [
+            spark.createDataFrame(rows, schema)
+            for rows, schema in zip(self._slots, self._schemas)
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=merge_schema)
+        return out
+
+    def has_data(self) -> bool:
+        return bool(self._slots)
+
+    def replace(self, df, bump_generation: bool = False) -> None:
+        rows = df.collect()
+        self._slots = [rows] if rows else []
+        self._schemas = [df.schema] if rows else []
+        if bump_generation:
+            self._generation += 1
+
+    def generation(self) -> int:
+        return self._generation
+
+    def compact(self, spark, small_bytes=None, max_fold_slots=None) -> int:
+        if max_fold_slots is not None and max_fold_slots < 2:
+            raise ValueError("max_fold_slots must be >= 2")
+        n = len(self._slots)
+        k = n if max_fold_slots is None else min(max_fold_slots, n)
+        if k <= 1 or n <= 1:
+            return 0
+        merged = [r for rows in self._slots[:k] for r in rows]
+        self._slots = [merged] + self._slots[k:]
+        self._schemas = [self._schemas[0]] + self._schemas[k:]
+        return k
+
+
+_PARAMS = ["ledgered", "memory"]
+if importlib.util.find_spec("delta"):  # gated live leg (not in sandbox)
+    _PARAMS.append("delta")
+
+
+@pytest.fixture(params=_PARAMS)
+def make_sink(request, tmp_path):
+    counter = {"n": 0}
+
+    def _make(**kw):
+        counter["n"] += 1
+        path = str(tmp_path / f"t{counter['n']}")
+        if request.param == "ledgered":
+            return LedgeredFactSink(path, **kw)
+        if request.param == "delta":
+            from adguard2clickhouse_spark.sinks.delta import DeltaFactSink
+
+            return DeltaFactSink(path, **kw)
+        return InMemoryFactSink(path, **kw)
+
+    return _make
+
+
+def _df(spark, ids):
+    return spark.createDataFrame([(i, f"d{i}") for i in ids], "id LONG, s STRING")
+
+
+def _ids(df):
+    return sorted(r.id for r in df.collect())
+
+
+def test_contract_append_read_roundtrip(make_sink, spark):
+    sink = make_sink()
+    assert sink.read(spark) is None
+    assert not sink.has_data()
+    assert sink.append(_df(spark, [1, 2]), epoch_id=0) is True
+    assert sink.append(_df(spark, [3]), epoch_id=1) is True
+    assert sink.has_data()
+    assert _ids(sink.read(spark)) == [1, 2, 3]
+
+
+def test_contract_epoch_retry_noops(make_sink, spark):
+    sink = make_sink()
+    assert sink.append(_df(spark, [1]), epoch_id=0) is True
+    assert sink.append(_df(spark, [2]), epoch_id=1) is True
+    # the exactly-once core: a replayed epoch must not double rows
+    assert sink.append(_df(spark, [2]), epoch_id=1) is False
+    assert sink.append(_df(spark, [1]), epoch_id=0) is False  # below hwm
+    assert _ids(sink.read(spark)) == [1, 2]
+    assert sink.applied(0) and sink.applied(1) and not sink.applied(2)
+
+
+def test_contract_token_idempotency(make_sink, spark):
+    sink = make_sink()
+    assert sink.append(_df(spark, [1]), token="tok-a") is True
+    assert sink.append(_df(spark, [1]), token="tok-a") is False
+    assert _ids(sink.read(spark)) == [1]
+    assert sink.applied_token("tok-a") and not sink.applied_token("tok-b")
+
+
+def test_contract_empty_epoch_records_id(make_sink, spark):
+    sink = make_sink()
+    empty = _df(spark, []).filter("id > 0")
+    assert sink.append(empty, epoch_id=7) is True
+    assert sink.applied(7)
+    assert sink.read(spark) is None  # no data object published
+    # the id protects the retry even though nothing was written
+    assert sink.append(_df(spark, [9]), epoch_id=7) is False
+
+
+def test_contract_replace_swaps_content_keeps_ledgers(make_sink, spark):
+    sink = make_sink()
+    sink.append(_df(spark, [1, 2]), epoch_id=0, token="t0")
+    sink.replace(_df(spark, [5]))
+    assert _ids(sink.read(spark)) == [5]
+    # ledgers SURVIVE the swap: a retried epoch/token still no-ops
+    assert sink.append(_df(spark, [1]), epoch_id=0) is False
+    assert sink.append(_df(spark, [1]), token="t0") is False
+
+
+def test_contract_generation_bumps_only_on_swap(make_sink, spark):
+    sink = make_sink()
+    assert sink.generation() == 0
+    sink.append(_df(spark, [1]), epoch_id=0)
+    sink.append(_df(spark, [2]), epoch_id=1)
+    assert sink.generation() == 0
+    sink.compact(spark)
+    assert sink.generation() == 0
+    sink.replace(_df(spark, [1]))
+    assert sink.generation() == 0
+    sink.replace(_df(spark, [1]), bump_generation=True)
+    assert sink.generation() == 1
+
+
+def test_contract_compact_preserves_content_and_ledgers(make_sink, spark):
+    sink = make_sink()
+    for e in range(6):
+        sink.append(_df(spark, [e]), epoch_id=e)
+    before = _ids(sink.read(spark))
+    folded = sink.compact(spark, max_fold_slots=3)
+    assert isinstance(folded, int) and folded >= 0
+    assert _ids(sink.read(spark)) == before
+    assert sink.applied(5)
+    assert sink.append(_df(spark, [0]), epoch_id=5) is False
+    # repeated incremental steps converge to a no-op
+    for _ in range(20):
+        if sink.compact(spark, max_fold_slots=3) == 0:
+            break
+    assert sink.compact(spark, max_fold_slots=3) == 0
+    assert _ids(sink.read(spark)) == before
+    with pytest.raises(ValueError):
+        sink.compact(spark, max_fold_slots=1)
+
+
+def test_contract_stream_identity_scoping(make_sink, spark):
+    # identity change voids the epoch ledger (ids restarted)
+    sink = make_sink(stream_id="q-one")
+    sink.append(_df(spark, [1]), epoch_id=0)
+    sink.append(_df(spark, [2]), epoch_id=1)
+    sink.stream_id = "q-two"
+    assert not sink.applied(0)
+    assert sink.append(_df(spark, [3]), epoch_id=0) is True
+    assert _ids(sink.read(spark)) == [1, 2, 3]
+    # unscoped -> scoped transition grandfathers existing epochs
+    sink2 = make_sink()  # no identity
+    sink2.append(_df(spark, [1]), epoch_id=5)
+    sink2.stream_id = "q-one"
+    assert sink2.applied(5)
+    assert sink2.append(_df(spark, [1]), epoch_id=5) is False
+
+
+def test_pipeline_accepts_sink_factory(tmp_path, spark):
+    """The seam itself: QuerylogPipeline builds BOTH ledgered channels
+    through the injected factory."""
+    from adguard2clickhouse_spark.streaming.pipeline import QuerylogPipeline
+
+    built = []
+
+    def factory(path, **kw):
+        s = InMemoryFactSink(path, **kw)
+        built.append(path)
+        return s
+
+    src = tmp_path / "src"
+    src.mkdir()
+    pipe = QuerylogPipeline(
+        spark, str(src), str(tmp_path / "out"), fact_sink_factory=factory
+    )
+    assert isinstance(pipe.log2_sink, InMemoryFactSink)
+    assert isinstance(pipe.dead_sink, InMemoryFactSink)
+    assert len(built) == 2 and built[0].endswith("log2")
+    # the default stays the ledgered local sink
+    pipe2 = QuerylogPipeline(spark, str(src), str(tmp_path / "out2"))
+    assert isinstance(pipe2.log2_sink, LedgeredFactSink)
