@@ -592,3 +592,67 @@ def test_replace_generation_bumps_only_when_asked(sink, spark):
     assert sink.generation() == 0
     sink.replace(sink.read(spark), bump_generation=True)
     assert sink.generation() == 1
+
+
+def test_reader_holding_prefold_snapshot_survives_fold(sink, spark):
+    """r12 trash retention: a fold COMMITS atomically but must not
+    delete the superseded slots while a reader that listed the old
+    pointer is still scanning — the exact FileNotFoundException race
+    observed the moment folds moved off the writer thread. The folded
+    slots stay on disk for trash_retention_s and later commits sweep
+    them."""
+    df = _df(spark, [("2024-01-01", i, f"d{i}.com") for i in range(5)])
+    for e in range(4):
+        sink.append(df, epoch_id=e)
+    reader = sink.read(spark)  # plan holds the PRE-fold file listing
+    assert sink.compact(spark, small_bytes=1 << 30, max_fold_slots=4) == 4
+    # the old listing still resolves: retired slots are in trash
+    assert reader.count() == 20
+    meta = sink._pointer()
+    assert len(meta["trash"]) == 4
+    assert len(meta["dirs"]) == 1
+    # retired slots are protected from orphan GC while retained
+    sink.append(df, epoch_id=99)
+    assert reader.count() == 20
+    # expiry: later commits physically sweep them
+    sink.trash_retention_s = 0.0
+    sink.append(df, epoch_id=100)
+    meta = sink._pointer()
+    assert meta["trash"] == []
+    leftover = [d for d in os.listdir(sink.path) if d.startswith("cseq=")]
+    assert sorted(leftover) == sorted(meta["dirs"])
+    assert sink.read(spark).count() == 30
+
+
+def test_fold_aborts_cleanly_when_replace_intervenes(sink, spark):
+    """The optimistic incremental fold stages OUTSIDE the pointer lock
+    and re-verifies its source slots at publish time: a replace() that
+    swapped the table while the fold staged makes the fold drop its
+    stale output and report 0 — never resurrect pre-swap rows."""
+    df = _df(spark, [("2024-01-01", i, f"d{i}.com") for i in range(3)])
+    for e in range(4):
+        sink.append(df, epoch_id=e)
+    swapped = _df(spark, [("2024-02-02", 1, "swapped.com")])
+
+    orig_stage = sink._stage
+
+    def stage_then_swap(frame):
+        out = orig_stage(frame)
+        # the race: a wholesale swap lands between staging and publish.
+        # Restore _stage first — replace() itself stages, and staging
+        # through this wrapper again would recurse (and self-deadlock
+        # on the per-fd flock).
+        sink._stage = orig_stage
+        sink.replace(swapped)
+        return out
+
+    sink._stage = stage_then_swap
+    try:
+        assert sink.compact(spark, small_bytes=1 << 30, max_fold_slots=4) == 0
+    finally:
+        sink._stage = orig_stage
+    rows = sink.read(spark).collect()
+    assert len(rows) == 1 and rows[0].QH == "swapped.com"
+    # no stage leftovers pinned or on disk
+    assert sink._live_stages == set()
+    assert not [d for d in os.listdir(sink.path) if d.startswith(".stage.")]
