@@ -279,3 +279,16 @@ def test_pipeline_accepts_sink_factory(tmp_path, spark):
     # the default stays the ledgered local sink
     pipe2 = QuerylogPipeline(spark, str(src), str(tmp_path / "out2"))
     assert isinstance(pipe2.log2_sink, LedgeredFactSink)
+
+
+def test_contract_merge_schema_read_spans_evolution(make_sink, spark):
+    """merge_schema=True must return the UNION schema across commits
+    (schema evolution), with NULLs where an epoch predates a column."""
+    sink = make_sink()
+    sink.append(_df(spark, [1]), epoch_id=0)
+    evolved = spark.createDataFrame([(2, "d2", 7)], "id LONG, s STRING, extra LONG")
+    sink.append(evolved, epoch_id=1)
+    got = sink.read(spark, merge_schema=True)
+    assert set(got.columns) == {"id", "s", "extra"}
+    rows = {(r.id, r.extra) for r in got.collect()}
+    assert rows == {(1, None), (2, 7)}
