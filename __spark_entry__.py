@@ -2814,6 +2814,35 @@ def q_hash_split(spark, sf_dir):
     return out.select("doc_id", hash_bucket("doc_id").alias("bucket"), "split")
 
 
+def q_split_leakage_safe(spark, sf_dir):
+    """X7 leakage-safe split: the md5 train/val/test bucket is taken
+    over the NEAR-DUP CLUSTER representative (connected components of
+    exact-Jaccard ≥ 0.8 pairs), so a near-duplicate can never straddle
+    train and eval — the contamination mode a per-document split
+    cannot prevent (two near-dups have independent ids, hence
+    independent buckets). Singletons degenerate to x7_hash_split on
+    their own id. Oracle: the x1_dedup_clusters recursive-CTE closure
+    plus the identical md5-bucket arithmetic on the component."""
+    from adguard2clickhouse_spark.operators.graph import connected_components
+    from adguard2clickhouse_spark.operators.sampling import (
+        hash_bucket,
+        with_split_leakage_safe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, on_overflow="reroute"
+    )
+    comp = connected_components(docs.select("doc_id"), pairs)
+    out = with_split_leakage_safe(docs.select("doc_id"), comp)
+    return out.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        hash_bucket("component").alias("bucket"),
+        "split",
+    )
+
+
 def q_shard_export(spark, sf_dir):
     """X7 export under the hash gate: md5-split documents are written
     through the REAL shard sink (repartitioned by id-hash, split-
@@ -3738,6 +3767,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_hashed_bow": q_hashed_bow,
         "x4_bm25_topk": q_bm25_topk,
         "x7_hash_split": q_hash_split,
+        "x7_split_leakage_safe": q_split_leakage_safe,
         "x7_shard_export": q_shard_export,
         "x7_kfold": q_kfold,
         "x7_stratified_sample": q_stratified_sample,
@@ -5526,6 +5556,25 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) "
             "SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component "
             "FROM reach GROUP BY u"
+        ),
+        "x7_split_leakage_safe": (
+            f"WITH RECURSIVE {_SHINGLE_CTE}, "
+            "pr AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS c "
+            "FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2), "
+            "pairs AS (SELECT da, db FROM pr JOIN sz x ON da = x.doc_id "
+            "JOIN sz y ON db = y.doc_id "
+            "WHERE c * 1000000 >= 800000 * (x.n + y.n - c)), "
+            "edges AS (SELECT da AS u, db AS v FROM pairs "
+            "UNION SELECT db, da FROM pairs), "
+            "reach(u, r) AS (SELECT doc_id, doc_id FROM documents "
+            "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), "
+            "comp AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component "
+            "FROM reach GROUP BY u), "
+            "bk AS (SELECT doc_id, component, "
+            "CAST((('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT) % 10000 AS INT) AS bucket "
+            "FROM comp) "
+            "SELECT doc_id, component, bucket, CASE WHEN bucket < 500 THEN 'val' "
+            "WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split FROM bk"
         ),
         "x1_dedup_clusters_capped": (
             f"WITH RECURSIVE {_SHINGLE_CTE}, "

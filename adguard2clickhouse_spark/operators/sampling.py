@@ -135,3 +135,45 @@ def with_fold(
     return df.withColumn(
         fold_col, F.pmod(hash_bucket(id_col), F.lit(k)).cast("int")
     )
+
+
+def with_split_leakage_safe(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str = "doc_id",
+    component_col: str = "component",
+    val_permille: int = 50,
+    test_permille: int = 50,
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split by NEAR-DUP CLUSTER, not by document: the
+    md5 bucket is taken over the cluster representative, so every
+    member of a near-duplicate cluster lands in the SAME split — the
+    guard against the classic eval-contamination bug where a test
+    document's near-copy sits in train and the benchmark silently
+    measures memorization (with_split alone cannot prevent this: two
+    near-dups have independent ids, hence independent buckets).
+
+    ``clusters`` is any (id, component) frame — typically
+    ``graph.connected_components`` over ``dedup.ngram_jaccard_pairs``
+    or ``minhash_lsh_pairs`` edges, where the component label is the
+    cluster's minimum id. Singleton docs are their own component, so
+    their assignment degenerates to exactly ``with_split``'s.
+
+    Scale: one equi-join on the id (broadcast when the cluster map is
+    small; at corpus scale both sides hash-partition on the id — the
+    same shuffle the closure already paid) and then the same narrow
+    bucket projection as ``with_split``. Deterministic end to end:
+    component labels are min-ids (stable), md5 is engine-portable, so
+    the split survives re-ingestion and engine swaps bit-for-bit.
+    """
+    joined = df.join(clusters.select(id_col, component_col), id_col)
+    b = hash_bucket(component_col)
+    val_hi = val_permille * _BUCKETS // 1000
+    test_hi = val_hi + test_permille * _BUCKETS // 1000
+    return joined.withColumn(
+        split_col,
+        F.when(b < val_hi, F.lit("val"))
+        .when(b < test_hi, F.lit("test"))
+        .otherwise(F.lit("train")),
+    )

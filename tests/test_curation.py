@@ -512,3 +512,54 @@ def test_containment_threshold_exact_at_0_3(spark):
     assert [(r.doc_a, r.doc_b, r.common, r.containment_permille) for r in at_029] == [
         (1, 2, 32, 299)
     ], at_029
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark):
+    """The eval-contamination guard: near-duplicate documents must land
+    in the SAME split. A per-document split provably CAN separate
+    them; the cluster split by construction cannot — and singletons
+    degenerate to the per-document assignment exactly."""
+    from adguard2clickhouse_spark.operators.dedup import ngram_jaccard_pairs
+    from adguard2clickhouse_spark.operators.graph import connected_components
+    from adguard2clickhouse_spark.operators.sampling import (
+        hash_bucket,
+        with_split,
+        with_split_leakage_safe,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        # 3/4 and 30/31 are near-dup pairs; the rest are singletons
+        [(3, base), (4, base + " extra"), (30, base.upper()),
+         (31, base.upper() + " MORE")]
+        + [(i, f"unique text number {i} " * 4) for i in range(100, 120)],
+        "doc_id LONG, text STRING",
+    )
+    pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    got_pairs = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert {(3, 4), (30, 31)} <= got_pairs
+    comp = connected_components(docs.select("doc_id"), pairs)
+    out = with_split_leakage_safe(
+        docs.select("doc_id"), comp, val_permille=300, test_permille=300
+    )
+    rows = {r.doc_id: (r.component, r.split) for r in out.collect()}
+    assert len(rows) == 24  # the join loses nothing
+    # the guarantee: cluster members share a split
+    assert rows[3] == rows[4]
+    assert rows[30] == rows[31]
+    # the cluster label is the min id, and its bucket drives the split
+    assert rows[3][0] == 3 and rows[30][0] == 30
+    # singletons degenerate exactly to the per-document with_split
+    per_doc = {
+        r.doc_id: r.split
+        for r in with_split(
+            docs.select("doc_id"), val_permille=300, test_permille=300
+        ).collect()
+    }
+    for i in range(100, 120):
+        assert rows[i][1] == per_doc[i], i
+    # deterministic: a second run is bit-identical
+    out2 = with_split_leakage_safe(
+        docs.select("doc_id"), comp, val_permille=300, test_permille=300
+    )
+    assert {tuple(r) for r in out2.collect()} == {tuple(r) for r in out.collect()}
