@@ -149,6 +149,31 @@ def get_spark(
         # and OOM at corpus scale.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Generated-class cache behind whole-stage codegen (a JVM
+        # static, sized on first use from the active session's conf —
+        # it cannot be raised later in the JVM's life). The default
+        # 100 entries thrashes for this engine BY DESIGN: the catalog
+        # registers 184 queries, and even the 14 bench headliners
+        # compile ~154 distinct generated classes — measured
+        # (BENCH_codegen_cache_r12.json, subprocess-isolated
+        # interleaved A/B with CodegenMetrics evidence): at the
+        # default, EVERY repeat execution re-Janino-compiles ~148
+        # classes (~1-2.4 s per sweep, serialized on the
+        # driver/executor JVM); at 2000 the steady state compiles
+        # ZERO and the 14-query sweep drops 9.55->6.44 s / 9.35->6.20 s
+        # (-33%). This was the r11/r12 "session state" mystery on
+        # x2_ngram_jaccard (2.1 s in full sessions vs 1.18 dedicated —
+        # with the cache sized right it runs 1.16 s inside the full
+        # sweep). The GC-debt hypothesis was tested and refuted first
+        # (scripts/profile_session_state.py). At cluster scale the
+        # same static cache lives in every executor JVM, where a
+        # long-lived session serving a wide query catalog cycles
+        # >100 classes just as this one does; 2000 entries of
+        # generated-class metadata cost tens of MB of metaspace.
+        .config(
+            "spark.sql.codegen.cache.maxEntries",
+            os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
+        )
         # Bucketed tables (plans/bucketing.py) need a warehouse; keep it
         # out of the repo/cwd. Static conf — set at build only.
         .config(
