@@ -62,36 +62,45 @@ BENCH_QUERIES = [
 
 REPS = 3
 
-# Frozen per-query regression bases, in NORMALIZED seconds (r12,
-# VERDICT r11 #1). Provenance: the r1 bases were measured under
-# df.count(), which lets Catalyst prune final projections — the
-# per-query method bridge is BENCH_sink_method_r11.json (x4_quality
-# under-measured ~2.1×, e_sessions ~1.6×), and comparing the r11+
-# full-plan (noop sink) medians against them in RAW seconds produced
-# a spurious PERF-REGRESSION flag on x4_quality in the official r11
-# run. These bases are the per-query MEDIAN of three full bench.py
-# sessions (each itself median-of-REPS) under the noop method,
-# recorded with the raw runs in BENCH_r12_base_runs.json; flags
-# compare the current run's NORMALIZED value (median × calibration
-# ratio, see CALIBRATION_REF) so host drift can neither hide nor
-# invent a regression. The flag itself lives in regression_flags()
-# and is unit-tested (tests/test_hygiene.py): a genuine 2× slowdown
-# still trips.
+# Frozen per-query regression bases, in NORMALIZED seconds.
+# Provenance chain (each re-freeze is a method change, never a quiet
+# lowering of the bar):
+# - r1 bases: measured under df.count(), which lets Catalyst prune
+#   final projections — the per-query method bridge is
+#   BENCH_sink_method_r11.json (x4_quality under-measured ~2.1×,
+#   e_sessions ~1.6×); comparing full-plan medians against them in
+#   RAW seconds produced a spurious PERF-REGRESSION flag in the
+#   official r11 run.
+# - r12 first freeze (VERDICT r11 #1): medians of three noop-method
+#   sessions, normalized (BENCH_r12_base_runs.json "pre_codegen_fix").
+#   Those sessions unknowingly paid ~150 Janino recompiles per rep:
+#   the default 100-entry codegen class cache evicts the 14 queries'
+#   154 generated classes every sweep (BENCH_codegen_cache_r12.json).
+# - r12 second freeze (current values): same protocol after
+#   session.py sized the cache (steady state compiles zero during
+#   measured reps) — per-query MEDIAN of three fresh full sessions
+#   (each itself median-of-REPS), recorded with raw runs in
+#   BENCH_r12_base_runs.json "post_codegen_fix". Sum 6.484 (was
+#   8.507). Flags compare the current run's NORMALIZED value
+#   (median × calibration ratio, see CALIBRATION_REF) so host drift
+#   can neither hide nor invent a regression; regression_flags() is
+#   pure and unit-tested (tests/test_hygiene.py): a genuine 2×
+#   slowdown still trips.
 FROZEN_BASE_NORMALIZED = {
-    "a1_blocked_domains": 0.284,
-    "a3_clients_stats": 0.288,
-    "a6_stats2": 0.484,
-    "a7_tld_stats": 0.807,
-    "p7_dns_parse": 0.811,
-    "q1_pricing_summary": 0.366,
-    "x_join_revenue_by_nation": 0.416,
-    "x_window_rank": 0.364,
-    "e_sessions": 0.378,
-    "x1_dedup_count": 0.368,
-    "x2_ngram_jaccard": 1.919,
-    "x2_minhash_lsh": 1.277,
-    "x3_topk_cosine": 0.428,
-    "x4_quality": 0.317,
+    "a1_blocked_domains": 0.205,
+    "a3_clients_stats": 0.174,
+    "a6_stats2": 0.357,
+    "a7_tld_stats": 0.676,
+    "p7_dns_parse": 0.760,
+    "q1_pricing_summary": 0.287,
+    "x_join_revenue_by_nation": 0.297,
+    "x_window_rank": 0.288,
+    "e_sessions": 0.284,
+    "x1_dedup_count": 0.322,
+    "x2_ngram_jaccard": 1.343,
+    "x2_minhash_lsh": 0.959,
+    "x3_topk_cosine": 0.288,
+    "x4_quality": 0.244,
 }
 
 
