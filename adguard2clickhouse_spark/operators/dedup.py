@@ -22,10 +22,116 @@ property that survives a 1000-executor corpus.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from adguard2clickhouse_spark.operators.text import fingerprint
+from adguard2clickhouse_spark.session import scoped_conf
+
+
+def _runtime_broadcast_only(fn):
+    """Disable ESTIMATE-based static broadcast planning inside a pair
+    operator; AQE still broadcasts at runtime from ACTUAL stage sizes.
+
+    Catalyst's sizeInBytes propagation through split/transform/explode
+    chains uses fixed per-type defaults, so every frame these operators
+    join — the exploded inverted index, the df-frequency table, the
+    shingle-array cache — is estimated as tiny regardless of corpus
+    size. At sf0.1–sf1 the resulting BroadcastHashJoins happen to fit;
+    at sf10 on a default 8 GB session the planner broadcasts the full
+    500k-doc shingle-array frame and dies in BroadcastExchange with
+    "Not enough memory to build and broadcast" (observed: the leakage-
+    safe split's PPJoin reroute; earlier rounds masked it because the
+    scale scripts run 48 GB sessions). At 100 TB no driver size saves
+    an estimate-blind broadcast of a corpus-scaled frame.
+
+    Fix: within the operator, spark.sql.autoBroadcastJoinThreshold=-1
+    kills estimate-based static broadcasts, while
+    spark.sql.adaptive.autoBroadcastJoinThreshold keeps the session's
+    static threshold (64 MB) for AQE's RUNTIME conversion — a join
+    side that MEASURES small at execution still broadcasts, so the
+    genuinely-small dfreq/candidate frames keep their fast plans and a
+    corpus-scaled frame can never be picked by a bad guess. Explicit
+    F.broadcast hints (the bounded-by-construction 1-row stats) are
+    unaffected — hints bypass thresholds. Applied as a decorator to
+    the pair operators that MATERIALIZE in-scope (they all end in an
+    eager localCheckpoint, so every join executes under the scoped
+    conf); measured sf10 leakage-split: OOM → completes on 8 GB.
+    """
+
+    @functools.wraps(fn)
+    def wrapper(df, *args, **kwargs):
+        spark = df.sparkSession
+        static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        with scoped_conf(
+            spark,
+            {
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.adaptive.autoBroadcastJoinThreshold": static,
+            },
+        ):
+            return fn(df, *args, **kwargs)
+
+    return wrapper
+
+
+def _broadcast_policy(spark, stats, exact_mass=None):
+    """The measured-stat refinement of ``_runtime_broadcast_only`` for
+    the Jaccard family, whose operators already measure a map-only
+    corpus statistic for their candidate guards.
+
+    The blanket runtime-only conf costs ~0.8 s at bench SF on
+    x2_ngram_jaccard (extra stage boundaries + shuffle-writes of
+    frames a static broadcast would have kept in place), which is pure
+    waste on a corpus that is MEASURABLY tiny. This context engages
+    the runtime-only conf only when the measured bounds say a static
+    broadcast could actually hurt:
+
+    - ``posting_mass·24 + n_docs·32`` upper-bounds the bytes of every
+      shingle-derived frame static planning might broadcast (the
+      array cache, the exploded index, the df table, the PPJoin
+      prefix rows) — measured, not Catalyst's junk per-type estimate;
+    - when the guard's exact probe ran, ``exact_mass`` additionally
+      bounds the verify join's array-carrying intermediate
+      (pairs × avg-shingles) — the one frame the posting bound
+      doesn't cover. Un-probed duplication-extreme small corpora
+      remain a documented residual (static planning may still pick
+      that side from its estimate), bounded by the candidate-pair
+      guard's cap.
+
+    Below the session's own static threshold both bounds make any
+    broadcast choice safe → null context, plans identical to r11.
+    Above it → runtime-only conf (see ``_runtime_broadcast_only``).
+    Planning happens at action time, so wrapping just the eager
+    localCheckpoint governs the whole join tree.
+    """
+    import contextlib
+
+    static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        thr = int(static)
+    except (TypeError, ValueError):
+        thr = -1
+    if stats is not None and thr > 0:
+        p = int(stats.get("posting_mass") or 0)
+        nd = int(stats.get("n_docs") or 0)
+        index_bytes = p * 24 + nd * 32
+        avg_shingles = p // max(nd, 1) + 1
+        verify_ok = (
+            exact_mass is None
+            or int(exact_mass) * (avg_shingles * 8 + 32) <= thr
+        )
+        if index_bytes <= thr and verify_ok:
+            return contextlib.nullcontext()
+    return scoped_conf(
+        spark,
+        {
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": static,
+        },
+    )
 
 
 def _balanced(df: DataFrame, balance: bool = True) -> DataFrame:
@@ -361,7 +467,7 @@ def ngram_jaccard_pairs(
         if max_df is not None or max_df_ratio is not None:
             raise ValueError("df caps are index-only; use strategy='index'")
         return ngram_jaccard_pairs_ppjoin(
-            df, text_col, id_col, n, threshold, balance
+            df, text_col, id_col, n, threshold, balance, _stats=_stats
         )
     # Fast reroute (r10, from the sf10 measurement): a reroute-enabled
     # caller on a corpus where (a) the guard's worst-case bound — off
@@ -397,7 +503,7 @@ def ngram_jaccard_pairs(
         _bound = min(_p * (_p - 1) // 2, _p * max(_nd - 1, 0) // 2)
         if _strat == "ppjoin" and _bound > max_candidate_pairs:
             return ngram_jaccard_pairs_ppjoin(
-                df, text_col, id_col, n, threshold, balance
+                df, text_col, id_col, n, threshold, balance, _stats=_stats
             )
     # Build the shingle-hash ARRAY once and cache it pre-explode: it
     # feeds three consumers (both join sides + the size table). Without
@@ -495,6 +601,7 @@ def ngram_jaccard_pairs(
                 )
             join_inv = inv.join(kept.select("_h"), "_h", "left_semi")
 
+        _exact_mass = None
         if need_exact_probe:
             # Guard stage 2 (exact): the join emits exactly
             # Σ_h df_h·(df_h−1)/2 rows. The semi-join filters WHICH
@@ -510,6 +617,7 @@ def ngram_jaccard_pairs(
                 )
                 .collect()[0]["_pairs"]
             )
+            _exact_mass = mass
             if mass is not None and mass > max_candidate_pairs:
                 if on_overflow == "reroute" and kept is None:
                     # Exact-preserving reroute (opt-in): the PPJoin
@@ -518,7 +626,8 @@ def ngram_jaccard_pairs(
                     # the try releases the cached array frame via the
                     # finally below; the twin builds its own caches.
                     return ngram_jaccard_pairs_ppjoin(
-                        df, text_col, id_col, n, threshold, balance
+                        df, text_col, id_col, n, threshold, balance,
+                        _stats=_stats,
                     )
                 raise ValueError(
                     f"ngram_jaccard_pairs: the inverted-index join would "
@@ -571,8 +680,19 @@ def ngram_jaccard_pairs(
                 F.col("sb._sz").alias("size_b"),
             )
         )
-        # materialize before unpersisting the frame the plan depends on
-        out = out.localCheckpoint(eager=True)
+        # materialize before unpersisting the frame the plan depends on.
+        # Planning happens here, so the broadcast policy context around
+        # this ONE action governs every join above: measured-tiny
+        # corpora keep their static-broadcast plans, corpus-scaled ones
+        # plan runtime-broadcast-only (see _broadcast_policy; the sf10
+        # OOM class). Unguarded callers (max_candidate_pairs=None) have
+        # no stats yet — one map-only 1-row aggregate (~0.12 s at bench
+        # SF) buys the measured decision instead of the blanket conf's
+        # ~0.8 s stage-boundary cost.
+        if _stats is None:
+            _, _stats = choose_jaccard_strategy(df, text_col, n)
+        with _broadcast_policy(df.sparkSession, _stats, _exact_mass):
+            out = out.localCheckpoint(eager=True)
     finally:
         arr.unpersist()
     return out
@@ -585,6 +705,7 @@ def ngram_jaccard_pairs_ppjoin(
     n: int = 3,
     threshold: float = 0.8,
     balance: bool = True,
+    _stats: dict | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PPJoin-style prefix filtering — the
     measured ALTERNATIVE to ``ngram_jaccard_pairs``'s full inverted
@@ -682,7 +803,14 @@ def ngram_jaccard_pairs_ppjoin(
                 * (F.col("size_a") + F.col("size_b") - F.col("common"))
             )
         )
-        out = out.localCheckpoint(eager=True)
+        # Same measured broadcast policy as the index form: planning
+        # happens at this one action; the reroute/dispatch callers pass
+        # their already-measured stats, a direct caller measures the
+        # map-only stat here (see _broadcast_policy).
+        if _stats is None:
+            _, _stats = choose_jaccard_strategy(df, text_col, n)
+        with _broadcast_policy(df.sparkSession, _stats):
+            out = out.localCheckpoint(eager=True)
     finally:
         arr.unpersist()
     return out
@@ -938,6 +1066,7 @@ def minhash_md5_signatures(
     return arr.select("_id", *[_mh(i) for i in range(num_hashes)])
 
 
+@_runtime_broadcast_only
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -1144,6 +1273,7 @@ def simhash_md5(
     return arr.select(F.col("_id").alias(id_col), sketch.alias("simhash"))
 
 
+@_runtime_broadcast_only
 def simhash_near_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -257,3 +257,66 @@ def test_auto_reroute_measures_posting_mass_once(boiler_docs, monkeypatch):
     ).collect()
     assert calls["n"] == 1
     assert len(out) == 66  # same answer as the exact form
+
+
+def test_broadcast_policy_tiny_corpus_keeps_static_plans(spark):
+    """A measurably-tiny corpus (posting bound under the session's
+    static broadcast threshold) gets the null context — the conf is
+    untouched inside, so the static planner keeps its broadcast plans
+    (the measured ~0.8 s bench-SF saving vs the blanket conf)."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    with dedup._broadcast_policy(spark, {"posting_mass": 1000, "n_docs": 10}):
+        assert (
+            spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+        )
+
+
+def test_broadcast_policy_corpus_scaled_disables_static_broadcast(spark):
+    """Corpus-scaled stats (the sf10 OOM class: Catalyst's per-type
+    size defaults estimate every shingle frame as tiny, then the
+    static planner broadcasts a 500k-doc array frame and dies in
+    BroadcastExchange on a default 8 GB session) engage the runtime-
+    only conf: static threshold -1 inside, the session's threshold
+    moved to AQE's runtime knob, both restored on exit."""
+    before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    big = {"posting_mass": 26_000_000, "n_docs": 500_000}  # ~630 MB bound
+    with dedup._broadcast_policy(spark, big):
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+        assert (
+            spark.conf.get("spark.sql.adaptive.autoBroadcastJoinThreshold")
+            == before
+        )
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == before
+
+
+def test_broadcast_policy_probed_mass_bounds_verify_join(spark):
+    """When the guard's exact probe ran, the policy also bounds the
+    verify join's array-carrying intermediate: a duplication-extreme
+    SMALL corpus (tiny posting mass, huge exact pair mass) must engage
+    the runtime-only conf even though the index bound alone passes."""
+    stats = {"posting_mass": 100_000, "n_docs": 1_000}  # index ~2.4 MB: tiny
+    with dedup._broadcast_policy(spark, stats, exact_mass=400_000):
+        # 400k pairs x (101*8+32) B ~ 336 MB > 64 MB threshold
+        assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") == "-1"
+
+
+def test_unguarded_jaccard_measures_stats_for_broadcast_policy(
+    boiler_docs, monkeypatch
+):
+    """max_candidate_pairs=None callers skip the guard but still get a
+    measured broadcast decision: the map-only stat is taken exactly
+    once at materialization (never the blanket runtime-only conf, never
+    zero measurements)."""
+    calls = {"n": 0}
+    real = dedup.choose_jaccard_strategy
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return real(*a, **kw)
+
+    monkeypatch.setattr(dedup, "choose_jaccard_strategy", counting)
+    out = dedup.ngram_jaccard_pairs(
+        boiler_docs, n=3, threshold=0.1, max_candidate_pairs=None
+    ).collect()
+    assert calls["n"] == 1
+    assert len(out) == 66
