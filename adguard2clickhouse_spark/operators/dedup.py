@@ -1281,6 +1281,8 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     balance: bool = True,
     portable: bool = False,
+    max_candidate_pairs: int | None = 2_000_000_000,
+    candidate_rows_per_task: int = 2_000_000,
 ) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming — complete.
 
@@ -1332,7 +1334,50 @@ def simhash_near_pairs(
     ).persist()
 
     try:
-        a, b = chunks.alias("a"), chunks.alias("b")
+        # Candidate guard + OUTPUT-scaled partitioning, from one probe.
+        # The band join emits exactly Σ per-(band,chunk) m·(m−1)/2 rows
+        # — an expansion AQE cannot see: it sizes partitions from the
+        # join's INPUT shuffles (~56 MB at 500k docs, coalesced toward
+        # one task), then a handful of tasks each stream hundreds of
+        # millions of pair rows and die re-growing sort/agg buffers
+        # (measured at sf10: 847M candidates, 67 MB humongous
+        # allocations × 32 workers → executor heap OOM on the default
+        # 8 GB session; 256 shuffle partitions did NOT help — AQE
+        # coalesced them right back). The probe is one aggregate over
+        # the persisted banded frame; the guard refuses corpus-bomb
+        # masses like the siblings, and the repartition below scales
+        # the join's parallelism with the MEASURED output mass —
+        # explicit numPartitions, which AQE never coalesces.
+        _mass = None
+        if max_candidate_pairs is not None or candidate_rows_per_task:
+            _mass = (
+                chunks.groupBy("_band", "_chunk")
+                .agg(F.count(F.lit(1)).alias("_m"))
+                .agg(
+                    F.sum(
+                        F.col("_m") * (F.col("_m") - 1) / F.lit(2)
+                    ).alias("_p")
+                )
+                .collect()[0]["_p"]
+            )
+            _mass = int(_mass or 0)
+        if max_candidate_pairs is not None and _mass > max_candidate_pairs:
+            raise ValueError(
+                f"simhash_near_pairs: the band join would emit "
+                f"{_mass:,} candidate pairs (> max_candidate_pairs="
+                f"{max_candidate_pairs:,}). Tighten max_hamming (fewer, "
+                "wider bands → smaller buckets), pre-shard the corpus, "
+                "or use minhash_lsh_pairs / ngram_jaccard_pairs with "
+                "their df caps. Pass max_candidate_pairs=None only for "
+                "a corpus you have sized."
+            )
+        joinable = chunks
+        if _mass is not None and candidate_rows_per_task:
+            par = df.sparkSession.sparkContext.defaultParallelism
+            parts = max(par, min(4096, -(-_mass // candidate_rows_per_task)))
+            if parts > par:
+                joinable = chunks.repartition(parts, "_band", "_chunk")
+        a, b = joinable.alias("a"), joinable.alias("b")
         ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
         out = (
             a.join(

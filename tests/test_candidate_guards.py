@@ -320,3 +320,38 @@ def test_unguarded_jaccard_measures_stats_for_broadcast_policy(
     ).collect()
     assert calls["n"] == 1
     assert len(out) == 66
+
+
+def test_simhash_candidate_guard_refuses_corpus_bomb(spark):
+    """simhash_near_pairs was the last unguarded pair generator: the
+    registered max_hamming=8 banding (9 bands x ~7 bits = 128 chunk
+    values) turns a 500k-doc corpus into a 17.7e9-candidate join that
+    executor-OOMs an 8 GB session (measured at sf10). The guard now
+    probes the exact band-bucket mass and refuses, naming alternatives."""
+    rows = [(i, "same text everywhere identical") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    with pytest.raises(ValueError, match="candidate pairs"):
+        dedup.simhash_near_pairs(docs, max_hamming=3, max_candidate_pairs=100)
+
+
+def test_simhash_mass_scaled_repartition_keeps_answers(spark):
+    """Below the cap, the measured mass scales the band join's
+    partition count (explicit numPartitions — the one thing AQE's
+    input-size coalescing cannot undo; at sf10 847M candidates through
+    AQE-coalesced partitions OOM'd, through mass/2M explicit partitions
+    completed in 91 s). Forcing a tiny rows-per-task here makes the
+    repartition path run at test size; answers must be identical to
+    the unscaled plan."""
+    rows = [  # 3 exact-duplicate families -> guaranteed hamming-0 pairs
+        (i, f"family {i % 3} text body repeated tokens for the sketch")
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    scaled = dedup.simhash_near_pairs(
+        docs, max_hamming=3, candidate_rows_per_task=1
+    ).collect()
+    plain = dedup.simhash_near_pairs(
+        docs, max_hamming=3, candidate_rows_per_task=0
+    ).collect()
+    assert sorted(map(tuple, scaled)) == sorted(map(tuple, plain))
+    assert len(plain) > 0
