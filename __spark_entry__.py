@@ -3515,7 +3515,13 @@ def q_pagerank(spark, sf_dir):
     from adguard2clickhouse_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.8)
+    # reroute like x1_dedup_clusters: above the candidate cap the edge
+    # build dispatches to the exact PPJoin twin instead of refusing —
+    # measured in the r12 default-8GB sf10 sweep, the raise left this
+    # the one registered query that couldn't run at that scale.
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.8, on_overflow="reroute"
+    )
     pr = pagerank(docs.select("doc_id"), pairs, n_iters=6)
     return pr.select(
         "doc_id", F.floor(F.col("rank") * 1_000_000).cast("long").alias("rank_ppm")
