@@ -92,7 +92,11 @@ def main():
     queries, flagged = {}, []
     for name in NAMES:
         assert big[name]["rows"] > 0, f"{name} returned 0 rows at sf1 - run VOID"
-        ratio = round(big[name]["sec"] / base[name]["sec"], 2)
+        # max() guard: the per-query medians are rounded to 3 decimals,
+        # so a sub-millisecond base wall becomes 0.0 and the division
+        # would kill the whole ladder AFTER both sweeps completed
+        # (ADVICE r12). A 1 ms floor only ever understates the ratio.
+        ratio = round(big[name]["sec"] / max(base[name]["sec"], 0.001), 2)
         entry = {
             "sec_base": base[name]["sec"],
             "sec_big": big[name]["sec"],
