@@ -3465,18 +3465,26 @@ def q_dedup_clusters(spark, sf_dir):
     (operators/graph.py — the iterative fixpoint a single declarative
     query can't express). Oracle: DuckDB recursive CTE reachability.
 
-    The edge generator runs with ``on_overflow='reroute'`` (r10): on a
-    corpus whose candidate mass tops the guard (the marker corpus does
-    at sf10 — measured 3.2e9, BENCH_reroute_r10.json) the edges come
-    from the bit-identical PPJoin twin instead of a refusal, so the
-    clusters stay EXACT at every scale instead of erroring at the one
-    that used to exhaust the heap. Below the cap nothing changes —
-    same plan, same oracle, same hash."""
+    The edge generator runs with ``on_overflow='reroute_capped'``
+    (r13, VERDICT r12 #1): on a corpus whose candidate mass tops the
+    guard (the marker corpus does at sf10 — measured 3.2e9,
+    BENCH_reroute_r10.json) the edges come from the df-ratio-capped
+    index — the same plan as x1_dedup_clusters_capped — instead of
+    the exact PPJoin twin, which preserved bit-exactness but ran
+    685 s at sf10 on the default 8 GB session
+    (BENCH_sf10_default_session_r12.json), the one registered heavy
+    query without a wall policy. Above the cap the only pairs that
+    can drop are those whose entire similarity evidence is
+    corpus-boilerplate shingles (df > 1% of docs); callers needing
+    exactness at any wall cost call the operator directly with
+    ``on_overflow='reroute'``. Below the cap nothing changes — same
+    exact plan, same oracle, same hash (the gate SFs sit far below
+    it)."""
     from adguard2clickhouse_spark.operators.graph import connected_components
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.8, on_overflow="reroute"
+        docs, n=3, threshold=0.8, on_overflow="reroute_capped"
     )
     comp = connected_components(docs.select("doc_id"), pairs)
     return comp.select("doc_id", F.col("component").cast("long").alias("component"))

@@ -77,6 +77,41 @@ def _runtime_broadcast_only(fn):
     return wrapper
 
 
+def _byte_conf_to_int(value) -> int:
+    """Parse a Spark byte-size conf value to bytes, -1 on anything odd.
+
+    Spark accepts unit-suffixed strings for
+    ``spark.sql.autoBroadcastJoinThreshold`` ('64m', '10MB', '1g', …)
+    alongside plain integers. The earlier ``int(static)`` parse sent
+    every suffixed session into the except branch (thr=-1), silently
+    forcing the runtime-only conf — and its measured ~0.8 s
+    stage-boundary cost at bench SF — on corpora that are measurably
+    tiny (ADVICE r12). Mirrors the JVM's
+    ``JavaUtils.byteStringAsBytes`` suffix table (k/m/g/t/p, optional
+    trailing 'b') without a py4j round-trip; unknown shapes still
+    degrade to -1, i.e. the safe runtime-only branch, never a crash.
+    """
+    if value is None:
+        return -1
+    s = str(value).strip().lower()
+    try:
+        return int(s)
+    except ValueError:
+        pass
+    mult = 1
+    if s.endswith("b"):
+        s = s[:-1]
+    units = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30,
+             "t": 1 << 40, "p": 1 << 50}
+    if s and s[-1] in units:
+        mult = units[s[-1]]
+        s = s[:-1]
+    try:
+        return int(s) * mult
+    except ValueError:
+        return -1
+
+
 def _broadcast_policy(spark, stats, exact_mass=None):
     """The measured-stat refinement of ``_runtime_broadcast_only`` for
     the Jaccard family, whose operators already measure a map-only
@@ -110,10 +145,7 @@ def _broadcast_policy(spark, stats, exact_mass=None):
     import contextlib
 
     static = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    try:
-        thr = int(static)
-    except (TypeError, ValueError):
-        thr = -1
+    thr = _byte_conf_to_int(static)
     if stats is not None and thr > 0:
         p = int(stats.get("posting_mass") or 0)
         nd = int(stats.get("n_docs") or 0)
@@ -370,6 +402,7 @@ def ngram_jaccard_pairs(
     strategy: str = "index",
     max_candidate_pairs: int | None = 2_000_000_000,
     on_overflow: str = "raise",
+    reroute_df_ratio: float = 0.01,
 ) -> DataFrame:
     """Exact Jaccard-similar pairs over n-word shingles.
 
@@ -440,12 +473,31 @@ def ngram_jaccard_pairs(
     ``strategy='ppjoin'`` outright; only the below-crossover regime
     pays the exact probe, where the index form wins whenever the true
     mass fits the cap.
+    ``on_overflow='reroute_capped'`` (r13, VERDICT r12 #1) is the
+    WALL-BUDGET tier above 'reroute': instead of the exact PPJoin twin
+    — which preserves bit-identical answers but still pays the full
+    candidate mass (685 s for the sf10 transitive closure on a
+    default 8 GB session, BENCH_sf10_default_session_r12.json) — the
+    overflow dispatches to THIS index form with
+    ``max_df_ratio=reroute_df_ratio`` (default 0.01, the production
+    boilerplate cap). Semantics above the cap are the DOCUMENTED
+    APPROXIMATION of the capped twin: the only pairs that can drop
+    are those whose every common shingle sits in more than
+    reroute_df_ratio of the corpus, i.e. pairs whose entire
+    similarity evidence is non-discriminative boilerplate. Below the
+    cap nothing changes — same exact plan, same oracle, same hash.
+    Like 'reroute', the fast dispatch fires on the LOOSE worst-case
+    bound when the corpus also sits above the posting-mass crossover,
+    so a duplication-extreme corpus whose exact mass would have fit
+    may still get capped edges — callers that need exactness at any
+    wall cost should use 'reroute'; callers that need a bounded wall
+    use this.
     Reroute applies only when no df cap is set: with ``max_df``/
     ``max_df_ratio`` the caller already chose a scale strategy, and a
     still-overflowing CAPPED mass means the corpus needs the banded-
     MinHash path (``minhash_lsh_pairs``), which a same-semantics
     reroute cannot silently substitute — capped overflow raises
-    regardless. Note that reroute's fast dispatch binds TIGHTER than a
+    regardless (including after a reroute_capped dispatch). Note that reroute's fast dispatch binds TIGHTER than a
     pinned plan choice: an explicit ``strategy='index'`` with
     ``on_overflow='reroute'`` still dispatches to the PPJoin twin when
     the corpus sits above the crossover and the loose worst-case bound
@@ -456,9 +508,10 @@ def ngram_jaccard_pairs(
     """
     if strategy not in ("index", "ppjoin", "auto"):
         raise ValueError(f"strategy must be index|ppjoin|auto, got {strategy!r}")
-    if on_overflow not in ("raise", "reroute"):
+    if on_overflow not in ("raise", "reroute", "reroute_capped"):
         raise ValueError(
-            f"on_overflow must be 'raise' or 'reroute', got {on_overflow!r}"
+            "on_overflow must be 'raise', 'reroute' or 'reroute_capped', "
+            f"got {on_overflow!r}"
         )
     _stats = None  # posting-mass stats, measured at most once (ADVICE r10)
     if strategy == "auto" and max_df is None and max_df_ratio is None:
@@ -493,7 +546,7 @@ def ngram_jaccard_pairs(
     # differs (see the docstring).
     if (
         max_candidate_pairs is not None
-        and on_overflow == "reroute"
+        and on_overflow in ("reroute", "reroute_capped")
         and max_df is None
         and max_df_ratio is None
         and _stats is None
@@ -502,8 +555,27 @@ def ngram_jaccard_pairs(
         _p, _nd = _stats["posting_mass"], _stats["n_docs"]
         _bound = min(_p * (_p - 1) // 2, _p * max(_nd - 1, 0) // 2)
         if _strat == "ppjoin" and _bound > max_candidate_pairs:
+            if on_overflow == "reroute_capped":
+                # Wall-budget tier: re-enter the index form under the
+                # production boilerplate cap instead of paying the
+                # exact twin's full candidate mass (685 s at sf10 for
+                # the transitive closure — VERDICT r12 #1). Capped
+                # overflow raises, never re-reroutes.
+                return ngram_jaccard_pairs(
+                    df, text_col=text_col, id_col=id_col, n=n,
+                    threshold=threshold,
+                    max_df_ratio=reroute_df_ratio, balance=balance,
+                    max_candidate_pairs=max_candidate_pairs,
+                    on_overflow="raise",
+                )
+            # _exact_mass: the worst-case bound, conservatively — the
+            # exact probe never ran on this path, and an over-cap
+            # dispatch must not let the twin's verify intermediate be
+            # picked for a static broadcast off the posting bound
+            # alone (ADVICE r12).
             return ngram_jaccard_pairs_ppjoin(
-                df, text_col, id_col, n, threshold, balance, _stats=_stats
+                df, text_col, id_col, n, threshold, balance,
+                _stats=_stats, _exact_mass=_bound,
             )
     # Build the shingle-hash ARRAY once and cache it pre-explode: it
     # feeds three consumers (both join sides + the size table). Without
@@ -625,23 +697,54 @@ def ngram_jaccard_pairs(
                     # prefix-filtered candidates. Returning from inside
                     # the try releases the cached array frame via the
                     # finally below; the twin builds its own caches.
+                    # The probed mass rides along so the twin's
+                    # broadcast policy sees the verify-join bound the
+                    # posting stat can't (ADVICE r12).
                     return ngram_jaccard_pairs_ppjoin(
                         df, text_col, id_col, n, threshold, balance,
-                        _stats=_stats,
+                        _stats=_stats, _exact_mass=int(mass),
                     )
-                raise ValueError(
-                    f"ngram_jaccard_pairs: the inverted-index join would "
-                    f"emit {int(mass):,} candidate pairs "
-                    f"(> max_candidate_pairs={max_candidate_pairs:,}). "
-                    "Bound the quadratic term first: max_df_ratio=0.01 "
-                    "drops corpus-boilerplate shingles from the join, "
-                    "strategy='ppjoin' prefix-filters candidates "
-                    "(on_overflow='reroute' dispatches there "
-                    "automatically when no df cap is set), or use "
-                    "minhash_lsh_pairs (the banded 100TB path). Pass "
-                    "max_candidate_pairs=None only for a corpus you have "
-                    "sized."
-                )
+                if on_overflow == "reroute_capped" and kept is None:
+                    # Wall-budget reroute, in place: dfreq is already
+                    # computed (the probe needed it), so engage the
+                    # boilerplate ratio cap on THIS plan instead of
+                    # rebuilding the shingle cache in a recursive
+                    # call. Still-over-cap capped mass raises below —
+                    # that corpus needs the banded-MinHash path.
+                    from fractions import Fraction
+
+                    _rfrac = Fraction(str(reroute_df_ratio))
+                    _total = arr.select(F.count(F.lit(1)).alias("_ndocs"))
+                    kept = dfreq.crossJoin(F.broadcast(_total)).filter(
+                        (F.col("_df") - F.lit(1)) * F.lit(_rfrac.denominator)
+                        < F.lit(_rfrac.numerator) * F.col("_ndocs")
+                    )
+                    join_inv = inv.join(kept.select("_h"), "_h", "left_semi")
+                    _capped = (
+                        kept.agg(
+                            F.sum(
+                                F.col("_df") * (F.col("_df") - 1) / F.lit(2)
+                            ).alias("_pairs")
+                        )
+                        .collect()[0]["_pairs"]
+                    )
+                    mass = _exact_mass = int(_capped or 0)
+                if mass is not None and mass > max_candidate_pairs:
+                    raise ValueError(
+                        f"ngram_jaccard_pairs: the inverted-index join "
+                        f"would emit {int(mass):,} candidate pairs "
+                        f"(> max_candidate_pairs={max_candidate_pairs:,})."
+                        " Bound the quadratic term first: "
+                        "max_df_ratio=0.01 drops corpus-boilerplate "
+                        "shingles from the join, strategy='ppjoin' "
+                        "prefix-filters candidates (on_overflow="
+                        "'reroute' dispatches there automatically when "
+                        "no df cap is set; 'reroute_capped' applies the "
+                        "ratio cap for a bounded wall), or use "
+                        "minhash_lsh_pairs (the banded 100TB path). "
+                        "Pass max_candidate_pairs=None only for a "
+                        "corpus you have sized."
+                    )
         a, b = join_inv.alias("a"), join_inv.alias("b")
         common = (
             a.join(b, (F.col("a._h") == F.col("b._h")) & (F.col("a._id") < F.col("b._id")))
@@ -706,6 +809,7 @@ def ngram_jaccard_pairs_ppjoin(
     threshold: float = 0.8,
     balance: bool = True,
     _stats: dict | None = None,
+    _exact_mass: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard pairs via PPJoin-style prefix filtering — the
     measured ALTERNATIVE to ``ngram_jaccard_pairs``'s full inverted
@@ -806,10 +910,17 @@ def ngram_jaccard_pairs_ppjoin(
         # Same measured broadcast policy as the index form: planning
         # happens at this one action; the reroute/dispatch callers pass
         # their already-measured stats, a direct caller measures the
-        # map-only stat here (see _broadcast_policy).
+        # map-only stat here (see _broadcast_policy). Overflow-reroute
+        # callers additionally thread the candidate mass that tripped
+        # their guard (``_exact_mass`` — the probed Σ df(df−1)/2, or
+        # the worst-case bound on the fast-dispatch path): a
+        # duplication-extreme small corpus has tiny posting mass but a
+        # huge verify-join intermediate, exactly the class the probe
+        # just flagged, and the posting bound alone would wave it into
+        # static planning (ADVICE r12).
         if _stats is None:
             _, _stats = choose_jaccard_strategy(df, text_col, n)
-        with _broadcast_policy(df.sparkSession, _stats):
+        with _broadcast_policy(df.sparkSession, _stats, exact_mass=_exact_mass):
             out = out.localCheckpoint(eager=True)
     finally:
         arr.unpersist()
@@ -1349,18 +1460,21 @@ def simhash_near_pairs(
         # the join's parallelism with the MEASURED output mass —
         # explicit numPartitions, which AQE never coalesces.
         _mass = None
+        _max_bucket = 0
         if max_candidate_pairs is not None or candidate_rows_per_task:
-            _mass = (
+            _probe = (
                 chunks.groupBy("_band", "_chunk")
                 .agg(F.count(F.lit(1)).alias("_m"))
                 .agg(
                     F.sum(
                         F.col("_m") * (F.col("_m") - 1) / F.lit(2)
-                    ).alias("_p")
+                    ).alias("_p"),
+                    F.max("_m").alias("_maxm"),
                 )
-                .collect()[0]["_p"]
+                .collect()[0]
             )
-            _mass = int(_mass or 0)
+            _mass = int(_probe["_p"] or 0)
+            _max_bucket = int(_probe["_maxm"] or 0)
         if max_candidate_pairs is not None and _mass > max_candidate_pairs:
             raise ValueError(
                 f"simhash_near_pairs: the band join would emit "
@@ -1371,21 +1485,78 @@ def simhash_near_pairs(
                 "their df caps. Pass max_candidate_pairs=None only for "
                 "a corpus you have sized."
             )
-        joinable = chunks
+        # Partition-scaling has a residual the hash repartition can't
+        # fix: repartition(parts, _band, _chunk) hash-partitions by the
+        # JOIN KEY, so all rows of one (band, chunk) bucket still land
+        # in one task — a corpus whose sub-cap mass is concentrated in
+        # one dominant duplicate family gets no added parallelism and
+        # can still exhaust a task's sort buffers (ADVICE r12). When
+        # the probe measures a single bucket whose own pair mass tops
+        # candidate_rows_per_task, SALT the triangle: the a-side gets
+        # one of g deterministic sub-groups (g = ceil(bucket pairs /
+        # rows_per_task), per bucket, g=1 everywhere benign), the
+        # b-side replicates across all g, and _salt joins alongside
+        # (band, chunk) — each ordered pair (a<b) appears exactly once
+        # under a's salt, so output semantics (and the dropDuplicates
+        # contract) are unchanged while the dominant bucket fans out
+        # into g tasks. b-side replication is bounded: m·g ≈
+        # m·mass_bucket/rows_per_task rows, ≤ ~63k·(cap/rpt) under the
+        # global guard — shuffle weight, not a blow-up.
+        _salted = (
+            candidate_rows_per_task
+            and _max_bucket * (_max_bucket - 1) // 2 > candidate_rows_per_task
+        )
+        if _salted:
+            bucket_g = (
+                chunks.groupBy("_band", "_chunk")
+                .agg(F.count(F.lit(1)).alias("_m"))
+                .select(
+                    "_band",
+                    "_chunk",
+                    F.greatest(
+                        F.lit(1),
+                        F.least(
+                            F.lit(4096),
+                            F.ceil(
+                                F.col("_m") * (F.col("_m") - 1)
+                                / F.lit(2)
+                                / F.lit(candidate_rows_per_task)
+                            ),
+                        ),
+                    ).cast("int").alias("_g"),
+                )
+            )
+            withg = chunks.join(bucket_g, ["_band", "_chunk"])
+            a_side = withg.withColumn(
+                "_salt", F.pmod(F.xxhash64("_id"), F.col("_g")).cast("int")
+            ).drop("_g")
+            b_side = withg.withColumn(
+                "_salt", F.explode(F.sequence(F.lit(0), F.col("_g") - 1))
+            ).drop("_g")
+        else:
+            a_side = b_side = chunks
         if _mass is not None and candidate_rows_per_task:
             par = df.sparkSession.sparkContext.defaultParallelism
             parts = max(par, min(4096, -(-_mass // candidate_rows_per_task)))
             if parts > par:
-                joinable = chunks.repartition(parts, "_band", "_chunk")
-        a, b = joinable.alias("a"), joinable.alias("b")
+                keys = ["_band", "_chunk"] + (["_salt"] if _salted else [])
+                a_side = a_side.repartition(parts, *keys)
+                # unsalted sides are the same plan — keep them ONE
+                # object so the exchange is reused, not rebuilt
+                b_side = (
+                    b_side.repartition(parts, *keys) if _salted else a_side
+                )
+        a, b = a_side.alias("a"), b_side.alias("b")
         ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+        cond = (
+            (F.col("a._band") == F.col("b._band"))
+            & (F.col("a._chunk") == F.col("b._chunk"))
+            & (F.col("a._id") < F.col("b._id"))
+        )
+        if _salted:
+            cond = cond & (F.col("a._salt") == F.col("b._salt"))
         out = (
-            a.join(
-                b,
-                (F.col("a._band") == F.col("b._band"))
-                & (F.col("a._chunk") == F.col("b._chunk"))
-                & (F.col("a._id") < F.col("b._id")),
-            )
+            a.join(b, cond)
             .filter(ham <= max_hamming)
             .select(
                 F.col("a._id").alias("doc_a"),

@@ -129,6 +129,67 @@ def test_jaccard_on_overflow_validated(boiler_docs):
         dedup.ngram_jaccard_pairs(boiler_docs, on_overflow="retry")
 
 
+@pytest.fixture()
+def boiler_plus_dups_docs(spark):
+    """12 docs all sharing one boilerplate 3-shingle (drives the guard
+    mass: 66 pairs) PLUS 6 true near-dup twin pairs sharing low-df
+    content shingles — the corpus where the boilerplate cap keeps the
+    real signal while shedding the quadratic term."""
+    rows = [
+        (i, f"terms of service pair{i // 2} content{i // 2} "
+            f"words{i // 2} tail{i}")
+        for i in range(12)
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_jaccard_reroute_capped_dispatches_to_ratio_cap(boiler_plus_dups_docs):
+    """on_overflow='reroute_capped' is the WALL-BUDGET tier (VERDICT
+    r12 #1): above the cap the edges come from the df-ratio-capped
+    index — identical rows to a direct max_df_ratio call — instead of
+    the exact PPJoin twin (685 s at sf10 for the registered closure).
+    True near-dup pairs survive; only boilerplate-evidence-only pairs
+    drop."""
+    direct_capped = dedup.ngram_jaccard_pairs(
+        boiler_plus_dups_docs, n=3, threshold=0.1, max_df_ratio=0.25
+    ).collect()
+    assert len(direct_capped) == 6  # the true twins, never the 66
+    rerouted = dedup.ngram_jaccard_pairs(
+        boiler_plus_dups_docs, n=3, threshold=0.1,
+        max_candidate_pairs=20, on_overflow="reroute_capped",
+        reroute_df_ratio=0.25,
+    ).collect()
+    assert sorted(map(tuple, rerouted)) == sorted(map(tuple, direct_capped))
+
+
+def test_jaccard_reroute_capped_below_cap_stays_exact(boiler_plus_dups_docs):
+    """Below the cap reroute_capped changes NOTHING: same exact plan,
+    same rows as the unguarded index form — the gate SFs sit here."""
+    exact = dedup.ngram_jaccard_pairs(
+        boiler_plus_dups_docs, n=3, threshold=0.1, max_candidate_pairs=None
+    ).collect()
+    assert len(exact) == 66  # every pair shares the boilerplate shingle
+    guarded = dedup.ngram_jaccard_pairs(
+        boiler_plus_dups_docs, n=3, threshold=0.1,
+        max_candidate_pairs=1000, on_overflow="reroute_capped",
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, exact))
+
+
+def test_jaccard_reroute_capped_still_raises_when_capped_mass_over(
+    boiler_plus_dups_docs,
+):
+    """A corpus whose CAPPED mass still tops the cap needs the banded
+    MinHash path — reroute_capped must refuse with the sized message,
+    never silently attempt the join or re-reroute."""
+    with pytest.raises(ValueError, match="candidate pairs"):
+        dedup.ngram_jaccard_pairs(
+            boiler_plus_dups_docs, n=3, threshold=0.1,
+            max_candidate_pairs=5, on_overflow="reroute_capped",
+            reroute_df_ratio=0.25,
+        )
+
+
 @pytest.fixture(scope="module")
 def mixed_vecs(spark):
     """100 seeded-random dim-8 vectors plus 3 exact clone pairs. At
@@ -355,3 +416,48 @@ def test_simhash_mass_scaled_repartition_keeps_answers(spark):
     ).collect()
     assert sorted(map(tuple, scaled)) == sorted(map(tuple, plain))
     assert len(plain) > 0
+
+
+def test_simhash_dominant_bucket_salting_keeps_answers(spark):
+    """The hash repartition can't split ONE oversized (band, chunk)
+    bucket — all its rows share the join key, so a corpus whose
+    candidate mass is concentrated in a single dominant duplicate
+    family still funnels into one task (ADVICE r12). When the probe
+    measures a bucket whose own pair mass tops rows-per-task, the
+    triangle is salted: a-side bucketed into g sub-groups, b-side
+    replicated across them, _salt joined alongside the band keys.
+    Answers must be identical to the unsalted plan — every ordered
+    pair surfaces exactly once under the a-row's salt."""
+    # ONE duplicate family: every doc identical -> a single dominant
+    # bucket per band; 24 docs -> 276 pairs per bucket >> rpt=5.
+    rows = [(i, "identical corpus boilerplate body text") for i in range(24)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    salted = dedup.simhash_near_pairs(
+        docs, max_hamming=3, candidate_rows_per_task=5
+    ).collect()
+    plain = dedup.simhash_near_pairs(
+        docs, max_hamming=3, candidate_rows_per_task=0
+    ).collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, plain))
+    assert len(plain) == 24 * 23 // 2  # all-pairs at hamming 0
+
+
+def test_byte_conf_suffix_parsing():
+    """_broadcast_policy's threshold parse must understand Spark's
+    unit-suffixed byte strings ('64m', '10MB', '1g') — int() alone
+    sent every suffixed session into the runtime-only conf and its
+    ~0.8 s stage-boundary cost even for measurably tiny corpora
+    (ADVICE r12)."""
+    f = dedup._byte_conf_to_int
+    assert f("67108864") == 64 * 1024 * 1024
+    assert f("64m") == 64 * 1024 * 1024
+    assert f("64MB") == 64 * 1024 * 1024
+    assert f("10mb") == 10 * 1024 * 1024
+    assert f("1g") == 1 << 30
+    assert f("1GB") == 1 << 30
+    assert f("512k") == 512 * 1024
+    assert f("2t") == 2 << 40
+    assert f("-1") == -1
+    assert f(None) == -1
+    assert f("nonsense") == -1
+    assert f("") == -1
