@@ -173,8 +173,21 @@ def main() -> None:
         spark.range(1000).selectExpr("sum(id)").collect()
 
     # Interleaved reps: all queries once, then again, REPS times total.
+    # The final rep runs under the codegen steady-state check: by then
+    # every plan has compiled once, so ANY Janino compile during it
+    # means the class cache is undersized for the catalog — the silent
+    # ~33% failure mode of BENCH_codegen_cache_r12.json, now asserted
+    # on every bench run instead of rediscovered by wall clock
+    # (VERDICT r12 #4).
+    from adguard2clickhouse_spark.streaming.monitor import (
+        CodegenSteadyStateCheck,
+    )
+
+    codegen_chk = None
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
     for _rep in range(REPS):
+        if _rep == REPS - 1:
+            codegen_chk = CodegenSteadyStateCheck(spark).begin()
         for name in BENCH_QUERIES:
             t0 = time.time()
             df = qs[name](spark, sf_dir)
@@ -185,6 +198,10 @@ def main() -> None:
             # the R1_BASE method note + BENCH_sink_method_r11.json).
             df.write.mode("overwrite").format("noop").save()
             runs[name].append(round(time.time() - t0, 3))
+
+    codegen_warning = codegen_chk.end() if codegen_chk is not None else None
+    if codegen_warning:
+        print(codegen_warning, file=sys.stderr)
 
     timings = {name: round(statistics.median(r), 3) for name, r in runs.items()}
 
@@ -209,6 +226,9 @@ def main() -> None:
                 "host_calibration_sec": calibration,
                 "calibration_ref_sec": CALIBRATION_REF,
                 "value_normalized": round(total * norm, 3),
+                "codegen_steady_state": (
+                    codegen_chk.delta if codegen_chk is not None else None
+                ),
                 "queries_normalized": {
                     name: round(secs * norm, 3) for name, secs in timings.items()
                 },
