@@ -24,13 +24,21 @@ the identical exactly-once semantics over s3://…/abfss:// paths:
   ``max_fold_slots`` are accepted and ignored: OPTIMIZE is already
   incremental (it bin-packs only under-sized files).
 
-STATUS: exercised by the delta-gated leg of
-``tests/test_fact_sink_contract.py`` — ``delta-spark`` is NOT
-installed in this build sandbox, so that leg has never run here; the
-class refuses to construct without it rather than pretending (the
-same hard-error policy as the multimodal decode stubs). Run the
-contract suite on a cluster image with delta-spark before relying on
-it.
+ARCHITECTURE (r13, VERDICT r12 #2): everything that touches
+delta-spark lives behind ``DeltaCommitLayer`` — five thin calls
+(is_table / history_user_metadata / write / read / optimize_compact)
+with Delta's documented commit semantics. The sink's OWN logic —
+ledger scoping, epoch/token idempotence, hwm, generation bumps,
+empty-epoch commits — is pure Python over that seam, so the sandbox
+(which has no delta-spark and cannot pip-install it) executes it
+under the contract suite against a faithful fake commit layer
+(``tests/test_fact_sink_contract.py::FakeDeltaCommitLayer``: atomic
+versioned commits over parquet, txnAppId/txnVersion no-op guard,
+foreign dataChange=false commits, crash injection between data write
+and commit record). The REAL layer remains delta-spark verbatim and
+still hard-errors when the package is missing — it has never run in
+this sandbox and says so; run the suite on a cluster image with
+delta-spark before relying on it.
 """
 
 from __future__ import annotations
@@ -46,14 +54,27 @@ _MAX_TRACKED = 1000
 _LEDGER_KEY = "adguard2clickhouse_spark_ledger_v1"
 
 
-class DeltaFactSink(FactSink):
-    def __init__(
-        self,
-        path: str,
-        partition_by: list[str] | None = None,
-        sort_within: list[str] | None = None,
-        stream_id: str | None = None,
-    ):
+class DeltaCommitLayer:
+    """The exact delta-spark surface ``DeltaFactSink`` consumes.
+
+    Semantics a substitute layer must honor (these are Delta's own,
+    and the fake in the contract suite implements them):
+
+    - ``write`` is ATOMIC: either a new table version exists carrying
+      ``user_metadata`` (and the data change), or nothing does.
+    - When ``txn_app_id``/``txn_version`` are passed and the table has
+      already recorded a version ≥ ``txn_version`` for that app id,
+      the ENTIRE commit no-ops (Delta idempotent writes) — including
+      the userMetadata.
+    - ``history_user_metadata`` returns one entry per commit, newest
+      first, ``None`` for commits without userMetadata (foreign
+      writers, OPTIMIZE).
+    - ``optimize_compact`` rewrites files without changing table
+      content (dataChange=false) and makes its own commit WITHOUT
+      userMetadata.
+    """
+
+    def __init__(self):
         if importlib.util.find_spec("delta") is None:
             raise ImportError(
                 "DeltaFactSink needs the delta-spark package (and a "
@@ -62,6 +83,84 @@ class DeltaFactSink(FactSink):
                 "environment — use the default LedgeredFactSink on "
                 "local paths, or install delta-spark on the cluster."
             )
+
+    def is_table(self, spark: SparkSession, path: str) -> bool:
+        from delta.tables import DeltaTable
+
+        return DeltaTable.isDeltaTable(spark, path)
+
+    def history_user_metadata(self, spark: SparkSession, path: str) -> list:
+        from delta.tables import DeltaTable
+
+        t = DeltaTable.forPath(spark, path)
+        return [
+            row["userMetadata"]
+            for row in t.history().select("userMetadata").collect()
+        ]
+
+    def write(
+        self,
+        df: DataFrame,
+        path: str,
+        *,
+        mode: str,
+        user_metadata: str,
+        partition_by: list[str],
+        sort_within: list[str],
+        txn_app_id: str | None = None,
+        txn_version: int | None = None,
+        overwrite_schema: bool = False,
+    ) -> None:
+        out = df
+        if sort_within:
+            out = out.sortWithinPartitions(*sort_within)
+        w = (
+            out.write.format("delta")
+            .mode(mode)
+            .option("userMetadata", user_metadata)
+            # the contract allows schema evolution across epochs
+            # (test_contract_merge_schema_read_spans_evolution); plain
+            # Delta appends REJECT new columns without this option
+            .option("mergeSchema", "true")
+        )
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        if txn_app_id is not None:
+            w = w.option("txnAppId", txn_app_id).option(
+                "txnVersion", txn_version
+            )
+        if overwrite_schema:
+            w = w.option("overwriteSchema", "true")
+        w.save(path)
+
+    def read(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.format("delta").load(path)
+
+    def optimize_compact(self, spark: SparkSession, path: str) -> int:
+        from delta.tables import DeltaTable
+
+        t = DeltaTable.forPath(spark, path)
+        metrics = t.optimize().executeCompaction()
+        try:
+            row = metrics.collect()[0]
+            return int(row["metrics"]["numFilesRemoved"])
+        except Exception:  # noqa: BLE001 — metrics shape varies by version
+            return 0
+
+
+class DeltaFactSink(FactSink):
+    def __init__(
+        self,
+        path: str,
+        partition_by: list[str] | None = None,
+        sort_within: list[str] | None = None,
+        stream_id: str | None = None,
+        commit_layer: DeltaCommitLayer | None = None,
+    ):
+        # Constructing the default layer hard-errors without
+        # delta-spark (never fakes); an injected layer carries its own
+        # guarantees (the contract suite's fake documents them).
+        self._io = commit_layer if commit_layer is not None else DeltaCommitLayer()
         self.path = path
         self.partition_by = list(partition_by or [])
         self.sort_within = list(sort_within or [])
@@ -77,21 +176,12 @@ class DeltaFactSink(FactSink):
             "stream_id": None,
         }
 
-    def _table(self, spark: SparkSession):
-        from delta.tables import DeltaTable
-
-        if not DeltaTable.isDeltaTable(spark, self.path):
-            return None
-        return DeltaTable.forPath(spark, self.path)
-
     def _ledger(self, spark: SparkSession) -> dict:
         """Most recent commit carrying this sink's ledger; foreign
         commits in between are skipped (ours always re-carry it)."""
-        t = self._table(spark)
-        if t is None:
+        if not self._io.is_table(spark, self.path):
             return self._empty_ledger()
-        for row in t.history().select("userMetadata").collect():
-            meta = row["userMetadata"]
+        for meta in self._io.history_user_metadata(spark, self.path):
             if not meta:
                 continue
             try:
@@ -122,19 +212,6 @@ class DeltaFactSink(FactSink):
 
     def _user_metadata(self, ledger: dict) -> str:
         return json.dumps({_LEDGER_KEY: ledger})
-
-    def _writer(self, df: DataFrame, ledger: dict, mode: str):
-        out = df
-        if self.sort_within:
-            out = out.sortWithinPartitions(*self.sort_within)
-        w = (
-            out.write.format("delta")
-            .mode(mode)
-            .option("userMetadata", self._user_metadata(ledger))
-        )
-        if self.partition_by:
-            w = w.partitionBy(*self.partition_by)
-        return w
 
     # -- contract ----------------------------------------------------------
     def append(
@@ -167,15 +244,24 @@ class DeltaFactSink(FactSink):
         # a Delta version is found skipping empty commits, write the
         # ledger via an explicit no-op commit instead. This is exactly
         # the behavior test_contract_empty_epoch_records_id pins.
-        w = self._writer(df, ledger, "append")
-        if epoch_id is not None:
-            # belt + suspenders: Delta's own idempotent-writes guard
-            # (covers a concurrent writer this driver-side ledger
-            # read-modify-write cannot see)
-            w = w.option(
-                "txnAppId", self.stream_id or f"facts:{self.path}"
-            ).option("txnVersion", epoch_id)
-        w.save(self.path)
+        #
+        # txnAppId/txnVersion (epoch appends only): belt + suspenders —
+        # Delta's own idempotent-writes guard covers a concurrent
+        # writer this driver-side ledger read-modify-write cannot see.
+        self._io.write(
+            df,
+            self.path,
+            mode="append",
+            user_metadata=self._user_metadata(ledger),
+            partition_by=self.partition_by,
+            sort_within=self.sort_within,
+            txn_app_id=(
+                (self.stream_id or f"facts:{self.path}")
+                if epoch_id is not None
+                else None
+            ),
+            txn_version=epoch_id,
+        )
         return True
 
     def applied(self, epoch_id: int) -> bool:
@@ -201,27 +287,30 @@ class DeltaFactSink(FactSink):
         dirs-list. The emptiness probe is one take(1) job; mergeSchema
         is native to Delta (the snapshot schema already spans
         evolution)."""
-        if self._table(spark) is None:
+        if not self._io.is_table(spark, self.path):
             return None
-        df = spark.read.format("delta").load(self.path)
+        df = self._io.read(spark, self.path)
         return df if df.take(1) else None
 
     def has_data(self) -> bool:
         spark = SparkSession.getActiveSession()
-        t = self._table(spark)
-        if t is None:
+        if not self._io.is_table(spark, self.path):
             return False
-        return bool(t.toDF().take(1))
+        return bool(self._io.read(spark, self.path).take(1))
 
     def replace(self, df: DataFrame, bump_generation: bool = False) -> None:
         spark = df.sparkSession
         ledger = self._ledger(spark)
         if bump_generation:
             ledger["generation"] += 1
-        (
-            self._writer(df, ledger, "overwrite")
-            .option("overwriteSchema", "true")
-            .save(self.path)
+        self._io.write(
+            df,
+            self.path,
+            mode="overwrite",
+            user_metadata=self._user_metadata(ledger),
+            partition_by=self.partition_by,
+            sort_within=self.sort_within,
+            overwrite_schema=True,
         )
 
     def generation(self) -> int:
@@ -236,12 +325,6 @@ class DeltaFactSink(FactSink):
     ) -> int:
         if max_fold_slots is not None and max_fold_slots < 2:
             raise ValueError("max_fold_slots must be >= 2")
-        t = self._table(spark)
-        if t is None:
+        if not self._io.is_table(spark, self.path):
             return 0
-        metrics = t.optimize().executeCompaction()
-        try:
-            row = metrics.collect()[0]
-            return int(row["metrics"]["numFilesRemoved"])
-        except Exception:  # noqa: BLE001 — metrics shape varies by version
-            return 0
+        return self._io.optimize_compact(spark, self.path)

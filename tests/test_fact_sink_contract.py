@@ -125,7 +125,96 @@ class InMemoryFactSink(FactSink):
         return k
 
 
-_PARAMS = ["ledgered", "memory"]
+class FakeDeltaCommitLayer:
+    """Faithful in-memory emulation of ``DeltaCommitLayer``'s five-call
+    surface, honoring the semantics its docstring documents (they are
+    Delta's own):
+
+    - atomic versioned commits (either the commit record AND the data
+      change land, or neither — the crash hook raises after the data
+      "files" are produced but before the commit is recorded, which a
+      reader must never observe);
+    - ``txnAppId``/``txnVersion`` idempotent-writes guard: a version
+      ≤ the highest recorded for that app id no-ops the ENTIRE commit
+      (userMetadata included);
+    - history newest-first with ``None`` for commits carrying no
+      userMetadata (foreign writers, OPTIMIZE);
+    - ``optimize_compact`` merges file groups without changing content
+      and records a userMetadata-less (foreign-looking) commit.
+
+    This is what lets DeltaFactSink's ledger scoping, txn idempotence
+    and generation-bump logic EXECUTE in a sandbox without delta-spark
+    (VERDICT r12 #2); the real layer stays delta-spark verbatim.
+    """
+
+    def __init__(self):
+        self.tables: dict = {}
+        self.crash_next_commit = False
+
+    def _t(self, path):
+        return self.tables.setdefault(
+            path, {"commits": [], "data": [], "txn": {}}
+        )
+
+    def is_table(self, spark, path) -> bool:
+        return path in self.tables
+
+    def history_user_metadata(self, spark, path) -> list:
+        return [
+            c["userMetadata"] for c in reversed(self.tables[path]["commits"])
+        ]
+
+    def write(self, df, path, *, mode, user_metadata, partition_by,
+              sort_within, txn_app_id=None, txn_version=None,
+              overwrite_schema=False):
+        t = self._t(path)
+        if txn_app_id is not None:
+            last = t["txn"].get(txn_app_id)
+            if last is not None and txn_version <= last:
+                return  # Delta idempotent writes: whole commit no-ops
+        rows = df.collect()  # "data files written to storage"
+        if self.crash_next_commit:
+            self.crash_next_commit = False
+            raise RuntimeError(
+                "injected crash: data staged, commit never recorded"
+            )
+        # -- the atomic commit: all bookkeeping lands together --------
+        if mode == "overwrite":
+            t["data"] = [(rows, df.schema)] if rows else []
+        elif rows:
+            t["data"].append((rows, df.schema))
+        t["commits"].append({"userMetadata": user_metadata, "mode": mode})
+        if txn_app_id is not None:
+            t["txn"][txn_app_id] = max(
+                txn_version, t["txn"].get(txn_app_id, txn_version)
+            )
+
+    def read(self, spark, path):
+        t = self.tables[path]
+        if not t["data"]:
+            return spark.createDataFrame([], "___empty STRING")
+        dfs = [
+            spark.createDataFrame(rows, schema) for rows, schema in t["data"]
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        return out
+
+    def optimize_compact(self, spark, path) -> int:
+        t = self.tables[path]
+        n = len(t["data"])
+        if n <= 1:
+            return 0
+        merged = [r for rows, _ in t["data"] for r in rows]
+        t["data"] = [(merged, t["data"][0][1])]
+        # OPTIMIZE commits carry no userMetadata (a foreign-looking
+        # commit the ledger reader must skip over)
+        t["commits"].append({"userMetadata": None, "mode": "optimize"})
+        return n
+
+
+_PARAMS = ["ledgered", "memory", "delta_mock"]
 if importlib.util.find_spec("delta"):  # gated live leg (not in sandbox)
     _PARAMS.append("delta")
 
@@ -133,6 +222,7 @@ if importlib.util.find_spec("delta"):  # gated live leg (not in sandbox)
 @pytest.fixture(params=_PARAMS)
 def make_sink(request, tmp_path):
     counter = {"n": 0}
+    fake_layer = FakeDeltaCommitLayer()  # shared: one "storage" per test
 
     def _make(**kw):
         counter["n"] += 1
@@ -143,6 +233,10 @@ def make_sink(request, tmp_path):
             from adguard2clickhouse_spark.sinks.delta import DeltaFactSink
 
             return DeltaFactSink(path, **kw)
+        if request.param == "delta_mock":
+            from adguard2clickhouse_spark.sinks.delta import DeltaFactSink
+
+            return DeltaFactSink(path, commit_layer=fake_layer, **kw)
         return InMemoryFactSink(path, **kw)
 
     return _make
@@ -279,6 +373,110 @@ def test_pipeline_accepts_sink_factory(tmp_path, spark):
     # the default stays the ledgered local sink
     pipe2 = QuerylogPipeline(spark, str(src), str(tmp_path / "out2"))
     assert isinstance(pipe2.log2_sink, LedgeredFactSink)
+
+
+def _mock_delta_sink(tmp_path, **kw):
+    from adguard2clickhouse_spark.sinks.delta import DeltaFactSink
+
+    layer = kw.pop("layer", None) or FakeDeltaCommitLayer()
+    return DeltaFactSink(str(tmp_path / "t"), commit_layer=layer, **kw), layer
+
+
+def test_delta_crash_between_data_and_commit_is_exactly_once(tmp_path, spark):
+    """Crash injection on the Delta leg: the commit layer dies AFTER
+    the data files are staged but BEFORE the commit record lands.
+    Delta's atomicity means a reader never sees the orphan files and
+    the ledger (it rides the commit) never records the epoch — so the
+    retry must both succeed and produce the rows exactly once."""
+    sink, layer = _mock_delta_sink(tmp_path)
+    assert sink.append(_df(spark, [1]), epoch_id=0) is True
+    layer.crash_next_commit = True
+    with pytest.raises(RuntimeError, match="injected crash"):
+        sink.append(_df(spark, [2]), epoch_id=1)
+    assert not sink.applied(1)  # the epoch was never recorded
+    assert _ids(sink.read(spark)) == [1]  # orphan data invisible
+    assert sink.append(_df(spark, [2]), epoch_id=1) is True  # retry
+    assert _ids(sink.read(spark)) == [1, 2]
+    assert sink.applied(1)
+
+
+def test_delta_txn_guard_covers_concurrent_writer(tmp_path, spark):
+    """Two writers with the same stream identity race the same epoch:
+    writer B commits epoch 1 after writer A read its (now stale)
+    ledger. A's driver-side read-modify-write cannot see B's commit —
+    exactly the hole Delta's txnAppId/txnVersion idempotent-writes
+    guard exists for: A's entire commit must no-op, leaving the rows
+    exactly once."""
+    layer = FakeDeltaCommitLayer()
+    a, _ = _mock_delta_sink(tmp_path, stream_id="q-one", layer=layer)
+    b, _ = _mock_delta_sink(tmp_path, stream_id="q-one", layer=layer)
+    assert a.append(_df(spark, [1]), epoch_id=0) is True
+    # B wins the race for epoch 1 (A has already read hwm=0)
+    assert b.append(_df(spark, [2]), epoch_id=1) is True
+    # Simulate A's stale attempt by bypassing its fresh ledger read:
+    # call the layer exactly as A's append would have after its stale
+    # read (epochs=[0,1], data row 2 again, txnVersion=1).
+    import json as _json
+
+    stale_ledger = {
+        "adguard2clickhouse_spark_ledger_v1": {
+            "epochs": [0, 1], "epoch_hwm": 1, "tokens": [],
+            "generation": 0, "stream_id": "q-one",
+        }
+    }
+    layer.write(
+        _df(spark, [2]), a.path, mode="append",
+        user_metadata=_json.dumps(stale_ledger), partition_by=[],
+        sort_within=[], txn_app_id="q-one", txn_version=1,
+    )
+    assert _ids(a.read(spark)) == [1, 2]  # NOT [1, 2, 2]
+    assert a.applied(1)
+    # and the sink-level retry path agrees (fresh ledger read)
+    assert a.append(_df(spark, [2]), epoch_id=1) is False
+
+
+def test_delta_foreign_commits_do_not_disturb_ledger(tmp_path, spark):
+    """OPTIMIZE (or any foreign tool) interleaves commits that carry
+    no userMetadata; the ledger reader must skip them and keep the
+    most recent commit that carries one."""
+    sink, layer = _mock_delta_sink(tmp_path)
+    sink.append(_df(spark, [1]), epoch_id=0, token="t0")
+    sink.append(_df(spark, [2]), epoch_id=1)
+    assert layer.optimize_compact(spark, sink.path) == 2  # foreign commit
+    assert sink.applied(0) and sink.applied(1)
+    assert sink.applied_token("t0")
+    assert sink.append(_df(spark, [9]), epoch_id=1) is False
+    assert _ids(sink.read(spark)) == [1, 2]
+    # ledger-carrying commits resume cleanly after the foreign one
+    assert sink.append(_df(spark, [3]), epoch_id=2) is True
+    assert sink.applied(2)
+
+
+def test_delta_generation_survives_foreign_and_crash(tmp_path, spark):
+    """Generation bumps ride the overwrite commit atomically: a crash
+    during the swap leaves BOTH the old content and the old generation
+    (never a half-applied bump)."""
+    sink, layer = _mock_delta_sink(tmp_path)
+    sink.append(_df(spark, [1, 2]), epoch_id=0)
+    layer.crash_next_commit = True
+    with pytest.raises(RuntimeError):
+        sink.replace(_df(spark, [5]), bump_generation=True)
+    assert sink.generation() == 0
+    assert _ids(sink.read(spark)) == [1, 2]
+    sink.replace(_df(spark, [5]), bump_generation=True)
+    assert sink.generation() == 1
+    assert _ids(sink.read(spark)) == [5]
+
+
+def test_delta_default_layer_hard_errors_without_package(tmp_path):
+    """Without an injected layer the sink must refuse to construct in
+    this sandbox (delta-spark absent) — never fake the real backend."""
+    if importlib.util.find_spec("delta"):
+        pytest.skip("delta-spark present: the live leg runs instead")
+    from adguard2clickhouse_spark.sinks.delta import DeltaFactSink
+
+    with pytest.raises(ImportError, match="delta-spark"):
+        DeltaFactSink(str(tmp_path / "t"))
 
 
 def test_contract_merge_schema_read_spans_evolution(make_sink, spark):
