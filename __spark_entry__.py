@@ -2822,7 +2822,16 @@ def q_split_leakage_safe(spark, sf_dir):
     cannot prevent (two near-dups have independent ids, hence
     independent buckets). Singletons degenerate to x7_hash_split on
     their own id. Oracle: the x1_dedup_clusters recursive-CTE closure
-    plus the identical md5-bucket arithmetic on the component."""
+    plus the identical md5-bucket arithmetic on the component.
+
+    Edge build under the wall-budget policy (r13, with
+    x1_dedup_clusters): above the candidate cap the edges come from
+    the df-ratio-capped index instead of the exact PPJoin twin (which
+    ran 454 s at sf10/8 GB for this query). For SPLIT ASSIGNMENT the
+    capped semantics are the right trade: the only merges that can be
+    lost are pairs whose entire similarity evidence is >1%-of-corpus
+    boilerplate — not near-dups a leakage audit should chain on.
+    Below the cap (all gate SFs): identical plan, oracle, hash."""
     from adguard2clickhouse_spark.operators.graph import connected_components
     from adguard2clickhouse_spark.operators.sampling import (
         hash_bucket,
@@ -2831,7 +2840,7 @@ def q_split_leakage_safe(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     pairs = dedup.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.8, on_overflow="reroute"
+        docs, n=3, threshold=0.8, on_overflow="reroute_capped"
     )
     comp = connected_components(docs.select("doc_id"), pairs)
     out = with_split_leakage_safe(docs.select("doc_id"), comp)
@@ -3523,12 +3532,14 @@ def q_pagerank(spark, sf_dir):
     from adguard2clickhouse_spark.operators.graph import pagerank
 
     docs = _t(spark, sf_dir, "documents")
-    # reroute like x1_dedup_clusters: above the candidate cap the edge
-    # build dispatches to the exact PPJoin twin instead of refusing —
-    # measured in the r12 default-8GB sf10 sweep, the raise left this
-    # the one registered query that couldn't run at that scale.
+    # wall-budget policy like x1_dedup_clusters (r13): above the
+    # candidate cap the edge build dispatches to the df-ratio-capped
+    # index (the r12 'reroute' kept exactness but paid 528 s at
+    # sf10/8 GB). For an IMPORTANCE ranking over the near-dup graph,
+    # edges whose entire evidence is corpus boilerplate are noise the
+    # cap is designed to shed. Below the cap: identical plan/rows.
     pairs = dedup.ngram_jaccard_pairs(
-        docs, n=3, threshold=0.8, on_overflow="reroute"
+        docs, n=3, threshold=0.8, on_overflow="reroute_capped"
     )
     pr = pagerank(docs.select("doc_id"), pairs, n_iters=6)
     return pr.select(
