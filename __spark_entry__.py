@@ -2852,6 +2852,37 @@ def q_split_leakage_safe(spark, sf_dir):
     )
 
 
+def q_split_leakage_safe_minhash(spark, sf_dir):
+    """X7 leakage-safe split, PRODUCTION-SCALE edges: identical split
+    semantics to x7_split_leakage_safe but with the near-dup graph
+    built from portable MinHash-LSH candidate pairs instead of exact
+    Jaccard. Why it exists (r13, measured): at sf100 (5M docs) the
+    marker corpus's exact candidate mass is 2.07e11 pairs and even the
+    df-ratio cap sheds nothing (duplication there is family-structure,
+    not boilerplate df), so the whole exact-Jaccard edge family
+    correctly refuses — while the banded MinHash path completes the
+    same corpus in ~51 s (BENCH_sf100_default_session_r13.json). This
+    is the variant a 100 TB pipeline actually runs; every stage (md5
+    minhash, banding, candidate join, closure, md5 bucket split)
+    replays bit-identically in the DuckDB oracle."""
+    from adguard2clickhouse_spark.operators.graph import connected_components
+    from adguard2clickhouse_spark.operators.sampling import (
+        hash_bucket,
+        with_split_leakage_safe,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, portable=True).select("doc_a", "doc_b")
+    comp = connected_components(docs.select("doc_id"), pairs)
+    out = with_split_leakage_safe(docs.select("doc_id"), comp)
+    return out.select(
+        "doc_id",
+        F.col("component").cast("long").alias("component"),
+        hash_bucket("component").alias("bucket"),
+        "split",
+    )
+
+
 def q_shard_export(spark, sf_dir):
     """X7 export under the hash gate: md5-split documents are written
     through the REAL shard sink (repartitioned by id-hash, split-
@@ -3793,6 +3824,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x4_bm25_topk": q_bm25_topk,
         "x7_hash_split": q_hash_split,
         "x7_split_leakage_safe": q_split_leakage_safe,
+        "x7_split_leakage_safe_minhash": q_split_leakage_safe_minhash,
         "x7_shard_export": q_shard_export,
         "x7_kfold": q_kfold,
         "x7_stratified_sample": q_stratified_sample,
@@ -4074,6 +4106,27 @@ def _minhash_clusters_oracle(num_hashes: int = 16, bands: int = 4) -> str:
         "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u) "
         "SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component "
         "FROM reach GROUP BY u"
+    )
+
+
+def _minhash_split_oracle(num_hashes: int = 16, bands: int = 4) -> str:
+    """DuckDB twin of q_split_leakage_safe_minhash: the MinHash-LSH
+    closure of _minhash_clusters_oracle plus the identical md5-bucket
+    split arithmetic of x7_split_leakage_safe."""
+    ctes, _ = _minhash_md5_parts(num_hashes, bands)
+    return (
+        f"WITH RECURSIVE {ctes}, "
+        "edges AS (SELECT da AS u, db AS v FROM pairs "
+        "UNION SELECT db, da FROM pairs), "
+        "reach(u, r) AS (SELECT doc_id, doc_id FROM documents "
+        "UNION SELECT e.u, reach.r FROM edges e JOIN reach ON e.v = reach.u), "
+        "comp AS (SELECT u AS doc_id, CAST(min(r) AS BIGINT) AS component "
+        "FROM reach GROUP BY u), "
+        "bk AS (SELECT doc_id, component, "
+        "CAST((('0x' || substring(md5(CAST(component AS VARCHAR)), 1, 8))::BIGINT) "
+        "% 10000 AS INT) AS bucket FROM comp) "
+        "SELECT doc_id, component, bucket, CASE WHEN bucket < 500 THEN 'val' "
+        "WHEN bucket < 1000 THEN 'test' ELSE 'train' END AS split FROM bk"
     )
 
 
@@ -5379,6 +5432,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "x2_minhash_lsh_md5": _minhash_md5_oracle(),
         "x2_near_dedup_clusters": _minhash_clusters_oracle(),
+        "x7_split_leakage_safe_minhash": _minhash_split_oracle(),
         "x2_edit_distance": (
             "WITH t AS (SELECT doc_id, source, substring(text, 1, 40) AS s "
             "FROM documents) "
