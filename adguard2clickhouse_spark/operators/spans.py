@@ -61,9 +61,27 @@ def repeated_span_scrub(
         F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
     )
     hash_fn = _positional_shingle_md5 if portable else _positional_shingle_hashes
+    from pyspark.storagelevel import StorageLevel
+
+    # DISK_ONLY, not the default MEMORY_AND_DISK: kg is the CORPUS-
+    # SCALE exploded positional k-gram frame (one row per token
+    # position — ~1e9 rows at sf100, larger than the corpus itself),
+    # and the r13 default-8GB sweep caught the memory-backed cache
+    # killing the query with a heap OOM at that size (columnar batch
+    # build + the window sort racing for the same 8 GB; GCLocker
+    # humongous-allocation churn even when it survived —
+    # BENCH_sf100_default_session_r13.json, reproduced dedicated).
+    # The frame feeds two consumers (the df filter and the join), so
+    # it must not recompute — but at 100 TB an in-memory cache of a
+    # larger-than-corpus frame can never fit ANY heap; local-disk
+    # blocks are the only storage level that scales with it. Measured
+    # at sf100/8 GB: OOM → 164 s; sf10 wall 36.3 → 29.4 s (the GC
+    # churn cost more than the disk round-trip even when it survived).
     kg = toks.select(
         "_id", F.posexplode(hash_fn(F.col("_toks"), k)).alias("_p0", "_h")
-    ).select("_id", (F.col("_p0") + 1).alias("_p"), "_h").persist()
+    ).select("_id", (F.col("_p0") + 1).alias("_p"), "_h").persist(
+        StorageLevel.DISK_ONLY
+    )
     try:
         dup = kg.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).filter(
             F.col("_c") >= min_df
