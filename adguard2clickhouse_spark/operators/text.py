@@ -238,6 +238,8 @@ def common_ngram_density(
         shingle_hashes_from_tokens,
     )
 
+    from pyspark.storagelevel import StorageLevel
+
     sh = df.select(
         F.col(id_col).alias("_id"),
         F.explode(
@@ -245,7 +247,17 @@ def common_ngram_density(
                 shingle_hashes_from_tokens(F.split(F.col(text_col), " "), n)
             )
         ).alias("_h"),
-    ).persist()  # feeds both the df-count and the join-back — build once
+    ).persist(
+        # feeds both the df-count and the join-back — build once. DISK
+        # ONLY, not memory-backed (r13, the spans.py lesson): this is a
+        # LARGER-THAN-CORPUS exploded frame (one row per distinct
+        # shingle per doc, ~1e9 rows at sf100) and a memory-backed
+        # cache of it races the join for the default 8 GB heap — the
+        # same shape heap-OOM'd x4_span_scrub at sf100; this one
+        # survived at 289 s with cache pressure, local-disk blocks are
+        # the storage level that scales with the frame.
+        StorageLevel.DISK_ONLY
+    )
     try:
         dfreq = sh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
         out = (
