@@ -519,8 +519,10 @@ def ngram_jaccard_pairs(
     if strategy == "ppjoin":
         if max_df is not None or max_df_ratio is not None:
             raise ValueError("df caps are index-only; use strategy='index'")
+        # the caller's budget travels with the pinned dispatch
         return ngram_jaccard_pairs_ppjoin(
-            df, text_col, id_col, n, threshold, balance, _stats=_stats
+            df, text_col, id_col, n, threshold, balance,
+            max_candidate_pairs=max_candidate_pairs, _stats=_stats,
         )
     # Fast reroute (r10, from the sf10 measurement): a reroute-enabled
     # caller on a corpus where (a) the guard's worst-case bound — off
@@ -573,8 +575,12 @@ def ngram_jaccard_pairs(
             # dispatch must not let the twin's verify intermediate be
             # picked for a static broadcast off the posting bound
             # alone (ADVICE r12).
+            # guard disabled on the twin: 'reroute' is the documented
+            # exactness-at-any-wall tier — the reroute IS the scale
+            # decision (the bounded-wall tier is 'reroute_capped')
             return ngram_jaccard_pairs_ppjoin(
                 df, text_col, id_col, n, threshold, balance,
+                max_candidate_pairs=None,
                 _stats=_stats, _exact_mass=_bound,
             )
     # Build the shingle-hash ARRAY once and cache it pre-explode: it
@@ -702,6 +708,7 @@ def ngram_jaccard_pairs(
                     # posting stat can't (ADVICE r12).
                     return ngram_jaccard_pairs_ppjoin(
                         df, text_col, id_col, n, threshold, balance,
+                        max_candidate_pairs=None,
                         _stats=_stats, _exact_mass=int(mass),
                     )
                 if on_overflow == "reroute_capped" and kept is None:
@@ -808,6 +815,7 @@ def ngram_jaccard_pairs_ppjoin(
     n: int = 3,
     threshold: float = 0.8,
     balance: bool = True,
+    max_candidate_pairs: int | None = 2_000_000_000,
     _stats: dict | None = None,
     _exact_mass: int | None = None,
 ) -> DataFrame:
@@ -836,6 +844,21 @@ def ngram_jaccard_pairs_ppjoin(
     index at sf0.1 (2.23 s vs 1.20 s), 1.39× FASTER at sf1 (6.70 s vs
     9.33 s) — prefix filtering pays exactly when the candidate term
     dominates, i.e. the regime a growing corpus enters.
+
+    ``max_candidate_pairs`` (r13): the twin was the last pair
+    generator without its own guard — a DIRECT call on a corpus whose
+    PREFIX-filtered mass is still a bomb ran a silent multi-hour join.
+    Two stages like the index form: the map-only posting bound skips
+    the probe entirely below the cap (the common case — zero cost at
+    bench SF), else the prefix frame is persisted DISK_ONLY (the r13
+    storage lesson; the join reuses it, largely refunding the probe)
+    and the exact Σ c·(c−1)/2 over prefix postings decides. Measured
+    sf10 marker corpus: prefix mass 257.3M — 12× below the exact
+    form's 3.2e9, so the r10 reroute capability is untouched by the
+    default cap. OVERFLOW-REROUTED calls arrive with the guard
+    DISABLED on purpose: ``on_overflow='reroute'`` is the documented
+    exactness-at-any-wall tier (the reroute IS the caller's scale
+    decision); the bounded-wall tier is ``reroute_capped``.
     """
     from fractions import Fraction
 
@@ -849,6 +872,7 @@ def ngram_jaccard_pairs_ppjoin(
         .select("_id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("_arr"))
         .persist()
     )
+    _pref_persisted = False
     try:
         inv = arr.select(
             "_id", F.size("_arr").alias("_sz"), F.explode("_arr").alias("_h")
@@ -872,6 +896,39 @@ def ngram_jaccard_pairs_ppjoin(
             .filter(F.col("_rn") <= prefix_len)
             .select("_id", "_sz", "_h")
         )
+        if max_candidate_pairs is not None:
+            if _stats is None:
+                _, _stats = choose_jaccard_strategy(df, text_col, n)
+            _p, _nd = _stats["posting_mass"], _stats["n_docs"]
+            _bound = min(_p * (_p - 1) // 2, _p * max(_nd - 1, 0) // 2)
+            if _bound > max_candidate_pairs:
+                from pyspark.storagelevel import StorageLevel
+
+                pref = pref.persist(StorageLevel.DISK_ONLY)
+                _pref_persisted = True
+                _pm = (
+                    pref.groupBy("_h")
+                    .agg(F.count(F.lit(1)).alias("_c"))
+                    .agg(
+                        F.sum(
+                            F.col("_c") * (F.col("_c") - 1) / F.lit(2)
+                        ).alias("_m")
+                    )
+                    .collect()[0]["_m"]
+                )
+                if _pm is not None and int(_pm) > max_candidate_pairs:
+                    raise ValueError(
+                        f"ngram_jaccard_pairs_ppjoin: even the PREFIX-"
+                        f"filtered candidate join would emit "
+                        f"{int(_pm):,} pairs (> max_candidate_pairs="
+                        f"{max_candidate_pairs:,}). This corpus's "
+                        "duplication is beyond exact-verify scale: use "
+                        "minhash_lsh_pairs (the banded 100TB path) or "
+                        "the df-ratio-capped index "
+                        "(ngram_jaccard_pairs(max_df_ratio=...)). Pass "
+                        "max_candidate_pairs=None only for a corpus "
+                        "you have sized."
+                    )
         pa, pb = pref.alias("pa"), pref.alias("pb")
         cand = (
             pa.join(
@@ -924,6 +981,8 @@ def ngram_jaccard_pairs_ppjoin(
             out = out.localCheckpoint(eager=True)
     finally:
         arr.unpersist()
+        if _pref_persisted:
+            pref.unpersist()
     return out
 
 

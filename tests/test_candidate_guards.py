@@ -442,6 +442,45 @@ def test_simhash_dominant_bucket_salting_keeps_answers(spark):
     assert len(plain) == 24 * 23 // 2  # all-pairs at hamming 0
 
 
+def test_ppjoin_direct_guard_refuses_prefix_bomb(boiler_docs):
+    """The PPJoin twin was the last pair generator without its own
+    guard — a DIRECT call on a corpus whose prefix-filtered mass is
+    still a bomb ran a silent multi-hour join (r13). At t=0.1 prefixes
+    are ~90% of each doc, so the boiler corpus's 66-pair mass survives
+    prefix filtering and must trip a tiny cap with the sized message."""
+    with pytest.raises(ValueError, match="PREFIX-filtered"):
+        dedup.ngram_jaccard_pairs_ppjoin(
+            boiler_docs, n=3, threshold=0.1, max_candidate_pairs=10
+        )
+
+
+def test_ppjoin_guard_parity_below_cap(boiler_docs):
+    """Below the cap the guard costs one map-only bound check at most
+    and answers stay bit-identical to the unguarded twin."""
+    guarded = dedup.ngram_jaccard_pairs_ppjoin(
+        boiler_docs, n=3, threshold=0.1
+    ).collect()
+    unguarded = dedup.ngram_jaccard_pairs_ppjoin(
+        boiler_docs, n=3, threshold=0.1, max_candidate_pairs=None
+    ).collect()
+    assert sorted(map(tuple, guarded)) == sorted(map(tuple, unguarded))
+    assert len(guarded) == 66
+
+
+def test_reroute_to_ppjoin_is_not_guarded(boiler_docs):
+    """on_overflow='reroute' is the documented exactness-at-any-wall
+    tier: the overflow dispatch must arrive at the twin with the guard
+    DISABLED, so a caller's tiny cap (which the exact form just
+    overflowed) cannot turn the completion path into a second refusal.
+    This pins the r10 contract the new direct-call guard must not
+    break."""
+    rerouted = dedup.ngram_jaccard_pairs(
+        boiler_docs, n=3, threshold=0.1,
+        max_candidate_pairs=10, on_overflow="reroute",
+    ).collect()
+    assert len(rerouted) == 66
+
+
 def test_byte_conf_suffix_parsing():
     """_broadcast_policy's threshold parse must understand Spark's
     unit-suffixed byte strings ('64m', '10MB', '1g') — int() alone
