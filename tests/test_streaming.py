@@ -1172,3 +1172,46 @@ def test_crashed_replay_retry_noops_after_dead_compaction(tmp_path, spark):
     for name in agg.ALL_AGGREGATES:
         got = {tuple(r) for r in pipe.read_aggregate(name).collect()}
         assert got == expected[name], f"{name} diverged after retry"
+
+
+def test_small_epoch_sizing_hint_fires_once(tmp_path, spark):
+    """Operational sizing rule (VERDICT r12 #5): a stream persistently
+    running tiny micro-batches gets ONE warning carrying the measured
+    numbers; a stream with fewer epochs than the window stays silent."""
+    src = tmp_path / "hint_src"
+    src.mkdir()
+    for i in range(12):
+        (src / f"querylog-{i:04d}.jsonl").write_text(
+            "\n".join(
+                _line(j + i * 10, minute=i % 50, filtered=j % 2 == 0,
+                      qh=f"d{j}.example.com", ip=f"10.0.0.{j}")
+                for j in range(5)
+            ) + "\n"
+        )
+    pipe = QuerylogPipeline(spark, str(src), str(tmp_path / "hint_out"))
+    q = pipe.start(available_now=True, max_files_per_trigger=1)
+    q.awaitTermination()
+    assert pipe.sizing_hint is not None
+    assert "SMALL-EPOCH REGIME" in pipe.sizing_hint
+    assert ">=250k rows" in pipe.sizing_hint
+    # fires once: the attribute latches, later epochs don't re-emit
+    first = pipe.sizing_hint
+    pipe._maybe_sizing_hint()
+    assert pipe.sizing_hint is first
+
+    # below the epoch window: silent (unit-scale streams are all tiny;
+    # the hint must not fire on short runs)
+    src2 = tmp_path / "hint_src2"
+    src2.mkdir()
+    for i in range(3):
+        (src2 / f"querylog-{i:04d}.jsonl").write_text(
+            "\n".join(
+                _line(j + i * 10, minute=i % 50, filtered=j % 2 == 0,
+                      qh=f"d{j}.example.com", ip=f"10.0.0.{j}")
+                for j in range(5)
+            ) + "\n"
+        )
+    pipe2 = QuerylogPipeline(spark, str(src2), str(tmp_path / "hint_out2"))
+    q2 = pipe2.start(available_now=True, max_files_per_trigger=1)
+    q2.awaitTermination()
+    assert pipe2.sizing_hint is None
