@@ -77,6 +77,29 @@ def _runtime_broadcast_only(fn):
     return wrapper
 
 
+def _capped_dispatch_notice(
+    cap: int, mass: int, df_ratio: float, measured: bool
+) -> None:
+    """One-line stderr notice when the ``reroute_capped`` tier actually
+    ENGAGES (ADVICE r13): registered consumers of the capped operators
+    (x1_dedup_clusters, x12_pagerank, x7_split_leakage_safe) otherwise
+    cannot tell an exact edge set from a df-ratio-capped one at
+    runtime — the degradation is documented but was invisible. Mirrors
+    the pipeline sizing hint: stderr, sized numbers, actionable."""
+    import sys as _sys
+
+    kind = "measured" if measured else "worst-case bound"
+    print(
+        f"REROUTE-CAPPED ENGAGED: candidate mass {mass:,} ({kind}) > "
+        f"max_candidate_pairs={cap:,}; applying max_df_ratio="
+        f"{df_ratio} — pairs whose ONLY common shingles are corpus "
+        f"boilerplate (df > {df_ratio} of docs) may drop from the "
+        "output. Use on_overflow='reroute' for bit-exact edges at an "
+        "unbounded wall, or minhash_lsh_pairs for the banded path.",
+        file=_sys.stderr,
+    )
+
+
 def _byte_conf_to_int(value) -> int:
     """Parse a Spark byte-size conf value to bytes, -1 on anything odd.
 
@@ -563,6 +586,10 @@ def ngram_jaccard_pairs(
                 # exact twin's full candidate mass (685 s at sf10 for
                 # the transitive closure — VERDICT r12 #1). Capped
                 # overflow raises, never re-reroutes.
+                _capped_dispatch_notice(
+                    max_candidate_pairs, int(_bound), reroute_df_ratio,
+                    measured=False,
+                )
                 return ngram_jaccard_pairs(
                     df, text_col=text_col, id_col=id_col, n=n,
                     threshold=threshold,
@@ -718,6 +745,10 @@ def ngram_jaccard_pairs(
                     # rebuilding the shingle cache in a recursive
                     # call. Still-over-cap capped mass raises below —
                     # that corpus needs the banded-MinHash path.
+                    _capped_dispatch_notice(
+                        max_candidate_pairs, int(mass), reroute_df_ratio,
+                        measured=True,
+                    )
                     from fractions import Fraction
 
                     _rfrac = Fraction(str(reroute_df_ratio))

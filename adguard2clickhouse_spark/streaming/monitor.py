@@ -127,10 +127,17 @@ def codegen_cache_snapshot(spark) -> dict:
         .__getattr__("CodegenMetrics$").__getattr__("MODULE$")
     ).METRIC_COMPILATION_TIME()
     count = int(hist.getCount())
+    # APPROXIMATE: Codahale exposes no monotonic total, only a SAMPLED
+    # reservoir snapshot — mean×count drifts as the reservoir evicts,
+    # so a begin/end delta of this figure can be off or even negative
+    # (ADVICE r13). Pass/fail decisions key on the monotonic COUNTER
+    # above; this ms figure is context only and is labeled as such.
     return {
         "cache_entries": int(cache.size()),
         "compile_count": count,
-        "compile_total_ms": round(hist.getSnapshot().getMean() * count, 1),
+        "compile_total_ms_approx": round(
+            hist.getSnapshot().getMean() * count, 1
+        ),
         "max_entries": int(
             spark.conf.get("spark.sql.codegen.cache.maxEntries", "100")
         ),
@@ -163,8 +170,11 @@ class CodegenSteadyStateCheck:
         t0 = self._t0
         self.delta = {
             "steady_state_compiles": t1["compile_count"] - t0["compile_count"],
-            "steady_state_compile_ms": round(
-                t1["compile_total_ms"] - t0["compile_total_ms"], 1
+            # approximate (reservoir mean×count delta) — see snapshot
+            # docstring; can be inaccurate, never used for pass/fail
+            "steady_state_compile_ms_approx": round(
+                t1["compile_total_ms_approx"] - t0["compile_total_ms_approx"],
+                1,
             ),
             "cache_entries": t1["cache_entries"],
             "max_entries": t1["max_entries"],
@@ -174,7 +184,8 @@ class CodegenSteadyStateCheck:
             return (
                 "CODEGEN-CACHE-THRASH: a repeated identical workload "
                 f"compiled {d['steady_state_compiles']} generated classes "
-                f"(~{d['steady_state_compile_ms']} ms) that a steady state "
+                f"(~{d['steady_state_compile_ms_approx']} ms approx.) "
+                "that a steady state "
                 "compiles zero of - spark.sql.codegen.cache.maxEntries "
                 f"(session conf: {d['max_entries']}, occupancy: "
                 f"{d['cache_entries']}) is too small for this plan set; "

@@ -575,12 +575,20 @@ class QuerylogPipeline:
     def _maybe_sizing_hint(self) -> None:
         """Emit the measured micro-batch sizing rule ONCE when the
         stream is persistently running overhead-bound small epochs."""
-        if self.sizing_hint is not None or not self.sizing_hint_rows:
+        # 0/None on EITHER knob disables: epochs=None would raise
+        # TypeError at rows[-None:] inside the foreachBatch callback
+        # (killing the stream), epochs=0 would median ALL epochs
+        # (ADVICE r13).
+        if (
+            self.sizing_hint is not None
+            or not self.sizing_hint_rows
+            or not self.sizing_hint_epochs
+        ):
             return
         rows = [
             bt["n_rows"] for bt in self.batch_timings if "n_rows" in bt
         ]
-        if len(rows) < (self.sizing_hint_epochs or 0):
+        if len(rows) < self.sizing_hint_epochs:
             return
         import statistics
 

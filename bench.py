@@ -12,17 +12,27 @@ executed to COMPLETION via the noop sink (r11 — every output column
 evaluates JVM-side, nothing is collected to the driver; the previous
 count() let Catalyst prune final projections, see the R1_BASE note).
 
-Measurement protocol (round 5): each query runs REPS times inside the
-one JVM, interleaved round-robin (r1 of every query, then r2, then r3)
-so a transient host-load spike degrades one *rep* of many queries
-rather than all reps of one query. The reported per-query number is
-the MEDIAN of the reps; "value" is the sum of medians. The host's
-throughput drifts ~±35-45% between runs minutes apart (measured across
-rounds 1-4), so single-shot numbers were adjudication-proof — medians
-inside one session are the committed evidence. Raw per-rep timings are
-kept in "runs" for forensics, and per-query normalized values
-("queries_normalized", median × calibration ratio) let cross-round
-per-query comparison survive host drift.
+Measurement protocol (round 5, hardened round 14): each query runs
+REPS times inside one JVM, interleaved round-robin (r1 of every query,
+then r2, then r3) so a transient host-load spike degrades one *rep* of
+many queries rather than all reps of one query. The per-session
+per-query number is the MEDIAN of the reps.
+
+Round 14 (VERDICT r13 #1 — the stamp protocol): the STAMP is now the
+median of N_SESSIONS (default 3) FRESH JVM sessions, matching the
+frozen bars' own provenance (they were always medians of three
+sessions; the stamp was a single session, which made round-over-round
+comparison a coin flip — r13 stamped its worst of three recorded
+sessions, +31% on pure host noise). Each session additionally runs one
+DISCARDED full sweep at the measured SF before its counted reps, so
+first reps are not billed cold page-cache + JIT (r13's stamped first
+reps ran 2-6× its dev runs). The orchestrator spawns the sessions as
+subprocesses (true fresh JVMs), aggregates per-query MEDIAN-of-session
+-medians, and reports every session's raw/normalized total +
+calibration under "sessions" for forensics. "value" remains the sum of
+per-query medians — the same statistic as r5-r13, computed over a
+noise-resistant sample. Set SPARK_GRAFT_BENCH_SESSIONS=1 for the old
+single-session behavior while iterating.
 """
 
 from __future__ import annotations
@@ -149,10 +159,64 @@ def _calibrate() -> float:
     return round(statistics.median(samples), 3)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+# r14 diagnostic reference for the 32-process calibration below:
+# median of 5 back-to-back probes on the r14 build host (0.768-0.807,
+# the round that established the probe). Used only for the
+# "value_normalized_mc" DIAGNOSTIC — the official value_normalized
+# keeps the r2 single-core chain for cross-round continuity.
+CALIBRATION_MC_REF = 0.794
+
+
+def _calibrate_mc(threads: int = 32) -> float:
+    """Median of 3 runs of the SAME md5 workload fanned across 32
+    threads (hashlib releases the GIL for >2 KiB buffers), in seconds.
+
+    Why (r14, VERDICT r13 #1/#2 root cause): the single-core probe
+    cannot see multi-core contention — in the r13/r14 sessions it
+    measured the host 10-18% FASTER than the r2 reference while the
+    32-thread Spark sweeps measured the SAME raw walls as r12, so the
+    normalization itself injected a spurious +10-18%. This probe
+    exercises the resource Spark local[32] actually saturates; its
+    per-session value is recorded so future rounds can separate
+    "host got slower" from "single-core probe drifted".
+
+    Processes, not threads: although hashlib releases the GIL while
+    hashing, the per-iteration Python bookkeeping still serializes 32
+    threads into a GIL convoy (measured: the thread form ran >100×
+    slower than the arithmetic wall). Fork-based workers measure the
+    cores, not the GIL."""
+    import multiprocessing as mp
+
+    samples = []
+    ctx = mp.get_context("fork")
+    for _ in range(3):
+        procs = [
+            ctx.Process(target=_mc_worker, args=(100_000,))
+            for _ in range(threads)
+        ]
+        t0 = time.time()
+        for p in procs:
+            p.start()
+        for p in procs:
+            p.join()
+        samples.append(time.time() - t0)
+    return round(statistics.median(samples), 3)
+
+
+def _mc_worker(iters: int) -> None:
+    import hashlib
+
+    buf = b"x" * 4096
+    for _ in range(iters):
+        hashlib.md5(buf).hexdigest()
+
+
+def run_session(sf_dir: str, sf: float) -> dict:
+    """One fresh-session measurement: calibrate, warm (codegen at
+    sf0.001 + one DISCARDED full sweep at the measured SF), then REPS
+    interleaved counted sweeps. Returns the session dict (no I/O)."""
     calibration = _calibrate()
+    calibration_mc = _calibrate_mc()
 
     spark = get_spark(app_name="bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -171,6 +235,15 @@ def main() -> None:
             ).save()
     else:
         spark.range(1000).selectExpr("sum(id)").collect()
+
+    # Discarded full sweep AT THE MEASURED SF (r14, VERDICT r13 #2):
+    # warms the page cache for the sf parquet and finishes any
+    # data-dependent JIT the sf0.001 warmup couldn't reach. r13's
+    # stamped session ran cold — its first reps were 2-6× the dev
+    # sessions' (a1 2.121 s vs 0.381 s); median-of-reps absorbed it
+    # per query but the whole session measured high.
+    for name in BENCH_QUERIES:
+        qs[name](spark, sf_dir).write.mode("overwrite").format("noop").save()
 
     # Interleaved reps: all queries once, then again, REPS times total.
     # The final rep runs under the codegen steady-state check: by then
@@ -206,36 +279,128 @@ def main() -> None:
     timings = {name: round(statistics.median(r), 3) for name, r in runs.items()}
 
     norm = CALIBRATION_REF / calibration
-    if sf == 0.1:
-        for flag in regression_flags(
-            {name: secs * norm for name, secs in timings.items()}
-        ):
-            print(flag, file=sys.stderr)
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "reps": REPS,
-                "sink": "noop",  # full-plan execution; r1-r10 used count()
-                "runs": runs,
-                "host_calibration_sec": calibration,
-                "calibration_ref_sec": CALIBRATION_REF,
-                "value_normalized": round(total * norm, 3),
-                "codegen_steady_state": (
-                    codegen_chk.delta if codegen_chk is not None else None
-                ),
-                "queries_normalized": {
-                    name: round(secs * norm, 3) for name, secs in timings.items()
-                },
-            }
-        )
-    )
+    session = {
+        "value": total,
+        "queries": timings,
+        "runs": runs,
+        "host_calibration_sec": calibration,
+        "host_calibration_mc_sec": calibration_mc,
+        "value_normalized": round(total * norm, 3),
+        "value_normalized_mc": round(
+            total * CALIBRATION_MC_REF / calibration_mc, 3
+        ),
+        "codegen_steady_state": (
+            codegen_chk.delta if codegen_chk is not None else None
+        ),
+        "queries_normalized": {
+            name: round(secs * norm, 3) for name, secs in timings.items()
+        },
+    }
     spark.stop()
+    return session
+
+
+def aggregate_sessions(sessions: list[dict], sf: float) -> dict:
+    """Median-of-sessions stamp (r14 protocol, VERDICT r13 #1): the
+    per-query stamped number is the MEDIAN across sessions of each
+    session's median-of-reps; "value" is the sum of those medians —
+    the same statistic as r5-r13, over a noise-resistant sample. Pure
+    function (unit-tested in tests/test_hygiene.py)."""
+    queries = {
+        name: round(
+            statistics.median(s["queries"][name] for s in sessions), 3
+        )
+        for name in BENCH_QUERIES
+    }
+    queries_normalized = {
+        name: round(
+            statistics.median(
+                s["queries_normalized"][name] for s in sessions
+            ),
+            3,
+        )
+        for name in BENCH_QUERIES
+    }
+    total = round(sum(queries.values()), 3)
+    return {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "reps": REPS,
+        "sink": "noop",  # full-plan execution; r1-r10 used count()
+        "protocol": "median_of_sessions",  # r14; r1-r13 stamped 1 session
+        "n_sessions": len(sessions),
+        "host_calibration_sec": round(
+            statistics.median(s["host_calibration_sec"] for s in sessions), 3
+        ),
+        "host_calibration_mc_sec": round(
+            statistics.median(
+                s.get("host_calibration_mc_sec", 0.0) for s in sessions
+            ),
+            3,
+        ),
+        "calibration_ref_sec": CALIBRATION_REF,
+        "calibration_mc_ref_sec": CALIBRATION_MC_REF,
+        "value_normalized": round(sum(queries_normalized.values()), 3),
+        # diagnostic (r14): the 32-thread normalization — tracks the
+        # resource local[32] saturates; see _calibrate_mc docstring
+        "value_normalized_mc": round(
+            statistics.median(
+                s.get("value_normalized_mc", 0.0) for s in sessions
+            ),
+            3,
+        ),
+        "queries_normalized": queries_normalized,
+        "session_totals": [s["value"] for s in sessions],
+        "session_totals_normalized": [s["value_normalized"] for s in sessions],
+        "sessions": sessions,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    if os.environ.get("SPARK_GRAFT_BENCH_CHILD"):
+        # child mode: one fresh-JVM session, JSON on the last line
+        print(json.dumps(run_session(sf_dir, sf)))
+        return
+
+    n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
+    if n_sessions <= 1:
+        sessions = [run_session(sf_dir, sf)]
+    else:
+        # Fresh JVM per session: subprocess re-invokes this file with
+        # SPARK_GRAFT_BENCH_CHILD=1. Sequential, never parallel — the
+        # sessions must not contend with each other.
+        import subprocess
+
+        sessions = []
+        for i in range(n_sessions):
+            env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+            )
+            sys.stderr.write(proc.stderr)
+            if proc.returncode != 0:
+                raise RuntimeError(
+                    f"bench session {i + 1}/{n_sessions} failed "
+                    f"(rc={proc.returncode}); stdout tail: "
+                    f"{proc.stdout[-2000:]}"
+                )
+            sessions.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+
+    result = aggregate_sessions(sessions, sf)
+    if sf == 0.1:
+        for flag in regression_flags(result["queries_normalized"]):
+            print(flag, file=sys.stderr)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

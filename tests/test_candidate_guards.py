@@ -162,6 +162,31 @@ def test_jaccard_reroute_capped_dispatches_to_ratio_cap(boiler_plus_dups_docs):
     assert sorted(map(tuple, rerouted)) == sorted(map(tuple, direct_capped))
 
 
+def test_jaccard_reroute_capped_engagement_is_announced(
+    boiler_plus_dups_docs, capsys
+):
+    """ADVICE r13 (medium): when the capped tier actually ENGAGES the
+    caller gets a one-line stderr notice carrying the cap, the
+    measured/bounded mass and the lossiness caveat — consumers of the
+    registered queries can now tell exact from approximate output at
+    runtime. Below the cap (exact output) it stays silent."""
+    dedup.ngram_jaccard_pairs(
+        boiler_plus_dups_docs, n=3, threshold=0.1,
+        max_candidate_pairs=20, on_overflow="reroute_capped",
+        reroute_df_ratio=0.25,
+    ).collect()
+    err = capsys.readouterr().err
+    assert "REROUTE-CAPPED ENGAGED" in err
+    assert "max_candidate_pairs=20" in err
+    assert "may drop" in err
+    # exact path: no notice
+    dedup.ngram_jaccard_pairs(
+        boiler_plus_dups_docs, n=3, threshold=0.1,
+        max_candidate_pairs=1000, on_overflow="reroute_capped",
+    ).collect()
+    assert "REROUTE-CAPPED" not in capsys.readouterr().err
+
+
 def test_jaccard_reroute_capped_below_cap_stays_exact(boiler_plus_dups_docs):
     """Below the cap reroute_capped changes NOTHING: same exact plan,
     same rows as the unguarded index form — the gate SFs sit here."""

@@ -168,16 +168,23 @@ class FakeDeltaCommitLayer:
               sort_within, txn_app_id=None, txn_version=None,
               overwrite_schema=False):
         t = self._t(path)
-        if txn_app_id is not None:
-            last = t["txn"].get(txn_app_id)
-            if last is not None and txn_version <= last:
-                return  # Delta idempotent writes: whole commit no-ops
+        # Ordering mirrors real Delta (ADVICE r13): data files are
+        # written FIRST, the txn idempotency guard no-ops at COMMIT
+        # time — and the crash hook fires between them, so a crash
+        # injected on what turns out to be an idempotent no-op write
+        # still consumes the hook (it no longer stays armed for the
+        # wrong later call), keeping crash-injection tests composable
+        # with idempotent retries.
         rows = df.collect()  # "data files written to storage"
         if self.crash_next_commit:
             self.crash_next_commit = False
             raise RuntimeError(
                 "injected crash: data staged, commit never recorded"
             )
+        if txn_app_id is not None:
+            last = t["txn"].get(txn_app_id)
+            if last is not None and txn_version <= last:
+                return  # Delta idempotent writes: whole commit no-ops
         # -- the atomic commit: all bookkeeping lands together --------
         if mode == "overwrite":
             t["data"] = [(rows, df.schema)] if rows else []

@@ -278,3 +278,43 @@ def test_bench_regression_flag_trips_on_genuine_2x():
     assert len(flags) == 1 and "x4_quality" in flags[0], flags
     # a query with no frozen base never crashes the flag pass
     assert regression_flags({"brand_new_query": 99.0}) == []
+
+
+def test_bench_median_of_sessions_aggregation():
+    """r14 (VERDICT r13 #1): the stamp is the per-query MEDIAN across
+    fresh sessions — one outlier session (the r13 failure mode: a cold
+    or contended JVM measuring +31% across the board) cannot move the
+    stamped number. Pure-function check of aggregate_sessions."""
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import BENCH_QUERIES, aggregate_sessions
+
+    def session(scale: float, cal: float) -> dict:
+        q = {name: round(0.3 * scale, 3) for name in BENCH_QUERIES}
+        return {
+            "value": round(sum(q.values()), 3),
+            "queries": q,
+            "runs": {name: [v] * 3 for name, v in q.items()},
+            "host_calibration_sec": cal,
+            "value_normalized": round(sum(q.values()) * 1.339 / cal, 3),
+            "codegen_steady_state": {"steady_state_compiles": 0},
+            "queries_normalized": {
+                name: round(v * 1.339 / cal, 3) for name, v in q.items()
+            },
+        }
+
+    # two healthy sessions + one 3x-slow outlier: the stamp sits at
+    # the healthy level, and every session's totals stay recorded
+    out = aggregate_sessions(
+        [session(1.0, 1.3), session(1.1, 1.35), session(3.0, 1.3)], sf=0.1
+    )
+    assert out["protocol"] == "median_of_sessions"
+    assert out["n_sessions"] == 3
+    for name in BENCH_QUERIES:
+        assert out["queries"][name] == round(0.3 * 1.1, 3)
+    assert len(out["session_totals"]) == 3
+    assert max(out["session_totals"]) > 2 * out["value"]  # outlier kept
+    assert out["host_calibration_sec"] == 1.3
+    # value is still the sum of per-query medians (the r5-r13 statistic)
+    assert out["value"] == round(sum(out["queries"].values()), 3)

@@ -1215,3 +1215,29 @@ def test_small_epoch_sizing_hint_fires_once(tmp_path, spark):
     q2 = pipe2.start(available_now=True, max_files_per_trigger=1)
     q2.awaitTermination()
     assert pipe2.sizing_hint is None
+
+
+def test_small_epoch_sizing_hint_knobs_disable(tmp_path, spark):
+    """ADVICE r13: EITHER knob set to 0/None disables the hint cleanly.
+    Before the guard, sizing_hint_epochs=None raised TypeError at
+    rows[-None:] INSIDE the foreachBatch callback (killing the
+    streaming query) and epochs=0 medianed ALL epochs instead of
+    disabling."""
+    pipe = QuerylogPipeline.__new__(QuerylogPipeline)
+    pipe.sizing_hint = None
+    pipe.sizing_hint_rows = 100_000
+    pipe.batch_timings = [{"n_rows": 5} for _ in range(12)]
+    for epochs in (None, 0):
+        pipe.sizing_hint_epochs = epochs
+        pipe._maybe_sizing_hint()  # must not raise, must not fire
+        assert pipe.sizing_hint is None
+    # rows knob disables too, independent of epochs
+    pipe.sizing_hint_epochs = 10
+    for rows_knob in (None, 0):
+        pipe.sizing_hint_rows = rows_knob
+        pipe._maybe_sizing_hint()
+        assert pipe.sizing_hint is None
+    # sanity: with both knobs live the same state fires
+    pipe.sizing_hint_rows = 100_000
+    pipe._maybe_sizing_hint()
+    assert pipe.sizing_hint is not None
