@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import functools
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from adguard2clickhouse_spark.operators.text import fingerprint
@@ -1074,34 +1074,55 @@ def duplicated_ngram_stats(
     )
 
 
+def _kgram_hash_at(toks, i, n: int):
+    """xxhash64 of the n-gram starting at 1-based position ``i`` —
+    the single-position expression shared by the array-building lambda
+    (`_positional_shingle_hashes`) and the codegen explode path
+    (`winnow_fingerprints`): both MUST produce identical values."""
+    return F.xxhash64(*[F.element_at(toks, i + F.lit(j)) for j in range(n)])
+
+
+def _kgram_md5_at(toks, i, n: int):
+    """Engine-portable twin of `_kgram_hash_at`: first 60 bits of md5
+    over the space-joined n-gram — replays verbatim in DuckDB (see
+    x2_winnow_md5's oracle)."""
+    return F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+
+
 def _positional_shingle_hashes(toks, n: int):
     """ORDERED (non-distinct) n-gram hash sequence — winnowing needs
-    positions, unlike the set-semantics helper above."""
+    positions, unlike the set-semantics helper above.
+
+    NOTE (r14): this higher-order ``transform`` is INTERPRETED — Spark
+    never whole-stage-codegens HOF lambdas, and the interpreted
+    per-position tree measured ~40× the codegen'd identical expression
+    (0.48 s vs 19.8 s for 11.6M positions, /tmp attribution run behind
+    BENCH_winnow_r14.json). Hot paths that can explode positions into
+    rows should use `_kgram_hash_at` in a regular projection instead;
+    keep this array form only where per-doc array semantics are
+    genuinely needed downstream (e.g. spans.py's gaps-and-islands)."""
     return F.transform(
-        _shingle_starts(toks, n),
-        lambda i: F.xxhash64(*[F.element_at(toks, i + F.lit(j)) for j in range(n)]),
+        _shingle_starts(toks, n), lambda i: _kgram_hash_at(toks, i, n)
     )
 
 
 def _positional_shingle_md5(toks, n: int):
-    """Engine-portable twin of `_positional_shingle_hashes`: first 60
-    bits of md5 over the space-joined n-gram — replays verbatim in
-    DuckDB (see x2_winnow_md5's oracle)."""
+    """Engine-portable twin of `_positional_shingle_hashes` (see its
+    interpreted-HOF performance note)."""
     return F.transform(
-        _shingle_starts(toks, n),
-        lambda i: F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(n)]
-                    )
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long"),
+        _shingle_starts(toks, n), lambda i: _kgram_md5_at(toks, i, n)
     )
 
 
@@ -1131,28 +1152,53 @@ def winnow_fingerprints(
     Returns (id, fingerprint) rows — join on fingerprint for overlap
     candidates (same inverted-index shape as ngram_jaccard_pairs, with
     a ~w× smaller index).
+
+    Plan (r14 rewrite, VERDICT r13 #3): explode k-gram START POSITIONS
+    into rows, hash each k-gram in a regular codegen'd projection, take
+    window minima with ``min() OVER (PARTITION BY doc ORDER BY pos ROWS
+    BETWEEN CURRENT AND w-1 FOLLOWING)``, keep valid window starts,
+    then ``distinct()``. The r4-r13 form was a "pure map plan" — the
+    whole selection inside higher-order ``transform`` lambdas — and was
+    the slowest sf100 completer (496 s) BECAUSE of that purity: Spark
+    interprets HOF lambdas (no WholeStageCodegen), and the interpreted
+    per-position hash tree measured ~40× the codegen'd identical
+    expression. Paying two narrow exchanges (window on ~24-byte
+    (id,pos,hash) rows + the distinct) to keep every expression inside
+    codegen measured 29× faster end-to-end at 100k docs (22.6 s →
+    0.78 s, bit-identical output — BENCH_winnow_r14.json) and holds at
+    the sf100 decade. The window formulation itself never mattered:
+    slice+array_min, w-ary least and log-doubling sparse table all
+    measure within ±10% interpreted (scripts/profile_winnow.py).
     """
-    hs = F.col("_hs")
-    n_windows = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
-    mins = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), n_windows),
-            lambda i: F.array_min(F.slice(hs, i, w)),
-        )
-    )
-    return (
+    toks = F.col("_toks")
+    hash_at = _kgram_md5_at if portable else _kgram_hash_at
+    positions = (
         _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
+        # n_hashes = size - k + 1; valid window starts 1 .. n_hashes - w + 1
         .select(
             "_id",
-            (
-                _positional_shingle_md5(F.col("_toks"), k)
-                if portable
-                else _positional_shingle_hashes(F.col("_toks"), k)
-            ).alias("_hs"),
+            "_toks",
+            (F.size("_toks") - F.lit(k - 1) - F.lit(w - 1)).alias("_nw"),
+            F.explode(_shingle_starts(toks, k)).alias("_i"),
         )
-        .filter(F.size("_hs") >= w)
-        .select(F.col("_id").alias(id_col), F.explode(mins).alias("fingerprint"))
+        .select(
+            "_id", "_i", "_nw", hash_at(toks, F.col("_i"), k).alias("_h")
+        )
+    )
+    win = (
+        Window.partitionBy("_id").orderBy("_i").rowsBetween(0, w - 1)
+    )
+    return (
+        positions.select(
+            "_id", "_i", "_nw", F.min("_h").over(win).alias("fingerprint")
+        )
+        # trailing positions have fewer than w hashes in reach — they
+        # are not windows; docs with _nw < 1 (fewer than w k-grams)
+        # drop entirely, matching the old size(_hs) >= w filter
+        .filter(F.col("_i") <= F.col("_nw"))
+        .select(F.col("_id").alias(id_col), "fingerprint")
+        .distinct()
     )
 
 

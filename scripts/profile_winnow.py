@@ -84,7 +84,8 @@ def mins_doubling(hs, w):
     while span * 2 <= w:
         shifted = F.slice(m, span + 1, F.size(m) - F.lit(span))
         m = F.zip_with(
-            F.slice(m, 1, F.size(m) - F.lit(span)), shifted, F.least
+            F.slice(m, 1, F.size(m) - F.lit(span)), shifted,
+            lambda a, b: F.least(a, b),
         )
         span *= 2
     n_windows = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
@@ -94,7 +95,7 @@ def mins_doubling(hs, w):
     return F.zip_with(
         F.slice(m, 1, n_windows),
         F.slice(m, 1 + off, n_windows),
-        F.least,
+        lambda a, b: F.least(a, b),
     )
 
 

@@ -357,6 +357,63 @@ def test_winnow_portable_shares_selection_properties(docs_df):
     assert len(by_doc[1]) < 36
 
 
+def test_winnow_codegen_rewrite_matches_hof_form(spark):
+    """r14 (VERDICT r13 #3): winnow's explode+window+distinct rewrite
+    must select the BIT-IDENTICAL fingerprint set of the r4-r13
+    interpreted-HOF map form (reconstructed here from the shared
+    helpers), for both hash variants and multiple (k, w) — including
+    short docs straddling the size >= k+w-1 drop boundary."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.operators.dedup import (
+        _positional_shingle_hashes,
+        _positional_shingle_md5,
+        _shingle_starts,  # noqa: F401 (documents the guarded pattern)
+        winnow_fingerprints,
+    )
+
+    rng = random.Random(14)
+    rows = [
+        (i, " ".join(f"t{rng.randrange(50)}" for _ in range(rng.randrange(2, 40))))
+        for i in range(400)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id INT, text STRING")
+
+    def hof_form(df, k, w, portable):
+        hs = F.col("_hs")
+        n_windows = F.greatest(F.size(hs) - F.lit(w - 1), F.lit(0))
+        mins = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(hs, i, w)),
+            )
+        )
+        helper = _positional_shingle_md5 if portable else _positional_shingle_hashes
+        return (
+            df.select(
+                F.col("doc_id").alias("_id"),
+                F.split(F.col("text"), " ").alias("_toks"),
+            )
+            .select("_id", helper(F.col("_toks"), k).alias("_hs"))
+            .filter(F.size("_hs") >= w)
+            .select(F.col("_id").alias("doc_id"), F.explode(mins).alias("fingerprint"))
+        )
+
+    for k, w in ((5, 4), (3, 8), (2, 2)):
+        for portable in (False, True):
+            got = {
+                tuple(r)
+                for r in winnow_fingerprints(
+                    docs, k=k, w=w, portable=portable, balance=False
+                ).collect()
+            }
+            want = {tuple(r) for r in hof_form(docs, k, w, portable).collect()}
+            assert got == want, (k, w, portable, len(got), len(want))
+            assert got, (k, w)  # non-vacuous
+
+
 def test_simhash_portable_pairs_exact_dups_at_hamming_zero(spark):
     from adguard2clickhouse_spark.operators.dedup import simhash_near_pairs
 
