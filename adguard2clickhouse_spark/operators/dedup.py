@@ -236,18 +236,68 @@ def edit_distance_pairs(
     id_col: str = "doc_id",
     prefix_len: int = 40,
     max_dist: int = 20,
+    block_prefix_len: int | None = None,
+    max_candidate_pairs: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Edit-distance near-dup pairs, bucketed: levenshtein over a fixed
     text prefix, compared only WITHIN ``bucket_col`` groups (source,
     domain, cluster id…). The quadratic verify is confined to each
     bucket — the standard shape for title/URL dedup where a cheap
     blocking key exists; never an unbucketed all-pairs. Returns
-    (doc_a, doc_b, edit_dist)."""
+    (doc_a, doc_b, edit_dist).
+
+    ``max_candidate_pairs`` (r14 — this was the LAST pair generator
+    off the scale-policy ladder, found by the sf100 sweep: a
+    low-cardinality blocking key makes "confined to each bucket"
+    meaningless — 5M docs over a handful of sources is ~2.5e12
+    within-bucket pairs, a >900 s wall on the default session): probe
+    Σ c·(c−1)/2 over the ACTUAL bucket sizes (one 1-row aggregate over
+    (bucket, count)) and refuse with the measured mass above the cap.
+    ``block_prefix_len=m`` is the in-family remedy the refusal names:
+    co-block on the first m characters of the text as well, so only
+    docs agreeing on the prefix compare — near-dups within ``max_dist``
+    edits of each other in the FIRST m CHARS still collide, classic
+    title-dedup blocking (tighter m trades recall for mass; pairs
+    whose edits all sit inside the first m chars drop). None disables
+    the guard for pre-sized corpora.
+    """
     t = df.select(
         F.col(id_col).alias("_id"),
-        F.col(bucket_col).alias("_b"),
+        (
+            F.concat_ws(
+                "\x1f",
+                F.col(bucket_col).cast("string"),
+                F.substring(F.col(text_col), 1, block_prefix_len),
+            )
+            if block_prefix_len
+            else F.col(bucket_col)
+        ).alias("_b"),
         F.substring(F.col(text_col), 1, prefix_len).alias("_s"),
     )
+    if max_candidate_pairs is not None:
+        mass = (
+            t.groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum(F.col("_c") * (F.col("_c") - 1) / F.lit(2)).alias("_m")
+            )
+            .collect()[0]["_m"]
+        )
+        if mass is not None and mass > max_candidate_pairs:
+            raise ValueError(
+                f"edit_distance_pairs: the within-bucket join would "
+                f"compare {int(mass):,} pairs (> max_candidate_pairs="
+                f"{max_candidate_pairs:,}) — the blocking key "
+                f"'{bucket_col}' is too coarse for this corpus. "
+                "Tighten the blocks: block_prefix_len=20 co-blocks on "
+                "the text's first 20 chars (title-dedup blocking; "
+                "pairs whose edits all sit inside that prefix drop), "
+                "pick a finer bucket_col, or use minhash_lsh_pairs / "
+                "simhash_near_pairs (the banded 100TB paths — both "
+                "complete the sf100 corpus on a default session). "
+                "Pass max_candidate_pairs=None only for a corpus you "
+                "have sized."
+            )
     a, b = t.alias("a"), t.alias("b")
     dist = F.levenshtein(F.col("a._s"), F.col("b._s"))
     return (

@@ -35,8 +35,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from adguard2clickhouse_spark.operators.dedup import (
-    _positional_shingle_hashes,
-    _positional_shingle_md5,
+    _kgram_hash_at,
+    _kgram_md5_at,
+    _shingle_starts,
 )
 
 
@@ -60,7 +61,7 @@ def repeated_span_scrub(
     toks = df.select(
         F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks")
     )
-    hash_fn = _positional_shingle_md5 if portable else _positional_shingle_hashes
+    hash_at = _kgram_md5_at if portable else _kgram_hash_at
     from pyspark.storagelevel import StorageLevel
 
     # DISK_ONLY, not the default MEMORY_AND_DISK: kg is the CORPUS-
@@ -77,10 +78,23 @@ def repeated_span_scrub(
     # blocks are the only storage level that scales with it. Measured
     # at sf100/8 GB: OOM → 164 s; sf10 wall 36.3 → 29.4 s (the GC
     # churn cost more than the disk round-trip even when it survived).
-    kg = toks.select(
-        "_id", F.posexplode(hash_fn(F.col("_toks"), k)).alias("_p0", "_h")
-    ).select("_id", (F.col("_p0") + 1).alias("_p"), "_h").persist(
-        StorageLevel.DISK_ONLY
+    # Codegen k-gram hashing (r14, the winnow lesson): explode the
+    # 1-based START positions and hash in a regular projection instead
+    # of posexploding an interpreted-HOF-built array — Spark never
+    # codegens transform() lambdas, and the interpreted per-position
+    # tree measured ~40× the identical codegen'd expression
+    # (BENCH_winnow_r14.json). Values and positions are identical
+    # (start position IS the old posexplode index + 1); no new
+    # exchange — the explode was already here.
+    kg = (
+        toks.select(
+            "_id", "_toks",
+            F.explode(_shingle_starts(F.col("_toks"), k)).alias("_p"),
+        )
+        .select(
+            "_id", "_p", hash_at(F.col("_toks"), F.col("_p"), k).alias("_h")
+        )
+        .persist(StorageLevel.DISK_ONLY)
     )
     try:
         dup = kg.groupBy("_h").agg(F.count(F.lit(1)).alias("_c")).filter(

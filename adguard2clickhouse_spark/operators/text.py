@@ -235,18 +235,35 @@ def common_ngram_density(
     (id, n_shingles, common_permille).
     """
     from adguard2clickhouse_spark.operators.dedup import (
-        shingle_hashes_from_tokens,
+        _kgram_hash_at,
+        _shingle_starts,
     )
 
     from pyspark.storagelevel import StorageLevel
 
-    sh = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(
-                shingle_hashes_from_tokens(F.split(F.col(text_col), " "), n)
-            )
-        ).alias("_h"),
+    # Codegen n-gram hashing (r14, the winnow lesson —
+    # BENCH_winnow_r14.json): explode start positions and hash in a
+    # regular projection instead of exploding an interpreted-HOF-built
+    # array (transform() lambdas never reach WholeStageCodegen; the
+    # interpreted tree measured ~40× the codegen'd identical
+    # expression). The old array form got per-doc DISTINCT for free
+    # via array_distinct; the row form pays one (id, hash) exchange
+    # for dropDuplicates — measured a net win at sf10
+    # (BENCH_kgram_codegen_r14.json) because map-side partial dedup
+    # ships only the distinct rows the old plan also materialized.
+    sh = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .select(
+            "_id", "_toks",
+            F.explode(_shingle_starts(F.col("_toks"), n)).alias("_i"),
+        )
+        .select(
+            "_id", _kgram_hash_at(F.col("_toks"), F.col("_i"), n).alias("_h")
+        )
+        .dropDuplicates(["_id", "_h"])
     ).persist(
         # feeds both the df-count and the join-back — build once. DISK
         # ONLY, not memory-backed (r13, the spans.py lesson): this is a

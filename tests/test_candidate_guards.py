@@ -525,3 +525,61 @@ def test_byte_conf_suffix_parsing():
     assert f(None) == -1
     assert f("nonsense") == -1
     assert f("") == -1
+
+
+def test_edit_distance_guard_refuses_coarse_blocks(spark):
+    """r14 (found by the sf100 sweep): edit_distance_pairs was the LAST
+    pair generator off the scale-policy ladder — a low-cardinality
+    blocking key turns the "confined" within-bucket join into ~n²/2
+    pairs (900 s budget blown at sf100). The guard probes the ACTUAL
+    bucket mass and refuses with the measured number + the in-family
+    remedy."""
+    rows = [(i, "src", f"title {i} common words here") for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    with pytest.raises(ValueError, match="780 pairs"):  # 40*39/2, measured
+        dedup.edit_distance_pairs(
+            docs, "source", max_candidate_pairs=100
+        )
+
+
+def test_edit_distance_block_prefix_remedy_completes_and_keeps_dups(spark):
+    """The refusal's named remedy: co-blocking on the text's first m
+    chars sheds the quadratic mass while true near-dups (which agree
+    on the prefix) still collide and surface with the same distance."""
+    rows = [(i, "src", f"unique{i:03d} title body tail") for i in range(40)]
+    # one true near-dup pair: same 20-char prefix, one edit at the tail
+    rows += [(100, "src", "shared prefix here xx tail one"),
+             (101, "src", "shared prefix here xx tail two")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    # unguarded, no co-block: the pair is found (ground truth)
+    want = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in dedup.edit_distance_pairs(
+            docs, "source", max_candidate_pairs=None
+        ).collect()
+        if r.doc_a == 100
+    }
+    assert want, "fixture must contain a true near-dup pair"
+    # guarded at a cap the coarse block overflows, WITH the remedy:
+    # completes (mass sheds below the cap) and keeps the true pair
+    got = {
+        (r.doc_a, r.doc_b, r.edit_dist)
+        for r in dedup.edit_distance_pairs(
+            docs, "source", block_prefix_len=20, max_candidate_pairs=100
+        ).collect()
+    }
+    assert want <= got
+    # below the cap, guard on: answers identical to unguarded
+    full = {
+        tuple(r)
+        for r in dedup.edit_distance_pairs(
+            docs, "source", max_candidate_pairs=10_000
+        ).collect()
+    }
+    base = {
+        tuple(r)
+        for r in dedup.edit_distance_pairs(
+            docs, "source", max_candidate_pairs=None
+        ).collect()
+    }
+    assert full == base
