@@ -289,9 +289,13 @@ def edit_distance_pairs(
                 f"compare {int(mass):,} pairs (> max_candidate_pairs="
                 f"{max_candidate_pairs:,}) — the blocking key "
                 f"'{bucket_col}' is too coarse for this corpus. "
-                "Tighten the blocks: block_prefix_len=20 co-blocks on "
-                "the text's first 20 chars (title-dedup blocking; "
-                "pairs whose edits all sit inside that prefix drop), "
+                "Tighten the blocks: block_prefix_len=m co-blocks on "
+                "the text's first m chars (title-dedup blocking; "
+                "pairs whose edits all sit inside that prefix drop — "
+                "start m≈30 and LOOSEN while this guard stays quiet; "
+                "the guard re-probes the co-blocked mass, and at the "
+                "sf100 marker corpus m=30 measured 7,900 pairs / 15 s "
+                "where m=20 still left an 875M-pair levenshtein wall), "
                 "pick a finer bucket_col, or use minhash_lsh_pairs / "
                 "simhash_near_pairs (the banded 100TB paths — both "
                 "complete the sf100 corpus on a default session). "
@@ -1091,37 +1095,65 @@ def duplicated_ngram_stats(
     plan survives a 100× corpus the same way the inverted-index
     Jaccard join does. Ratios are integer permille (floor) so the
     result hashes identically on any engine.
+
+    r14 (found by the sf100 sweep — the query died mid-shuffle on the
+    default 8 GB session at 5M docs): hashes now come from a codegen'd
+    projection over exploded start positions (the winnow lesson,
+    BENCH_winnow_r14.json — interpreted transform() lambdas cost ~40×)
+    with dropDuplicates for the per-doc distinct, and the exploded
+    frame persists DISK_ONLY (the spans.py lesson: it feeds BOTH the
+    df/min-id groupBy and the join back, is corpus-scale, and a
+    memory-backed cache of it races the join for the heap — before
+    r14 it was not persisted at all, so the interpreted build also ran
+    twice).
     """
-    arr = (
-        df.select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .select("_id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("_arr"))
-        .filter(F.size("_arr") > 0)
-    )
-    inv = arr.select("_id", F.explode("_arr").alias("_h"))
-    stats = inv.groupBy("_h").agg(
-        F.count(F.lit(1)).alias("_df"), F.min("_id").alias("_first")
-    )
-    per_doc = (
-        inv.join(stats, "_h")
-        .groupBy("_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("_df") > 1, 1).otherwise(0))
-            .cast("long")
-            .alias("n_dup_shingles"),
-            F.sum(F.when(F.col("_first") == F.col("_id"), 1).otherwise(0))
-            .cast("long")
-            .alias("n_novel_shingles"),
+    from pyspark.storagelevel import StorageLevel
+
+    inv = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
         )
+        .select(
+            "_id", "_toks",
+            F.explode(_shingle_starts(F.col("_toks"), n)).alias("_i"),
+        )
+        .select(
+            "_id", _kgram_hash_at(F.col("_toks"), F.col("_i"), n).alias("_h")
+        )
+        .dropDuplicates(["_id", "_h"])
+        .persist(StorageLevel.DISK_ONLY)
     )
-    return per_doc.select(
-        F.col("_id").alias(id_col),
-        "n_shingles",
-        "n_dup_shingles",
-        F.expr("(1000 * n_dup_shingles) DIV n_shingles").alias("dup_permille"),
-        "n_novel_shingles",
-        F.expr("(1000 * n_novel_shingles) DIV n_shingles").alias("novelty_permille"),
-    )
+    try:
+        stats = inv.groupBy("_h").agg(
+            F.count(F.lit(1)).alias("_df"), F.min("_id").alias("_first")
+        )
+        per_doc = (
+            inv.join(stats, "_h")
+            .groupBy("_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_shingles"),
+                F.sum(F.when(F.col("_df") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_dup_shingles"),
+                F.sum(F.when(F.col("_first") == F.col("_id"), 1).otherwise(0))
+                .cast("long")
+                .alias("n_novel_shingles"),
+            )
+        )
+        out = per_doc.select(
+            F.col("_id").alias(id_col),
+            "n_shingles",
+            "n_dup_shingles",
+            F.expr("(1000 * n_dup_shingles) DIV n_shingles").alias("dup_permille"),
+            "n_novel_shingles",
+            F.expr(
+                "(1000 * n_novel_shingles) DIV n_shingles"
+            ).alias("novelty_permille"),
+        ).localCheckpoint(eager=True)
+    finally:
+        inv.unpersist()
+    return out
 
 
 def _kgram_hash_at(toks, i, n: int):

@@ -174,6 +174,20 @@ def get_spark(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
         )
+        # Recursive CTEs (x_recursive_suffixes, the WITH RECURSIVE
+        # surface): Spark 4's default safety valve aborts recursion at
+        # 1M TOTAL rows — a fixed count that any >250k-distinct-domain
+        # corpus trips regardless of how well-behaved the recursion is
+        # (found by the r14 sf100 sweep: RECURSION_ROW_LIMIT_EXCEEDED
+        # at 100M events). The engine's recursions are LEVEL-bounded
+        # by construction (≤ hostname label depth), so the level limit
+        # (default 100) is the meaningful guard; size the row valve to
+        # the corpus instead of the default. Runtime conf — users on
+        # foreign sessions can set the same key.
+        .config(
+            "spark.sql.cteRecursionRowLimit",
+            os.environ.get("SPARK_GRAFT_CTE_ROW_LIMIT", "2000000000"),
+        )
         # Bucketed tables (plans/bucketing.py) need a warehouse; keep it
         # out of the repo/cwd. Static conf — set at build only.
         .config(
