@@ -101,7 +101,7 @@ def timed(fn):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--docs", type=int, default=120_000)
-    ap.add_argument("--exact-docs", type=int, default=30_000)
+    ap.add_argument("--exact-docs", type=int, default=10_000)
     ap.add_argument("--threshold", type=float, default=0.1)
     ap.add_argument("--cap", type=int, default=50_000_000)
     ap.add_argument("--out", default="BENCH_reroute_capped_r14.json")
