@@ -1298,48 +1298,44 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, mh_0..mh_{k-1}) — num_hashes independent min-hashes.
 
-    MAP-ONLY (r11): per row, ``array_min(transform(shingle_hashes,
-    x -> xxhash64(x, i)))`` for each of the num_hashes seeds — no
-    explode, no groupBy, ZERO shuffle. The r4 explode+groupBy form
-    (one row per (doc, shingle), 16 grouped mins) was chosen on the
-    assumption that interpreted higher-order functions lose to
-    WholeStageCodegen aggregates; measured on Spark 4 at bench SF
-    that is backwards — the HOF form wins 1.34× (median-of-5 0.57 s
-    vs 0.76 s at sf0.1 with every signature column forced through an
-    aggregate — a bare count() lets Catalyst prune the unevaluated
-    sketch expressions and times only the scan; the full LSH query
-    drops 1.47 s → 1.15 s), because the exchange + partial-agg
-    machinery costs more than interpreted per-element hashing. At
-    100 TB the gap is structural, not just measured: signatures become
-    a pure map stage that fuses with the scan, where the old form
-    shuffled one partial row per (doc × partition). min() over a multiset ≡ min() over the set,
-    and the shingle helper dedupes per doc (array_distinct), so both
-    forms hash the per-doc DISTINCT shingles exactly once per seed.
+    CODEGEN EXPLODE+GROUPBY (r14, superseding the r11 map-only form):
+    explode k-gram START positions into rows, hash each n-gram in a
+    regular codegen'd projection, then one groupBy(_id) computing the
+    num_hashes ``min(xxhash64(h, seed))`` aggregates. The r11 freeze
+    ("MAP-ONLY: the HOF form wins 1.34× at bench SF, and at 100 TB the
+    gap is structural — a pure map stage that fuses with the scan")
+    compared two plans that BOTH built the shingle array through an
+    interpreted transform() lambda; once the hash itself moves into
+    codegen (the winnow root cause, BENCH_winnow_r14.json — Spark
+    never codegens HOF lambdas, ~40× per position), the verdict
+    inverts AT EVERY SCALE, and grows with the corpus because the
+    interpreted cost is per-position while the exchange ships one
+    ~136-byte partial row per doc: measured 1.9× at sf0.1 (0.63 s vs
+    1.19 s) and 3.1× at sf10 (1.40 s vs 4.34 s), value-parity
+    asserted (BENCH_minhash_codegen_r14.json). No dedup row is
+    shuffled: min() over the shingle MULTISET ≡ min() over the set,
+    so the per-doc array_distinct the old form paid is simply dropped.
 
-    The token-count filter preserves the explode semantics exactly: a
-    doc with fewer than n tokens has no shingles — explode dropped it,
-    while array_min over an empty array would keep it as an all-NULL
-    signature that spuriously bands with every other empty doc. The
-    filter tests ``size(tokens) >= n`` (≡ non-empty shingle array)
-    rather than the shingle array itself: Catalyst pushes filters
-    below the balance exchange, and a predicate on ``_arr`` would
-    re-evaluate the whole shingle transform there a second time
-    (measured: the full LSH query regressed 1.5 s → 4.3 s exactly
-    this way — the r5 pushed-filter gotcha).
+    Docs with fewer than n tokens have no shingle positions — the
+    explode drops them, preserving the previous filter semantics (an
+    all-NULL signature would spuriously band with every empty doc).
     """
-    arr = (
+    toks = F.col("_toks")
+    inv = (
         _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .filter(F.size("_toks") >= n)
-        .select("_id", shingle_hashes_from_tokens(F.col("_toks"), n).alias("_arr"))
+        .select(
+            "_id", "_toks",
+            F.explode(_shingle_starts(toks, n)).alias("_i"),
+        )
+        .select("_id", _kgram_hash_at(toks, F.col("_i"), n).alias("_h"))
     )
-
-    def _mh(i: int):
-        return F.array_min(
-            F.transform("_arr", (lambda j: (lambda x: F.xxhash64(x, F.lit(j))))(i))
-        ).alias(f"mh_{i}")
-
-    return arr.select("_id", *[_mh(i) for i in range(num_hashes)])
+    return inv.groupBy("_id").agg(
+        *[
+            F.min(F.xxhash64(F.col("_h"), F.lit(i))).alias(f"mh_{i}")
+            for i in range(num_hashes)
+        ]
+    )
 
 
 def minhash_md5_signatures(
@@ -1360,39 +1356,46 @@ def minhash_md5_signatures(
     rows-only check into a proven-identical algorithm with a swapped
     hash primitive.
 
-    MAP-ONLY (r11): the same zero-shuffle swap as ``minhash_signatures``
-    — per-row ``array_min(transform(shingles, md5 min-expr))`` instead
-    of explode+groupBy (a WASH at bench SF — 1.06 s both forms with all
-    columns forced, the md5 hashing dominates — kept for the structural
-    exchange removal and shape-consistency with the fast twin,
-    bit-identical output), with the identical token-count filter preserving
-    the zero-shingle drop semantics (and the identical pushed-filter
-    trap avoided — see the fast form's docstring).
+    CODEGEN EXPLODE+GROUPBY (r14, same restructure and rationale as
+    ``minhash_signatures`` — the shingle STRING build and the md5
+    min-expressions previously both ran inside interpreted transform()
+    lambdas; now the n-gram string is concat_ws'd in a codegen'd
+    projection and the md5 mins are grouped aggregates). min() over
+    the shingle multiset ≡ min() over the set, so the per-doc
+    array_distinct is dropped rather than paid as a dedup exchange;
+    docs with fewer than n tokens vanish at the explode (same drop
+    semantics as the old size filter). Bit-identical output — the
+    DuckDB oracle for x2_minhash_lsh_md5 replays it unchanged.
     """
-    arr = (
+    toks = F.col("_toks")
+    inv = (
         _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
-        .filter(F.size("_toks") >= n)
-        .select("_id", shingles_from_tokens(F.col("_toks"), n).alias("_arr"))
+        .select(
+            "_id", "_toks",
+            F.explode(_shingle_starts(toks, n)).alias("_i"),
+        )
+        .select(
+            "_id",
+            F.concat_ws(
+                " ",
+                *[F.element_at(toks, F.col("_i") + F.lit(j)) for j in range(n)],
+            ).alias("_s"),
+        )
     )
 
     def _mh(i: int):
-        return F.array_min(
-            F.transform(
-                "_arr",
-                (lambda j: (
-                    lambda s: F.conv(
-                        F.substring(
-                            F.md5(F.concat_ws("#", s, F.lit(str(j)))), 1, 15
-                        ),
-                        16,
-                        10,
-                    ).cast("long")
-                ))(i),
-            )
+        return F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws("#", F.col("_s"), F.lit(str(i)))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long")
         ).alias(f"mh_{i}")
 
-    return arr.select("_id", *[_mh(i) for i in range(num_hashes)])
+    return inv.groupBy("_id").agg(*[_mh(i) for i in range(num_hashes)])
 
 
 @_runtime_broadcast_only
