@@ -674,6 +674,13 @@ def ngram_jaccard_pairs(
     # The index holds 8-byte shingle hashes, never shingle strings
     # (collision odds at 2^-64·n² are nil), so the join shuffle moves a
     # quarter of the bytes.
+    # r14 note: the codegen explode+collect_set build
+    # (_shingle_arr_codegen) was A/B'd here and LOST at both sf0.1
+    # (0.83 s vs 0.43 s) and sf10 (2.43 s vs 1.24 s): unlike minhash
+    # (16 interpreted min-passes) and winnow (the O(n·w) interpreted
+    # window layer), this family's array build has no per-element HOF
+    # work beyond the hash itself, so the collect_set exchange costs
+    # more than it saves. Kept on the measured form.
     arr = (
         _balanced(df, balance)
         .select(F.col(id_col).alias("_id"), F.split(F.col(text_col), " ").alias("_toks"))
@@ -753,7 +760,9 @@ def ngram_jaccard_pairs(
                 from fractions import Fraction
 
                 frac = Fraction(str(max_df_ratio))
-                total = arr.select(F.count(F.lit(1)).alias("_ndocs"))
+                # counting the input frame == counting arr (one row
+                # per doc) and never touches the cache
+                total = df.select(F.count(F.lit(1)).alias("_ndocs"))
                 kept = dfreq.crossJoin(F.broadcast(total)).filter(
                     (F.col("_df") - F.lit(1)) * F.lit(frac.denominator)
                     < F.lit(frac.numerator) * F.col("_ndocs")
@@ -806,7 +815,8 @@ def ngram_jaccard_pairs(
                     from fractions import Fraction
 
                     _rfrac = Fraction(str(reroute_df_ratio))
-                    _total = arr.select(F.count(F.lit(1)).alias("_ndocs"))
+                    # input count == arr count; skips the cache
+                    _total = df.select(F.count(F.lit(1)).alias("_ndocs"))
                     kept = dfreq.crossJoin(F.broadcast(_total)).filter(
                         (F.col("_df") - F.lit(1)) * F.lit(_rfrac.denominator)
                         < F.lit(_rfrac.numerator) * F.col("_ndocs")
