@@ -1516,56 +1516,50 @@ def simhash(
     of Σ(±1) over that bit across tokens — equivalently, bit i is set
     iff tokens with bit i set form a strict majority (2·ones > n).
 
-    MAP-ONLY (r11): per row, 64 ``size(filter(hashes, bit test))``
-    passes over the token-hash array — no explode, no groupBy, ZERO
-    shuffle, same zero-shuffle swap as ``minhash_signatures`` and for
-    the same measured reason (Spark 4 bench SF, median-of-5 with the
-    sketch column forced through an aggregate: 1.61 s vs the
-    explode+groupBy form's 1.89 s, bit-identical sketches; the exchange
-    cost exceeds interpreted per-element evaluation, and at fleet scale
-    the sketch becomes a pure map stage fusing with the scan — honest
-    decades 1.84/6.38/40.8 s at 5k/500k/5M docs,
-    BENCH_minhash_r11.json). The ±1 multiset semantics are preserved: the token array is
-    NOT deduplicated, exactly like the exploded rows weren't.
+    CODEGEN EXPLODE+GROUPBY (r14, superseding the r11 map-only form —
+    the same inversion as ``minhash_signatures``): explode tokens (a
+    native split, no HOF array build), hash each in a codegen'd
+    projection, then one groupBy(_id) with 64 conditional-sum bit
+    tallies + a count. The r11 freeze compared an interpreted HOF form
+    against an explode form whose array build was ALSO interpreted;
+    with the whole pipeline in codegen the per-element work (64 bit
+    tests × tokens, the dominant term) escapes the interpreted-lambda
+    tax: measured a wash at sf0.1 (2.30 s vs 2.17) and 1.7× at sf10
+    (3.68 s vs 6.28), bit-identical sketches
+    (BENCH_kgram_codegen_r14.json carries the family rule). The ±1
+    multiset semantics are preserved: tokens are NOT deduplicated,
+    exactly like the old array wasn't.
 
-    NULL-text docs are dropped (r11 ADVICE): the old explode form shed
-    them implicitly (explode of a NULL array emits no rows), while the
-    per-row form would keep them as sketch-0 rows that then report each
-    other as distance-0 near-dup pairs. The filter tests the RAW text
-    column, not a derived array — a predicate on the transformed column
-    would be pushed below the balance exchange and re-evaluate the whole
-    transform a second time (the r5 pushed-filter gotcha minhash guards
-    against the same way).
+    NULL-text docs are dropped (r11 ADVICE): explode of a NULL split
+    emits no rows — they would otherwise surface as sketch-0 rows
+    reporting each other as distance-0 near-dups.
     """
-    arr = (
+    inv = (
         _balanced(df.filter(F.col(text_col).isNotNull()), balance)
         .select(
             F.col(id_col).alias("_id"),
-            F.transform(
-                F.split(F.col(text_col), " "), lambda t: F.xxhash64(t)
-            ).alias("_hs"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_t"),
         )
+        .select("_id", F.xxhash64("_t").alias("_h"))
     )
-    ntok = F.size("_hs")
-
-    def _bit(i: int):
-        # bit test via unsigned shift — (1 << 63) won't fit a long literal
-        ones = F.size(
-            F.filter(
-                "_hs",
-                (lambda j: (
-                    lambda h: F.shiftrightunsigned(h, j).bitwiseAND(F.lit(1)) == 1
-                ))(i),
-            )
-        )
-        return F.when(
-            ones * 2 > ntok, F.lit(1 << i if i < 63 else -(1 << 63))
-        ).otherwise(0)
-
+    g = inv.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("_h"), i).bitwiseAND(F.lit(1))
+            ).alias(f"_b{i}")
+            for i in range(64)
+        ],
+    )
     sketch = F.lit(0).cast("long")
     for i in range(64):
-        sketch = sketch + _bit(i)
-    return arr.select(F.col("_id").alias(id_col), sketch.alias("simhash"))
+        # (1 << 63) won't fit a long literal — the sign bit lands as
+        # the most negative long, exactly as the old unsigned shift did
+        bit = F.lit(1 << i if i < 63 else -(1 << 63))
+        sketch = sketch + F.when(
+            F.col(f"_b{i}") * 2 > F.col("_n"), bit
+        ).otherwise(0)
+    return g.select(F.col("_id").alias(id_col), sketch.alias("simhash"))
 
 
 def simhash_md5(
@@ -1578,41 +1572,41 @@ def simhash_md5(
     non-negative, so plain arithmetic shifts agree across engines and
     the whole sketch replays verbatim in DuckDB (the oracle for
     x2_simhash_md5). Slower than xxhash64 — use for cross-engine
-    verification, not the hot path. MAP-ONLY like its fast twin (r11):
-    60 per-row ``size(filter(...))`` majority tests over the token-hash
-    array — zero shuffle, same multiset semantics as the exploded rows.
-    NULL-text docs are dropped on the raw column before the transform,
-    exactly as in ``simhash`` (r11 ADVICE; see that docstring).
+    verification, not the hot path. CODEGEN EXPLODE+GROUPBY like its
+    fast twin (r14 — see ``simhash``'s docstring for the measured
+    inversion of the r11 map-only freeze): explode tokens, md5 in a
+    codegen'd projection, 60 conditional-sum bit tallies per doc.
+    Same multiset semantics; NULL-text docs drop at the explode.
+    The DuckDB oracle for x2_simhash_md5 replays it unchanged.
     """
-    arr = (
+    inv = (
         _balanced(df.filter(F.col(text_col).isNotNull()), balance)
         .select(
             F.col(id_col).alias("_id"),
-            F.transform(
-                F.split(F.col(text_col), " "),
-                lambda t: F.conv(
-                    F.substring(F.md5(t), 1, 15), 16, 10
-                ).cast("long"),
-            ).alias("_hs"),
+            F.explode(F.split(F.col(text_col), " ")).alias("_t"),
+        )
+        .select(
+            "_id",
+            F.conv(F.substring(F.md5("_t"), 1, 15), 16, 10)
+            .cast("long")
+            .alias("_h"),
         )
     )
-    ntok = F.size("_hs")
-
-    def _bit(i: int):
-        ones = F.size(
-            F.filter(
-                "_hs",
-                (lambda j: (
-                    lambda h: F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1
-                ))(i),
+    g = inv.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        *[
+            F.sum(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1))).alias(
+                f"_b{i}"
             )
-        )
-        return F.when(ones * 2 > ntok, F.lit(1 << i)).otherwise(0)
-
+            for i in range(60)
+        ],
+    )
     sketch = F.lit(0).cast("long")
     for i in range(60):
-        sketch = sketch + _bit(i)
-    return arr.select(F.col("_id").alias(id_col), sketch.alias("simhash"))
+        sketch = sketch + F.when(
+            F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1 << i)
+        ).otherwise(0)
+    return g.select(F.col("_id").alias(id_col), sketch.alias("simhash"))
 
 
 @_runtime_broadcast_only
