@@ -3048,13 +3048,17 @@ _BPE_MERGES = [
 
 def q_bpe_encode(spark, sf_dir):
     """X4 tokenization, rows-only: encode every document with a fixed
-    BPE merge table (operators/retrieval.py::bpe_apply) — one per-row
-    expression, zero shuffles. Returns token count and the first-10-
-    token head per document; exact equality to the reference encoder
-    is pinned in pytest (the iterative fold has no SQL twin)."""
-    from adguard2clickhouse_spark.operators.retrieval import bpe_apply
+    BPE merge table. r14: runs the Arrow memoized kernel
+    (retrieval.py::bpe_apply_arrow) — the expression form's nested
+    interpreted HOF folds made it the engine's slowest sf100 completer
+    (685 s; 42× slower at sf10) and BPE's word→tokens purity makes a
+    per-task memo collapse the work to one encode per distinct word.
+    Bit-identical to the all-JVM expression form (pinned in pytest);
+    still zero shuffles. Rows-only: the iterative fold has no SQL
+    twin."""
+    from adguard2clickhouse_spark.operators.retrieval import bpe_apply_arrow
 
-    out = bpe_apply(_t(spark, sf_dir, "documents"), _BPE_MERGES)
+    out = bpe_apply_arrow(_t(spark, sf_dir, "documents"), _BPE_MERGES)
     return out.select(
         "doc_id",
         F.size("bpe_tokens").cast("long").alias("n_bpe"),

@@ -30,8 +30,10 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import pandas as pd  # module level: pandas_udf/mapInPandas type hints
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
 
@@ -167,6 +169,78 @@ def bpe_apply(
     for left, right in merges:
         sym = apply_one(sym, left, right)
     return df.select(F.col(id_col), F.flatten(sym).alias(out_col))
+
+
+def bpe_apply_arrow(
+    df: DataFrame,
+    merges: Sequence[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """Arrow twin of ``bpe_apply`` — same greedy left-to-right
+    non-overlapping merge semantics, bit-identical token streams
+    (pinned in pytest), executed in a ``mapInPandas`` kernel with a
+    per-task word→tokens MEMO.
+
+    Why this exists (r14, found by the sf100 sweep): the expression
+    form is zero-shuffle but its nested higher-order lambdas
+    (per merge × per word × per symbol) are INTERPRETED — Spark never
+    codegens HOF lambdas — and re-encode every occurrence of every
+    word; at 5M docs it was the engine's slowest completer (685 s).
+    BPE is a pure word→tokens function, so a memo collapses the work
+    to one encode per DISTINCT word per task — the classic tokenizer
+    cache — and Arrow batches amortize the Python hop. Measured
+    (BENCH_kgram_codegen_r14.json): sf10 100.5 s → 2.4 s (42×),
+    sf100/8 GB 685 s → 24 s. Stays a pure map stage: no exchange,
+    composes with chunking/packing downstream exactly like the
+    expression form, which remains as the all-JVM reference
+    implementation the parity test pins against.
+    """
+    merges_list = [(str(l), str(r)) for l, r in merges]
+    out_fields = df.select(id_col).schema.fields
+    schema = T.StructType(
+        list(out_fields) + [T.StructField(out_col, T.ArrayType(T.StringType()))]
+    )
+
+    def encode_word(w: str, memo: dict) -> list:
+        got = memo.get(w)
+        if got is not None:
+            return got
+        syms = list(w)
+        for left, right in merges_list:
+            i, out = 0, []
+            n = len(syms)
+            while i < n:
+                if i + 1 < n and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        memo[w] = syms
+        return syms
+
+    def run(batches):
+        memo: dict = {}
+        for pdf in batches:
+            # NULL text → NULL tokens, matching the expression form
+            # (split(NULL)=NULL propagates through transform/flatten)
+            toks = [
+                None
+                if s is None
+                else [
+                    t
+                    for w in s.split(" ")
+                    if w != ""
+                    for t in encode_word(w, memo)
+                ]
+                for s in pdf[text_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: toks})
+
+    return df.select(id_col, text_col).mapInPandas(run, schema=schema)
 
 
 def bpe_train(
