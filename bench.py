@@ -370,6 +370,13 @@ def main() -> None:
         return
 
     n_sessions = int(os.environ.get("SPARK_GRAFT_BENCH_SESSIONS", "3"))
+    # Wall budget for the whole stamp: if the NEXT session would
+    # plausibly overrun it (estimated from the slowest session so
+    # far), aggregate what we have instead of risking an external
+    # kill that leaves NO stamp at all. A 1-session stamp is the
+    # r1-r13 protocol — degraded, still valid; n_sessions in the
+    # artifact says which.
+    budget_s = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "540"))
     if n_sessions <= 1:
         sessions = [run_session(sf_dir, sf)]
     else:
@@ -378,9 +385,22 @@ def main() -> None:
         # sessions must not contend with each other.
         import subprocess
 
+        t_start = time.time()
         sessions = []
         for i in range(n_sessions):
+            elapsed = time.time() - t_start
+            if sessions and elapsed + max(
+                s.get("_wall_s", 0.0) for s in sessions
+            ) > budget_s:
+                print(
+                    f"bench: stopping after {len(sessions)} sessions — "
+                    f"elapsed {elapsed:.0f}s + a further session would "
+                    f"exceed SPARK_GRAFT_BENCH_BUDGET_S={budget_s:.0f}",
+                    file=sys.stderr,
+                )
+                break
             env = dict(os.environ, SPARK_GRAFT_BENCH_CHILD="1")
+            t0 = time.time()
             proc = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
@@ -394,7 +414,9 @@ def main() -> None:
                     f"(rc={proc.returncode}); stdout tail: "
                     f"{proc.stdout[-2000:]}"
                 )
-            sessions.append(json.loads(proc.stdout.strip().splitlines()[-1]))
+            session = json.loads(proc.stdout.strip().splitlines()[-1])
+            session["_wall_s"] = round(time.time() - t0, 1)
+            sessions.append(session)
 
     result = aggregate_sessions(sessions, sf)
     if sf == 0.1:
