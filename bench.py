@@ -33,6 +33,16 @@ calibration under "sessions" for forensics. "value" remains the sum of
 per-query medians — the same statistic as r5-r13, computed over a
 noise-resistant sample. Set SPARK_GRAFT_BENCH_SESSIONS=1 for the old
 single-session behavior while iterating.
+
+Round 15 (VERDICT r14 #1 — the stamp must be machine-readable): the
+FINAL stdout line is now the COMPACT stamp only (metric, value,
+normalized values, per-query medians, session totals — budgeted under
+FINAL_LINE_BUDGET=1900 chars so the driver's 2000-char tail capture
+can never truncate it again); the bulky per-session forensics
+("sessions" with per-query runs and calibrations) move to a PRECEDING
+stdout line and a sibling BENCH_sessions_detail_last.json. r14's final
+line embedded the forensics inline and overflowed the capture, so the
+official BENCH_r14.json stamped "parsed": null.
 """
 
 from __future__ import annotations
@@ -360,6 +370,50 @@ def aggregate_sessions(sessions: list[dict], sf: float) -> dict:
     }
 
 
+# The driver records only the last ~2000 chars of stdout and parses the
+# final line as the official stamp. r14's final line embedded the full
+# per-session forensics ("sessions": per-query runs + calibrations) and
+# overflowed that capture — BENCH_r14.json recorded "parsed": null, so
+# the round had no machine-readable headline (VERDICT r14 #1). The
+# budget leaves ~100 chars of headroom under the capture; the compact
+# line is ~1,200 chars with today's 14 queries, so the trim ladder is
+# belt-and-braces for future query growth, and test_hygiene.py asserts
+# the realistic-line size stays under budget.
+FINAL_LINE_BUDGET = 1900
+
+# Dropped one at a time, in order, if the final line ever exceeds the
+# budget. Never dropped: metric/value/unit/queries/sf (the driver
+# contract) and value_normalized/protocol/n_sessions (the judge's
+# cross-round chain).
+_TRIMMABLE = [
+    "session_totals_normalized",
+    "session_totals",
+    "host_calibration_mc_sec",
+    "calibration_mc_ref_sec",
+    "value_normalized_mc",
+    "queries_normalized",
+]
+
+
+def split_stamp(result: dict) -> tuple[dict, dict]:
+    """Split the aggregate into (compact, detail): ``compact`` is the
+    final stdout line the driver parses (guaranteed under
+    FINAL_LINE_BUDGET chars), ``detail`` carries the bulky per-session
+    forensics and is emitted on a PRECEDING stdout line + a sibling
+    file, where truncation is harmless. Pure function (unit-tested)."""
+    detail = {
+        "metric": "headline_queries_sessions_detail",
+        "sessions": result.get("sessions", []),
+    }
+    compact = {k: v for k, v in result.items() if k != "sessions"}
+    for key in _TRIMMABLE:
+        if len(json.dumps(compact)) <= FINAL_LINE_BUDGET:
+            break
+        if key in compact:
+            detail[key] = compact.pop(key)
+    return compact, detail
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -422,7 +476,20 @@ def main() -> None:
     if sf == 0.1:
         for flag in regression_flags(result["queries_normalized"]):
             print(flag, file=sys.stderr)
-    print(json.dumps(result))
+
+    # Compact final line (driver-parsed) + per-session forensics on a
+    # preceding line and a sibling file — see FINAL_LINE_BUDGET.
+    compact, detail = split_stamp(result)
+    try:
+        detail_path = Path(__file__).resolve().parent / (
+            "BENCH_sessions_detail_last.json"
+        )
+        detail_path.write_text(json.dumps(detail, indent=1))
+    except OSError as exc:  # read-only checkout: stdout line still has it
+        print(f"bench: could not write sessions detail file: {exc}",
+              file=sys.stderr)
+    print(json.dumps(detail))
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":

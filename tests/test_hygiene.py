@@ -318,3 +318,70 @@ def test_bench_median_of_sessions_aggregation():
     assert out["host_calibration_sec"] == 1.3
     # value is still the sum of per-query medians (the r5-r13 statistic)
     assert out["value"] == round(sum(out["queries"].values()), 3)
+
+
+def test_bench_final_line_fits_driver_tail_capture():
+    """r15 (VERDICT r14 #1): the driver records only the last ~2000
+    chars of stdout and parses the FINAL line as the official stamp.
+    r14's final line embedded the full per-session forensics and
+    overflowed the capture — BENCH_r14.json stamped "parsed": null.
+    split_stamp must (a) keep a realistic compact line under the 1900-
+    char budget with every contract field intact, and (b) trim extras
+    (never contract fields) if a pathological aggregate ever exceeds
+    the budget."""
+    import json as _json
+    import sys
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import (
+        BENCH_QUERIES,
+        FINAL_LINE_BUDGET,
+        aggregate_sessions,
+        split_stamp,
+    )
+
+    def session(scale: float, cal: float) -> dict:
+        q = {name: round(123.456 * scale, 3) for name in BENCH_QUERIES}
+        return {
+            "value": round(sum(q.values()), 3),
+            "queries": q,
+            "runs": {name: [v] * 3 for name, v in q.items()},
+            "host_calibration_sec": cal,
+            "host_calibration_mc_sec": cal,
+            "value_normalized": round(sum(q.values()) * 1.339 / cal, 3),
+            "value_normalized_mc": round(sum(q.values()) * 0.794 / cal, 3),
+            "codegen_steady_state": {"steady_state_compiles": 0},
+            "queries_normalized": {
+                name: round(v * 1.339 / cal, 3) for name, v in q.items()
+            },
+        }
+
+    # realistic worst case: 3 sessions, widest plausible numbers
+    result = aggregate_sessions(
+        [session(1.0, 1.318), session(1.1, 1.402), session(1.2, 1.355)],
+        sf=0.1,
+    )
+    compact, detail = split_stamp(result)
+    line = _json.dumps(compact)
+    assert len(line) < FINAL_LINE_BUDGET, (
+        f"compact stamp line is {len(line)} chars — would overflow the "
+        f"driver's tail capture (budget {FINAL_LINE_BUDGET})"
+    )
+    # contract + cross-round chain fields survive untrimmed
+    for key in ("metric", "value", "unit", "queries", "sf",
+                "value_normalized", "protocol", "n_sessions",
+                "queries_normalized"):
+        assert key in compact, f"compact stamp lost contract field {key}"
+    assert compact["protocol"] == "median_of_sessions"
+    # the bulky forensics moved to the detail record, not vanished
+    assert len(detail["sessions"]) == 3
+    assert "runs" in detail["sessions"][0]
+    assert "sessions" not in compact
+
+    # pathological aggregate (absurd query names) still lands under
+    # budget by shedding trimmable extras — and only those
+    big = dict(result)
+    big["queries"] = {f"q_{'x' * 40}_{i}": 1.0 for i in range(8)}
+    big["queries_normalized"] = dict(big["queries"])
+    compact2, detail2 = split_stamp(big)
+    assert "queries" in compact2 and "value" in compact2
