@@ -284,7 +284,17 @@ def q_recursive_suffixes(spark, sf_dir):
     carried through the recursion so there is no join-back. The same
     SQL replays verbatim in DuckDB, cross-validating Spark's recursive
     execution against the transform-based a10 plan. (Anchor columns
-    must be explicitly aliased — an unaliased SELECT QH, QH misbinds.)"""
+    must be explicitly aliased — an unaliased SELECT QH, QH misbinds.)
+
+    Runs on a sibling session with the recursion row valve sized for
+    corpus scale (r15, ADVICE r14): Spark 4's fixed 1M-row default
+    valve aborts any >250k-distinct-domain rollup (r14 sf100 sweep),
+    but raising it globally let USER recursions materialize 2B rows —
+    recursion_scoped_session pins the raise to exactly this query's
+    lazy DataFrame while the caller's session keeps the default."""
+    from adguard2clickhouse_spark.session import recursion_scoped_session
+
+    spark = recursion_scoped_session(spark)
     log2 = log2_from_events(spark, sf_dir)
     base = (
         log2.filter(agg._real_domain("QH"))

@@ -261,13 +261,23 @@ def edit_distance_pairs(
     whose edits all sit inside the first m chars drop). None disables
     the guard for pre-sized corpora.
     """
+    # NULL buckets must stay non-joinable in BOTH forms: the plain path
+    # gets that for free (NULL = NULL is NULL under the equi-join), but
+    # concat_ws SKIPS nulls, so the co-block key would collapse
+    # NULL-bucket rows onto the bare text prefix and the documented
+    # remedy would silently ADD cross-bucket pairs (ADVICE r14).
+    # Propagating NULL through the co-block key keeps the contract:
+    # enabling block_prefix_len only ever REMOVES pairs.
     t = df.select(
         F.col(id_col).alias("_id"),
         (
-            F.concat_ws(
-                "\x1f",
-                F.col(bucket_col).cast("string"),
-                F.substring(F.col(text_col), 1, block_prefix_len),
+            F.when(
+                F.col(bucket_col).isNotNull(),
+                F.concat_ws(
+                    "\x1f",
+                    F.col(bucket_col).cast("string"),
+                    F.substring(F.col(text_col), 1, block_prefix_len),
+                ),
             )
             if block_prefix_len
             else F.col(bucket_col)
@@ -275,8 +285,12 @@ def edit_distance_pairs(
         F.substring(F.col(text_col), 1, prefix_len).alias("_s"),
     )
     if max_candidate_pairs is not None:
+        # _b IS NOT NULL: the equi-join never compares NULL buckets, so
+        # counting them here would refuse corpora whose real join mass
+        # is under the cap (ADVICE r14).
         mass = (
-            t.groupBy("_b")
+            t.filter(F.col("_b").isNotNull())
+            .groupBy("_b")
             .agg(F.count(F.lit(1)).alias("_c"))
             .agg(
                 F.sum(F.col("_c") * (F.col("_c") - 1) / F.lit(2)).alias("_m")

@@ -177,11 +177,18 @@ def bpe_apply_arrow(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "bpe_tokens",
+    memo_max_entries: int = 1 << 20,
 ) -> DataFrame:
     """Arrow twin of ``bpe_apply`` — same greedy left-to-right
     non-overlapping merge semantics, bit-identical token streams
     (pinned in pytest), executed in a ``mapInPandas`` kernel with a
-    per-task word→tokens MEMO.
+    per-task word→tokens MEMO, bounded at ``memo_max_entries``
+    distinct words (r15, ADVICE r14: unbounded, a high-distinct
+    vocabulary — URLs, ids, numerals — grows a long-lived worker's
+    RSS without limit; on overflow the memo is cleared wholesale,
+    which a Zipfian vocabulary repopulates with its hot words within
+    one batch, keeping the 42× win while bounding worker memory to
+    ~memo_max_entries token lists).
 
     Why this exists (r14, found by the sf100 sweep): the expression
     form is zero-shuffle but its nested higher-order lambdas
@@ -219,6 +226,8 @@ def bpe_apply_arrow(
                     out.append(syms[i])
                     i += 1
             syms = out
+        if len(memo) >= memo_max_entries:
+            memo.clear()
         memo[w] = syms
         return syms
 

@@ -174,20 +174,19 @@ def get_spark(
             "spark.sql.codegen.cache.maxEntries",
             os.environ.get("SPARK_GRAFT_CODEGEN_CACHE", "2000"),
         )
-        # Recursive CTEs (x_recursive_suffixes, the WITH RECURSIVE
-        # surface): Spark 4's default safety valve aborts recursion at
-        # 1M TOTAL rows — a fixed count that any >250k-distinct-domain
-        # corpus trips regardless of how well-behaved the recursion is
-        # (found by the r14 sf100 sweep: RECURSION_ROW_LIMIT_EXCEEDED
-        # at 100M events). The engine's recursions are LEVEL-bounded
-        # by construction (≤ hostname label depth), so the level limit
-        # (default 100) is the meaningful guard; size the row valve to
-        # the corpus instead of the default. Runtime conf — users on
-        # foreign sessions can set the same key.
-        .config(
-            "spark.sql.cteRecursionRowLimit",
-            os.environ.get("SPARK_GRAFT_CTE_ROW_LIMIT", "2000000000"),
-        )
+        # Recursive CTEs: Spark 4's default safety valve aborts
+        # recursion at 1M TOTAL rows — a fixed count that any
+        # >250k-distinct-domain corpus trips regardless of how
+        # well-behaved the recursion is (found by the r14 sf100 sweep:
+        # RECURSION_ROW_LIMIT_EXCEEDED at 100M events). r15 (ADVICE
+        # r14): the raise is no longer session-global — a 2e9 valve on
+        # every query let a USER-written runaway recursion materialize
+        # ~2B rows before tripping. The engine's own level-bounded
+        # recursions (x_recursive_suffixes) now run on a sibling
+        # session from recursion_scoped_session(); this session keeps
+        # Spark's conservative default unless the operator explicitly
+        # opts the whole session in via SPARK_GRAFT_CTE_ROW_LIMIT
+        # (applied after the chain, below).
         # Bucketed tables (plans/bucketing.py) need a warehouse; keep it
         # out of the repo/cwd. Static conf — set at build only.
         .config(
@@ -196,6 +195,47 @@ def get_spark(
         )
         .config("spark.ui.enabled", "false")
     )
+    if os.environ.get("SPARK_GRAFT_CTE_ROW_LIMIT"):
+        builder = builder.config(
+            "spark.sql.cteRecursionRowLimit",
+            os.environ["SPARK_GRAFT_CTE_ROW_LIMIT"],
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def recursion_scoped_session(
+    spark: SparkSession, row_limit: int = 2_000_000_000
+) -> SparkSession:
+    """A sibling session (shared SparkContext/JVM, OWN runtime conf and
+    temp-view namespace) with the recursive-CTE row valve sized for a
+    corpus-scale, level-bounded recursion.
+
+    Why a sibling session and not ``scoped_conf`` (r15, ADVICE r14):
+    the engine's recursive queries return LAZY DataFrames, and Spark
+    reads SQLConf at execution time — a set/restore around construction
+    would restore the conservative valve before the caller ever runs
+    the query. A sibling session pins the raised valve to exactly the
+    DataFrames built on it, while the caller's session keeps Spark's
+    default 1M-row valve against user-written runaway recursions. The
+    level limit (spark.sql.cteRecursionLevelLimit, default 100) stays
+    untouched on BOTH sessions — it is the semantic guard; the row
+    valve only needs to not trip on corpus size (Spark 4's fixed 1M
+    default aborts ANY >250k-distinct-domain suffix rollup, found by
+    the r14 sf100 sweep).
+
+    Cached per (session, limit): newSession() itself is cheap (no JVM,
+    no context), but a fresh session state re-analyzes bridge views and
+    re-misses the per-session DataFrame caches on every call.
+    """
+    key = (id(spark._jsparkSession), row_limit)
+    cached = _RECURSION_SESSIONS.get(key)
+    if cached is None:
+        cached = spark.newSession()
+        cached.conf.set("spark.sql.cteRecursionRowLimit", str(row_limit))
+        _RECURSION_SESSIONS[key] = cached
+    return cached
+
+
+_RECURSION_SESSIONS: dict[tuple[int, int], SparkSession] = {}

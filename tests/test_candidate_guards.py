@@ -583,3 +583,46 @@ def test_edit_distance_block_prefix_remedy_completes_and_keeps_dups(spark):
         ).collect()
     }
     assert full == base
+
+
+def test_edit_distance_null_buckets_never_join_and_never_count(spark):
+    """r15 (ADVICE r14): NULL-bucket rows are non-joinable in the plain
+    path (NULL equality), and enabling block_prefix_len must not change
+    that — concat_ws skips NULLs, so without the NULL propagation the
+    co-block key collapsed NULL-bucket rows onto the bare text prefix
+    and the remedy silently ADDED cross-bucket pairs. The mass probe
+    likewise excludes NULL buckets: it must measure what the join
+    actually emits, not refuse a corpus on pairs that never happen."""
+    rows = [(i, None, "identical text body for everyone") for i in range(30)]
+    rows += [(100, "src", "identical text body for everyone"),
+             (101, "src", "identical text body for everyone")]
+    docs = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+
+    # plain path: only the non-NULL bucket pair exists
+    plain = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.edit_distance_pairs(
+            docs, "source", max_candidate_pairs=None
+        ).collect()
+    }
+    assert plain == {(100, 101)}
+
+    # co-blocked path: identical prefixes everywhere, but NULL buckets
+    # still never match — same single pair
+    blocked = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.edit_distance_pairs(
+            docs, "source", block_prefix_len=10, max_candidate_pairs=None
+        ).collect()
+    }
+    assert blocked == {(100, 101)}
+
+    # probe: 30 NULL rows would be 435 phantom pairs; real mass is 1.
+    # A cap of 10 must ADMIT this corpus (and the join still completes).
+    guarded = {
+        (r.doc_a, r.doc_b)
+        for r in dedup.edit_distance_pairs(
+            docs, "source", max_candidate_pairs=10
+        ).collect()
+    }
+    assert guarded == {(100, 101)}

@@ -385,3 +385,41 @@ def test_bench_final_line_fits_driver_tail_capture():
     big["queries_normalized"] = dict(big["queries"])
     compact2, detail2 = split_stamp(big)
     assert "queries" in compact2 and "value" in compact2
+
+
+def test_recursion_row_valve_not_raised_globally(spark):
+    """r15 (ADVICE r14): the corpus-sized recursion row valve must live
+    only on the sibling session recursion_scoped_session() builds — the
+    engine session keeps Spark's conservative default so a user-written
+    runaway recursive CTE still trips at 1M rows, while the engine's
+    level-bounded suffix rollup gets its sized valve AND still computes
+    the right answer."""
+    from adguard2clickhouse_spark.session import recursion_scoped_session
+
+    key = "spark.sql.cteRecursionRowLimit"
+    assert int(spark.conf.get(key)) <= 1_000_000, (
+        "engine session should keep the conservative default valve"
+    )
+    rec = recursion_scoped_session(spark)
+    assert rec is not spark
+    assert int(rec.conf.get(key)) == 2_000_000_000
+    # cached: repeated calls reuse one sibling (per-session DataFrame
+    # caches and analyzed views survive across bench reps)
+    assert recursion_scoped_session(spark) is rec
+
+    # the registered query still runs and agrees with the a10 rollup
+    import __spark_entry__ as entrymod
+
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        (r.suffix, r["count"])
+        for r in entrymod.queries()["x_recursive_suffixes"](spark, sf).collect()
+    }
+    a10 = {
+        (r.suffix, r["count"])
+        for r in entrymod.queries()["a10_domain_hierarchy"](spark, sf)
+        .select("suffix", "count")
+        .collect()
+    }
+    assert rows == a10
+    assert rows, "suffix rollup must be non-empty at sf0.001"

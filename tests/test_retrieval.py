@@ -289,3 +289,27 @@ def test_bm25_length_normalization_orders_equal_tf(spark):
     )
     got = {r.doc_id: r.rnk for r in bm25_search(df, ["q"], k=10).collect()}
     assert got[1] == 1 and got[2] == 2
+
+
+def test_bpe_apply_arrow_memo_bound_preserves_parity(spark):
+    """r15 (ADVICE r14): the per-task memo is bounded (cleared wholesale
+    at memo_max_entries so a high-distinct vocabulary can't grow worker
+    RSS without limit). A pathologically tiny cap — forcing clears
+    mid-word-stream, including between repeated occurrences of the same
+    word — must not change a single token."""
+    from adguard2clickhouse_spark.operators.retrieval import (
+        bpe_apply,
+        bpe_apply_arrow,
+    )
+
+    merges = [("t", "h"), ("th", "e"), ("a", "a"), ("aa", "aa")]
+    texts = [f"the w{i} aaaa the w{i} tail" for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    want = {r.doc_id: r.bpe_tokens for r in bpe_apply(df, merges).collect()}
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_apply_arrow(df, merges, memo_max_entries=2).collect()
+    }
+    assert got == want
