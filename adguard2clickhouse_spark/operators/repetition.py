@@ -16,6 +16,12 @@ window (never a self-join), then two partial-aggregable groupBys on
 the document key. Only (doc_id, token) pairs shuffle — texts stay in
 the scan. At 100 TB the doc_id key is unique-per-row, so the shuffle
 is uniform by construction (no skew possible).
+
+Interpreted-HOF audit (r15, VERDICT r14 #3 — the 89 s sf100 wall made
+x4_repetition a flagged candidate): this module contains NO
+higher-order-function lambdas; the wall is the exploded token volume
+through the per-doc window sort plus two count-distinct aggregations,
+all codegen'd. Nothing to rewrite under the HOF rule.
 """
 
 from __future__ import annotations
