@@ -2912,8 +2912,20 @@ def q_shard_export(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     out = with_split(docs, "doc_id", val_permille=50, test_permille=50)
     tmp = tempfile.mkdtemp(prefix="shards_")
+    # Corpus-aware record cap (r15, tranche-7 sweep find): the fixed
+    # 64-records/file that exercises file splitting at driver SF
+    # (600 docs → ~10 files) produced ~78,000 parquet files at sf100
+    # (5M docs) — 498 s of pure file-creation overhead, a query-
+    # parameterization artifact, not a sink hazard. Target ≤ ~256
+    # data files at any SF while keeping the cap small enough at
+    # driver SF that the capping path still executes. The manifest
+    # fold (per-split counts + id ranges) is file-layout-independent,
+    # so the oracle is unchanged. The count() is a 1-row metadata
+    # aggregate of the same kind as the mass probes.
+    n_docs = docs.count()
     write_training_shards(
-        out, tmp, n_shards_per_split=4, max_records_per_file=64
+        out, tmp, n_shards_per_split=4,
+        max_records_per_file=max(64, n_docs // 256),
     )
     m = shard_manifest(spark, tmp)
     return (

@@ -361,6 +361,7 @@ def embedding_dup_pairs(
     threshold: float = 0.9,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    max_candidate_pairs: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
     cosine ≥ threshold).
@@ -371,6 +372,13 @@ def embedding_dup_pairs(
     bit-for-bit. At corpus scale use :func:`embedding_dup_pairs_lsh`,
     which candidate-generates through signature buckets and applies
     this same exact verify only within candidates.
+
+    ``max_candidate_pairs`` (r15 — found by the tranche-7 sf100 sweep:
+    this was the last pair generator without a mass guard; at 2M
+    vectors the n²/2 self-join is 2e12 dim-64 dot products and blew
+    the 900 s budget): probe the non-zero-norm row count (one 1-row
+    aggregate) and refuse above the cap with the measured mass and
+    the in-family remedies. None disables for a pre-sized corpus.
     """
     # Precompute each row's norm once (n sqrt-folds instead of n² —
     # the per-pair value is bit-identical, so the oracle still agrees).
@@ -379,6 +387,24 @@ def embedding_dup_pairs(
         F.col(vec_col).alias("_va"),
         norm(F.col(vec_col)).alias("_na"),
     )
+    if max_candidate_pairs is not None:
+        n = a.filter(F.col("_na") > 0).count()
+        mass = n * (n - 1) // 2
+        if mass > max_candidate_pairs:
+            raise ValueError(
+                f"embedding_dup_pairs: the all-pairs self-join would "
+                f"compare {mass:,} pairs over {n:,} vectors "
+                f"(> max_candidate_pairs={max_candidate_pairs:,}) — "
+                "this exact form is the ORACLE baseline, quadratic by "
+                "construction. Use embedding_dup_pairs_lsh (banded "
+                "sign-LSH candidates + this same exact verify; "
+                "auto_bits + max_bucket is the measured production "
+                "policy — 95.2% pair retention, precision 1, "
+                "BENCH_reroute_r10.json), embedding_dup_pairs_brp_ml "
+                "(stock BucketedRandomProjectionLSH), or pre-shard the "
+                "corpus. Pass max_candidate_pairs=None only for a "
+                "corpus you have sized."
+            )
     b = df.select(
         F.col(id_col).alias("id_b"),
         F.col(vec_col).alias("_vb"),

@@ -626,3 +626,32 @@ def test_edit_distance_null_buckets_never_join_and_never_count(spark):
         ).collect()
     }
     assert guarded == {(100, 101)}
+
+
+def test_embedding_dup_guard_refuses_unsized_all_pairs(spark):
+    """r15 (tranche-7 sf100 sweep find): embedding_dup_pairs was the
+    last pair generator without a mass guard — the exact all-pairs
+    self-join at 2M sf100 vectors is 2e12 dot products (blew the 900 s
+    budget). The guard probes the non-zero-norm count and refuses with
+    the measured mass + the in-family remedies; below the cap (and
+    with the guard disabled) answers are identical."""
+    from adguard2clickhouse_spark.operators import similarity
+
+    rows = [(i, [float(i % 7) + 1.0] * 4) for i in range(60)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    with pytest.raises(ValueError, match="1,770 pairs"):  # 60*59/2
+        similarity.embedding_dup_pairs(emb, threshold=0.9,
+                                       max_candidate_pairs=100)
+    base = {
+        tuple(r)
+        for r in similarity.embedding_dup_pairs(
+            emb, threshold=0.9, max_candidate_pairs=None
+        ).collect()
+    }
+    guarded = {
+        tuple(r)
+        for r in similarity.embedding_dup_pairs(
+            emb, threshold=0.9, max_candidate_pairs=10_000
+        ).collect()
+    }
+    assert guarded == base and base
