@@ -13,28 +13,40 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def word_shingles(
     df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """(id, shingle): all word n-grams of each document, via one
-    explode + lead window (same stream shape as repetition metrics —
-    no self-join, no quadratic blow-up)."""
-    toks = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
+    """(id, shingle): all word n-grams of each document.
+
+    Zero-exchange form (r15 — the explode + lead-window build forced a
+    hash exchange + per-doc sort of EVERY corpus token, ~500M rows at
+    sf100, the bulk of x8_contamination's 119 s wall): keep the token
+    array in place, explode only the n-gram START indices, and
+    concat_ws the n element_at's in a codegen'd projection — the same
+    restructure as the r14 winnow/k-gram rewrites. A/B at sf10: 8.9 →
+    2.9 s, multiset-identical on every (doc, shingle, count). The
+    empty-token drop happens in the array (order-preserving
+    F.filter), matching the old posexplode-then-filter stream; the
+    DuckDB oracle twin (shingle_sql_cte) still replays the window
+    form — the hash gate proves the two shapes equal."""
+    toks = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    starts = F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1))
+    return (
+        df.select(F.col(id_col), toks.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select(id_col, "_toks", F.explode(starts).alias("_i"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ",
+                *[
+                    F.element_at("_toks", F.col("_i") + F.lit(j))
+                    for j in range(n)
+                ],
+            ).alias("shingle"),
         )
-        .filter(F.col("_tok") != "")
-    )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
-    sel = toks.select("_id", *[p.alias(f"_g{i}") for i, p in enumerate(parts)])
-    return sel.filter(F.col(f"_g{n-1}").isNotNull()).select(
-        F.col("_id").alias(id_col),
-        F.concat_ws(" ", *[f"_g{i}" for i in range(n)]).alias("shingle"),
     )
 
 

@@ -480,14 +480,25 @@ def embedding_dup_pairs_lsh(
     Pass ``dim`` explicitly — the fallback probes one row on the
     driver, a hidden action that library code shouldn't pay per call.
 
-    Scale shape (the part that matters at 100 TB): the candidate join
-    and the pair-dedup move ONLY 8-byte ids — never vectors. A corpus
-    with large duplicate groups makes candidate pairs quadratic in
-    group size, and carrying two 64-float payloads through that blowup
-    (plus the dropDuplicates shuffle) was measured 30x at a 10x
-    replica (BENCH_sf1.json round 4); fetching vectors by re-joining
-    the base AFTER dedup, with norms precomputed once per id, brought
-    the 10x-data ratio to ~linear.
+    Scale shape (the part that matters at 100 TB): NOTHING
+    pair-proportional ever crosses an exchange. The signature frame
+    carries each vector n_tables times (linear: 4n rows ≈ 2.4 GB at
+    2M dim-64 vectors) into the bucket self-join, the exact cosine is
+    computed INSIDE the join's pipelined output, and only
+    threshold-survivors reach the dedup exchange. History of this
+    shape, because both prior forms failed at a measured scale:
+    r4 carried two vector payloads through the candidate blowup
+    (30× at a 10× replica, BENCH_sf1.json); the r4 fix joined
+    vectors back by id AFTER candidate dedup — ids-only candidates,
+    but the verify's second id-join still shuffled ONE full vector
+    PER CANDIDATE PAIR, ~80 GB at sf100's 244M candidates, which
+    filled the sandbox disk and killed the reroute leg mid-shuffle
+    (r15, BENCH_sf100_tranche7_r15.json; the disk watch bottomed at
+    1 GB free). Verify-then-dedup ≡ dedup-then-verify on the output
+    set; the trade is re-verifying a pair that agrees in k>1 tables
+    (≤ n_tables dot products per pair, codegen'd) against a
+    pair-proportional shuffle — compute beats spill at every decade
+    measured.
     """
     if on_overflow not in ("raise", "reroute"):
         raise ValueError(
@@ -510,8 +521,13 @@ def embedding_dup_pairs_lsh(
     # reported pair still passes the exact cosine verify below. The
     # hash-gated portable twin (embedding_dup_pairs_lsh_portable)
     # keeps the strict fold the DuckDB oracle replays.
+    # _v/_n ride the signature frame into the bucket join (see the
+    # scale-shape note above: linear in n, and it lets the verify run
+    # inside the join so nothing pair-proportional is ever shuffled).
     sigs = base.select(
         "_id",
+        "_v",
+        "_n",
         F.posexplode(
             lsh_signatures_udf(dim, bits, n_tables, seed)(F.col("_v"))
         ).alias("_t", "_s"),
@@ -562,8 +578,20 @@ def embedding_dup_pairs_lsh(
             if counts is not None:
                 probe_counts = counts.filter(F.col("_c") <= max_bucket)
             else:
-                sigs = sigs.localCheckpoint(eager=True)
-                probe_counts = sigs.groupBy("_t", "_s").agg(
+                # Checkpoint the SLIM (id, t, s) projection only — the
+                # r15 fused-verify shape put vectors on sigs, and
+                # checkpointing the vector-laden frame java-serializes
+                # 4n × ~300 B rows through executor unroll buffers:
+                # heap OOM at sf100's 2M vectors (found re-running the
+                # reroute leg after the disk fix). The lazy vector
+                # frame re-runs the signature UDF once for the join
+                # (both aliases share one ReusedExchange), so the UDF
+                # still executes twice per call, not 4× (ADVICE r9).
+                slim = (
+                    sigs.select("_id", "_t", "_s")
+                    .localCheckpoint(eager=True)
+                )
+                probe_counts = slim.groupBy("_t", "_s").agg(
                     F.count(F.lit(1)).alias("_c")
                 )
             mass = (
@@ -615,34 +643,24 @@ def embedding_dup_pairs_lsh(
             )
 
     a, b = sigs.alias("a"), sigs.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a._t") == F.col("b._t"))
             & (F.col("a._s") == F.col("b._s"))
             & (F.col("a._id") < F.col("b._id")),
         )
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    va = base.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
-    )
-    vb = base.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
-    )
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
         .select(
-            "id_a",
-            "id_b",
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
             F.try_divide(
-                dot(F.col("_va"), F.col("_vb")), F.col("_na") * F.col("_nb")
+                dot(F.col("a._v"), F.col("b._v")),
+                F.col("a._n") * F.col("b._n"),
             ).alias("_sim"),
         )
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 
@@ -658,6 +676,7 @@ def embedding_dup_pairs_lsh_portable(
     bits: int = 6,
     seed: int = 42,
     dim: int = 64,
+    max_candidate_pairs: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Single-table sign-LSH near-dup pairs in strict-fold expressions —
     the engine-portable twin of `embedding_dup_pairs_lsh`.
@@ -669,6 +688,13 @@ def embedding_dup_pairs_lsh_portable(
     pipeline sits under the hash gate (x2_embedding_dup_lsh_portable).
     Production recall comes from the multi-table variant; this one
     proves the machinery.
+
+    ``max_candidate_pairs`` (r15, policy-uniformity with every other
+    pair generator): fixed ``bits`` makes bucket occupancy ∝ n, so the
+    candidate count is n²/2^bits — quadratic by construction. The
+    guard probes the actual bucket sizes (one aggregate over the
+    persisted base) and refuses above the cap naming the scaled form;
+    below the cap the output is unchanged. None disables.
     """
     sig = lsh_signature(F.col(vec_col), dim, bits, seed)
     base = df.select(
@@ -678,6 +704,28 @@ def embedding_dup_pairs_lsh_portable(
         sig.alias("_sig"),
     ).persist()
     try:
+        if max_candidate_pairs is not None:
+            mass = (
+                base.groupBy("_sig")
+                .agg(F.count(F.lit(1)).alias("_c"))
+                .agg(
+                    F.sum(F.col("_c") * (F.col("_c") - 1) / F.lit(2)).alias("_m")
+                )
+                .collect()[0]["_m"]
+            )
+            if mass is not None and mass > max_candidate_pairs:
+                raise ValueError(
+                    f"embedding_dup_pairs_lsh_portable: the bucket join "
+                    f"would emit {int(mass):,} candidate pairs "
+                    f"(> max_candidate_pairs={max_candidate_pairs:,}) at "
+                    f"fixed bits={bits} — this single-table twin exists "
+                    "to prove the machinery under the DuckDB hash gate "
+                    "at test SF, not to scale. Use embedding_dup_pairs_"
+                    "lsh with auto-scaled bits + max_bucket (the "
+                    "production policy; completes the sf100 corpus), or "
+                    "pass max_candidate_pairs=None for a corpus you "
+                    "have sized."
+                )
         a, b = base.alias("a"), base.alias("b")
         out = (
             a.join(

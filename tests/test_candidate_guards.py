@@ -655,3 +655,35 @@ def test_embedding_dup_guard_refuses_unsized_all_pairs(spark):
         ).collect()
     }
     assert guarded == base and base
+
+
+def test_embedding_lsh_portable_guard(spark):
+    """r15 (policy uniformity, same sweep that guarded the exact
+    baseline): the fixed-bits single-table LSH twin is quadratic by
+    construction (bucket occupancy ∝ n at constant 2^bits) — the guard
+    probes actual bucket sizes and refuses with the measured mass;
+    below the cap the pair set is unchanged."""
+    from adguard2clickhouse_spark.operators import similarity
+
+    # all-identical vectors: one bucket of 40 -> 780 pairs, all verify
+    emb = spark.createDataFrame(
+        [(i, [1.0, 2.0, 3.0, 4.0] * 16) for i in range(40)],
+        ["vec_id", "embedding"],
+    )
+    with pytest.raises(ValueError, match="780 candidate pairs"):
+        similarity.embedding_dup_pairs_lsh_portable(
+            emb, threshold=0.9, max_candidate_pairs=100
+        )
+    base = {
+        tuple(r)
+        for r in similarity.embedding_dup_pairs_lsh_portable(
+            emb, threshold=0.9, max_candidate_pairs=None
+        ).collect()
+    }
+    guarded = {
+        tuple(r)
+        for r in similarity.embedding_dup_pairs_lsh_portable(
+            emb, threshold=0.9, max_candidate_pairs=10_000
+        ).collect()
+    }
+    assert guarded == base and len(base) == 780
