@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -126,10 +127,18 @@ def q_a16_fused_mv_union(spark, sf_dir):
     ReuseExchange, so the union would re-run the Expand+shuffle eight
     times (measured: 16 Expands in the final adaptive plan). The
     streaming fan gets the same effect via persist(); a test pins the
-    fused frame itself to one Exchange."""
+    fused frame itself to one Exchange.
+
+    The checkpoint is DISK_ONLY (r15 sf100 sweep find): the fused
+    frame scales with Σ of the eight sinks' key cardinalities — at
+    sf100 the stats2 grouping alone is every distinct (IP, 10-minute
+    bucket) pair — and the default memory-backed localCheckpoint
+    storage level OOM'd the 8 GB default session mid-materialization
+    (BENCH_sf100_tranche9_r15.json). Walls are extractor-bound, so
+    the disk round-trip is noise; small SFs are unaffected."""
     log2 = log2_from_events(spark, sf_dir)
     fused, extract = agg.fused_aggregate_deltas(log2)
-    fused = fused.localCheckpoint(eager=True)
+    fused = fused.localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     nul = F.lit(None).cast("long")
 
     def _norm(name, key_col, m1, m2=None):
@@ -557,15 +566,30 @@ def q_null_safe_join(spark, sf_dir):
     OTHER instead of silently dropping, the semantic corner that loses
     rows in naive reconciliation joins. Key is NULL for every third
     event; counts per joined key prove the NULL bucket pairs up
-    (DuckDB twin: IS NOT DISTINCT FROM)."""
+    (DuckDB twin: IS NOT DISTINCT FROM on the base rows).
+
+    Plan (r15 sf100 sweep find): joining the BASE rows is inherently
+    quadratic — 51 key values over 2×50M rows is ~5e13 join output
+    pairs at sf100, and every NULL row lands in ONE hash bucket (the
+    <=> skew corner), so the literal form blew the 900 s budget. The
+    wanted answer is pure per-key pair mass, so each side pre-
+    aggregates to ≤51 count rows and the eqNullSafe join runs on the
+    count frames (n_pairs = cnt_a·cnt_b) — the shuffle carries
+    aggregates, not rows, the NULL bucket still pairs up through
+    <=>, and the result is row-identical to the base-row join (the
+    oracle keeps the literal quadratic form as the semantic spec)."""
     ev = _t(spark, sf_dir, "events")
     k = F.when(F.col("event_id") % 3 != 0, F.col("user_id") % 50)
     a = ev.filter(F.col("event_id") % 2 == 0).select(k.alias("ka"))
     b = ev.filter(F.col("event_id") % 2 == 1).select(k.alias("kb"))
+    a_cnt = a.groupBy("ka").agg(F.count(F.lit(1)).alias("_na"))
+    b_cnt = b.groupBy("kb").agg(F.count(F.lit(1)).alias("_nb"))
     return (
-        a.join(b, a.ka.eqNullSafe(b.kb))
-        .groupBy(F.coalesce("ka", F.lit(-1)).alias("key"))
-        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        a_cnt.join(F.broadcast(b_cnt), a_cnt.ka.eqNullSafe(b_cnt.kb))
+        .select(
+            F.coalesce("ka", F.lit(-1)).alias("key"),
+            (F.col("_na") * F.col("_nb")).alias("n_pairs"),
+        )
     )
 
 
