@@ -1936,10 +1936,25 @@ def minhash_lsh_ml_pairs(
     num_hash_tables: int = 8,
     dim: int = 1 << 20,
     seed: int = 42,
+    max_candidate_pairs: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs via ``pyspark.ml`` MinHashLSH
     ``approxSimilarityJoin`` — the stock-MLlib recipe SURVEY §2.12
     names for X2, same contract as :func:`minhash_lsh_pairs`.
+
+    ``max_candidate_pairs`` (r15 sf100 sweep find): the stock join is
+    OR-amplified over ``num_hash_tables`` SINGLE-hash tables — no
+    banding, no bucket cap — so every pair of docs sharing a table's
+    minimum shingle hash is a candidate, and the candidate-dedup
+    exchange inside ``approxSimilarityJoin`` shuffles BOTH full rows
+    (features vector + hash array) per candidate. On a 5M-doc corpus
+    the un-probed call sat on the 900 s sweep budget
+    (BENCH_sf100_tranche10_r15.json). The guard probes the exact
+    per-table bucket mass Σ c·(c−1)/2 off the fitted model's own
+    transform (one linear aggregate; the vector frame is persisted
+    DISK_ONLY so the row-at-a-time UDF build runs once, not 3×) and
+    refuses above the cap naming the banded native path, which
+    completes the same corpus in ~31 s.
 
     Documents become binary vectors over a 2^20-dim hashed shingle
     space (xxhash64 shingles mod dim; collisions at ~200 shingles/doc
@@ -1957,6 +1972,7 @@ def minhash_lsh_ml_pairs(
     """
     from pyspark.ml.feature import MinHashLSH
     from pyspark.ml.linalg import SparseVector, VectorUDT
+    from pyspark.storagelevel import StorageLevel
 
     @F.udf(returnType=VectorUDT())
     def _to_binary_vec(hashes):
@@ -1971,11 +1987,44 @@ def minhash_lsh_ml_pairs(
         .filter(F.size("_arr") > 0)
         .select("_id", _to_binary_vec("_arr").alias("features"))
     )
+    # fit + probe + the join's two dataset legs all consume arr; the
+    # Python-UDF vector build is the expensive stage, so pay it once.
+    arr = arr.persist(StorageLevel.DISK_ONLY)
     mh = MinHashLSH(
         inputCol="features", outputCol="hashes",
         numHashTables=num_hash_tables, seed=seed,
     )
     model = mh.fit(arr)
+    if max_candidate_pairs is not None:
+        from pyspark.ml.functions import vector_to_array
+
+        mass = (
+            model.transform(arr)
+            .select(F.posexplode("hashes").alias("_t", "_hv"))
+            .select("_t", vector_to_array(F.col("_hv"))[0].alias("_b"))
+            .groupBy("_t", "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum(
+                    F.col("_c") * (F.col("_c") - F.lit(1)) / F.lit(2)
+                ).alias("_m")
+            )
+            .first()[0]
+        )
+        if mass is not None and mass > max_candidate_pairs:
+            arr.unpersist()
+            raise ValueError(
+                "minhash_lsh_ml_pairs: the stock MinHashLSH "
+                f"approxSimilarityJoin would shuffle {int(mass):,} "
+                "candidate rows (per-table bucket mass > "
+                f"max_candidate_pairs={max_candidate_pairs:,}) with "
+                "both FULL rows riding every candidate — the stock "
+                "single-hash tables have no banding or bucket cap to "
+                "shed mass. Use the native banded path "
+                "(dedup.minhash_lsh_pairs) which answers the same "
+                "contract with bounded bands, or raise "
+                "max_candidate_pairs for a corpus you have sized."
+            )
     joined = model.approxSimilarityJoin(arr, arr, 1.0 - threshold, distCol="_jd")
     return (
         joined.select(

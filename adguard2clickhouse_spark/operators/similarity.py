@@ -1073,10 +1073,24 @@ def embedding_dup_pairs_brp_ml(
     bucket_length: float = 0.5,
     num_hash_tables: int = 8,
     seed: int = 42,
+    max_candidate_pairs: int | None = 2_000_000_000,
 ) -> DataFrame:
     """Near-duplicate pairs via ``pyspark.ml`` BucketedRandomProjectionLSH
     (the §2.12 X2/X3 checklist primitive), same contract as
     :func:`embedding_dup_pairs`.
+
+    ``max_candidate_pairs`` (r15 sf100 sweep find): keeping the float
+    arrays off the candidate path is not enough at corpus scale —
+    ``approxSimilarityJoin``'s OWN candidate-dedup exchange shuffles
+    the full (features + hashes) rows of BOTH datasets per candidate
+    pair, which at 2M vectors exhausted the sweep host's shuffle disk
+    mid-stage (982-partition shuffle write died fetching local
+    blocks, BENCH_sf100_tranche10_r15.json). The guard probes the
+    exact per-(table, bucket) mass Σ c·(c−1)/2 from the fitted
+    model's transform — one linear JVM-side aggregate — and refuses
+    above the cap naming the native guarded path
+    (:func:`embedding_dup_pairs_lsh`), whose fused verify completes
+    the same corpus in ~400 s on the same session.
 
     On L2-normalized vectors, cosine ≥ t ⟺ euclidean ≤ √(2−2t), so the
     ml euclidean ``approxSimilarityJoin`` runs at that radius and every
@@ -1124,7 +1138,42 @@ def embedding_dup_pairs_brp_ml(
         numHashTables=num_hash_tables,
         seed=seed,
     )
+    # fit + probe + the join's two dataset legs all consume v; one
+    # DISK_ONLY materialization beats four scan+normalize replays.
+    from pyspark.storagelevel import StorageLevel
+
+    v = v.persist(StorageLevel.DISK_ONLY)
     model = brp.fit(v)
+    if max_candidate_pairs is not None:
+        from pyspark.ml.functions import vector_to_array
+
+        mass = (
+            model.transform(v)
+            .select(F.posexplode("hashes").alias("_t", "_hv"))
+            .select("_t", vector_to_array(F.col("_hv"))[0].alias("_b"))
+            .groupBy("_t", "_b")
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .agg(
+                F.sum(
+                    F.col("_c") * (F.col("_c") - F.lit(1)) / F.lit(2)
+                ).alias("_m")
+            )
+            .first()[0]
+        )
+        if mass is not None and mass > max_candidate_pairs:
+            raise ValueError(
+                "embedding_dup_pairs_brp_ml: the stock "
+                "BucketedRandomProjectionLSH approxSimilarityJoin "
+                f"would shuffle {int(mass):,} candidate rows "
+                f"(per-table bucket mass > max_candidate_pairs="
+                f"{max_candidate_pairs:,}) with both full "
+                "(features + hashes) rows riding every candidate. "
+                "Use the native guarded path "
+                "(similarity.embedding_dup_pairs_lsh) whose verify "
+                "keeps payloads linear, shrink bucket_length, or "
+                "raise max_candidate_pairs for a corpus you have "
+                "sized."
+            )
     radius = math.sqrt(max(0.0, 2.0 - 2.0 * threshold))
     joined = model.approxSimilarityJoin(v, v, radius, distCol="_dist")
     cand = joined.select(
