@@ -385,6 +385,9 @@ def test_shuffle_budgets_hold(spark):
         "x4_unigram_logprob",  # 1-row broadcast of the corpus token total
         "x4_bm25_topk",  # 1-row broadcast of (N docs, total tokens)
         "e_daily_fill",  # 1-row broadcast of the global fill-axis bounds
+        "x3_topk_cosine",  # 1-row broadcast of the query vector (r15: the
+        # driver-side head() probe fused into the plan — its Exchange
+        # budget moved 0→1 for the BroadcastExchange; one fewer job)
     }
     over, nested = {}, {}
     for name, budget in budgets.items():
