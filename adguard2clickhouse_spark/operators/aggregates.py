@@ -302,11 +302,20 @@ def domain_label_entropy(log2: DataFrame) -> DataFrame:
     per-character term is floored to int64 before the sum, so the
     aggregation is order-independent and DuckDB replays it exactly.
 
-    Scale shape: queries collapse to DISTINCT domains *before* the
-    character explode, so the explode is bounded by |domains|·label_len
-    — never by query volume; the volume count rides along from the
-    same pre-collapse aggregation. Returns
-    (label, label_len, n_queries, entropy_micro).
+    Scale shape (r16, guide §2.4): queries collapse to DISTINCT domains
+    first (one shuffle, bounded by the domain universe, never query
+    volume); the per-label entropy is then a PURE PROJECTION over the
+    label's in-place character array — no character explode, no second
+    aggregation, no join back. The r15 shape exploded |labels|·label_len
+    character rows through two more hash aggregates and re-joined the
+    volume count (~100M exploded rows at sf100, 281 s wall); the
+    in-row form computes the identical integer terms with
+    array_distinct + filter/size + aggregate (O(label_len·distinct)
+    ≤ 63·63 codegen'd comparisons per label) in the same pass that
+    produced the distinct labels. Per-term arithmetic is UNCHANGED —
+    nc per distinct char, floor(10⁶·ln(len/nc)) each term, int64 sum,
+    div — so the DuckDB oracle (still the unnest form) replays the
+    exact values. Returns (label, label_len, n_queries, entropy_micro).
     """
     # substring_index ≡ element_at(split, 1) (text before the first
     # dot; the filter guarantees a dot) with no per-row regex split /
@@ -319,34 +328,32 @@ def domain_label_entropy(log2: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_queries"))
         .withColumn("label_len", F.length("label").cast("long"))
     )
-    chars = labels.select(
+    # _chs materializes the char array once per label; nc(c) =
+    # occurrences of c, summed over DISTINCT chars exactly like the
+    # old per-(label, ch) groupBy. Every term is floored to int64
+    # before the sum, so the fold order (array_distinct's
+    # first-occurrence order) cannot perturb the result.
+    return labels.withColumn(
+        "_chs",
+        F.expr(
+            "transform(sequence(1, cast(label_len as int)),"
+            " p -> substr(label, p, 1))"
+        ),
+    ).select(
         "label",
         "label_len",
-        F.explode(F.sequence(F.lit(1), F.length("label"))).alias("_p"),
-    ).select("label", "label_len", F.expr("substr(label, _p, 1)").alias("_ch"))
-    per_char = chars.groupBy("label", "label_len", "_ch").agg(
-        F.count(F.lit(1)).alias("_nc")
-    )
-    ent = (
-        per_char.select(
-            "label",
-            "label_len",
-            (
-                F.col("_nc")
-                * F.floor(
-                    F.lit(1_000_000)
-                    * F.log(F.col("label_len").cast("double") / F.col("_nc"))
-                ).cast("long")
-            ).alias("_term"),
+        "n_queries",
+        F.expr(
+            "aggregate("
+            "  transform("
+            "    array_distinct(_chs),"
+            "    c -> size(filter(_chs, x -> x = c))"
+            "  ),"
+            "  cast(0 as bigint),"
+            "  (acc, nc) -> acc + nc * cast(floor(1000000 * ln("
+            "    cast(label_len as double) / nc)) as bigint)"
+            ") div label_len"
         )
-        .groupBy("label", "label_len")
-        .agg(F.sum("_term").alias("_hsum"))
-        .select(
-            "label",
-            "label_len",
-            F.expr("_hsum div label_len").cast("long").alias("entropy_micro"),
-        )
-    )
-    return ent.join(labels.select("label", "n_queries"), "label").select(
-        "label", "label_len", "n_queries", "entropy_micro"
+        .cast("long")
+        .alias("entropy_micro"),
     )

@@ -687,3 +687,127 @@ def test_embedding_lsh_portable_guard(spark):
         ).collect()
     }
     assert guarded == base and len(base) == 780
+
+
+# ---------------------------------------------------------------------------
+# r16 first-kept-table fused verify (VERDICT r15 #1): the bucket join
+# counts each pair once, at its first KEPT agreeing table, instead of
+# verify-per-agreeing-table + dropDuplicates. These pin the rewrite to
+# the r15 reference shape on corpora that exercise the edge the rule
+# must get right: a pair whose FIRST agreeing table sits in a bucket
+# the max_bucket cap dropped must still be found at a later kept one.
+# ---------------------------------------------------------------------------
+
+
+def _r15_reference_lsh(df, threshold, bits, n_tables, seed, dim, max_bucket):
+    """The r15 shape verbatim: posexploded signatures, semi-join bucket
+    cap, verify per agreeing table, dropDuplicates at the end."""
+    from adguard2clickhouse_spark.operators.similarity import (
+        dot,
+        lsh_signatures_udf,
+        norm,
+    )
+
+    base = df.select(
+        F.col("vec_id").alias("_id"),
+        F.col("embedding").alias("_v"),
+        norm(F.col("embedding")).alias("_n"),
+    )
+    sigs = base.select(
+        "_id",
+        "_v",
+        "_n",
+        F.posexplode(
+            lsh_signatures_udf(dim, bits, n_tables, seed)(F.col("_v"))
+        ).alias("_t", "_s"),
+    )
+    if max_bucket is not None:
+        counts = sigs.groupBy("_t", "_s").agg(F.count(F.lit(1)).alias("_c"))
+        small = counts.filter(F.col("_c") <= max_bucket)
+        sigs = sigs.join(small.select("_t", "_s"), ["_t", "_s"], "left_semi")
+    a, b = sigs.alias("a"), sigs.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._t") == F.col("b._t"))
+            & (F.col("a._s") == F.col("b._s"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.try_divide(
+                dot(F.col("a._v"), F.col("b._v")),
+                F.col("a._n") * F.col("b._n"),
+            ).alias("_sim"),
+        )
+        .filter(F.col("_sim") >= threshold)
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+@pytest.fixture(scope="module")
+def lumpy_vecs(spark):
+    """60 vectors in 3 noisy clusters + 10 exact clones: cluster pairs
+    agree in SOME tables (first-agreeing-table varies per pair), the
+    clone block agrees in EVERY table (so a tight max_bucket drops its
+    buckets in all tables), and cross-cluster pairs agree in none."""
+    import random
+
+    rng = random.Random(7)
+    rows = []
+    centers = [[5.0, 0.0, 0.0, 1.0], [0.0, 5.0, 1.0, 0.0], [1.0, 0.0, 5.0, 3.0]]
+    for i in range(60):
+        c = centers[i % 3]
+        rows.append(
+            (i, [x + rng.uniform(-1.5, 1.5) for x in c])
+        )
+    rows += [(100 + i, [2.0, 2.0, 2.0, 2.0]) for i in range(10)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+@pytest.mark.parametrize(
+    "bits,n_tables,max_bucket",
+    [
+        (2, 4, None),   # tiny sigs: heavy multi-table agreement, uncapped
+        (2, 4, 8),      # tight cap: many dropped buckets incl. first tables
+        (2, 4, 3),      # tighter: clone block fully dropped everywhere
+        (4, 8, 16),     # the production-policy shape
+    ],
+)
+def test_lsh_first_kept_table_matches_r15_reference(
+    lumpy_vecs, bits, n_tables, max_bucket
+):
+    new = similarity.embedding_dup_pairs_lsh(
+        lumpy_vecs,
+        threshold=0.35,
+        bits=bits,
+        n_tables=n_tables,
+        seed=42,
+        dim=4,
+        max_bucket=max_bucket,
+        max_candidate_pairs=None,
+    )
+    ref = _r15_reference_lsh(
+        lumpy_vecs, 0.35, bits, n_tables, 42, 4, max_bucket
+    )
+    # Multiset identity both ways (also proves the new form emits each
+    # pair exactly once — a duplicate would survive exceptAll against
+    # the deduplicated reference).
+    assert new.exceptAll(ref).count() == 0
+    assert ref.exceptAll(new).count() == 0
+
+
+def test_lsh_first_kept_table_emits_each_pair_once(lumpy_vecs):
+    out = similarity.embedding_dup_pairs_lsh(
+        lumpy_vecs,
+        threshold=0.35,
+        bits=2,
+        n_tables=8,
+        seed=42,
+        dim=4,
+        max_candidate_pairs=None,
+    ).collect()
+    pairs = [(r.id_a, r.id_b) for r in out]
+    assert len(pairs) == len(set(pairs))
