@@ -948,9 +948,15 @@ def q_q2_min_cost_supplier(spark, sf_dir):
     """TPC-H Q2 shape (adapted: no partsupp, so a supplier's "cost" for
     a part is the minimum price it ever sold it at, from lineitem):
     for small parts, the supplier(s) achieving the per-part minimum
-    cost — min-per-group decorrelated into a pre-aggregate joined back
-    on (part, cost) equality, exactly Q2's correlated-subquery plan
-    after decorrelation. Ordered by account balance like Q2; all money
+    cost — Q2's correlated min subquery expressed as a window min over
+    the per-(part, supplier) cost aggregate (r16, guide §2.4/§3: the
+    former decorrelated join-back planned the lineitem ⋈ part ⋈
+    aggregate subtree TWICE — once for costs, once for the per-part
+    min — so the 600M-row join and both its exchanges ran double; the
+    window form computes costs once and reuses its (p_partkey, ...)
+    partitioning for the min, adding no exchange). Identical output:
+    rows where cost_cents equals the per-part min, held to the same
+    DuckDB oracle hash. Ordered by account balance like Q2; all money
     in integer cents."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_size") <= 5).select(
@@ -961,18 +967,14 @@ def q_q2_min_cost_supplier(spark, sf_dir):
         .groupBy("p_partkey", "p_name", "l_suppkey")
         .agg(F.min(_cents("l_extendedprice")).alias("cost_cents"))
     )
-    min_cost = costs.groupBy(F.col("p_partkey").alias("_pk")).agg(
-        F.min("cost_cents").alias("_mc")
-    )
+    best = costs.withColumn(
+        "_mc", F.min("cost_cents").over(Window.partitionBy("p_partkey"))
+    ).filter(F.col("cost_cents") == F.col("_mc"))
     s = _t(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", _cents("s_acctbal").alias("acctbal_cents")
     )
     return (
-        costs.join(
-            min_cost,
-            (costs.p_partkey == F.col("_pk")) & (costs.cost_cents == F.col("_mc")),
-        )
-        .join(s, costs.l_suppkey == s.s_suppkey)
+        best.join(s, best.l_suppkey == s.s_suppkey)
         .select(
             "p_partkey", "p_name", "s_name", "cost_cents", "acctbal_cents"
         )
@@ -3487,10 +3489,18 @@ def q_p7_dns_parse_diverse(spark, sf_dir):
     flatter this path — every packet is a cache miss, unlike
     p7_dns_parse's five variants. The oracle recomputes rcode and the
     A-record string arithmetically; a hash match proves wire encode →
-    base64 → Arrow UDF decode → classification on 10k distinct packets."""
+    base64 → Arrow UDF decode → classification on 10k distinct packets.
+
+    Uses the memo-free parser variant (r16, guide §4.5 in reverse):
+    packets here are unique BY CONSTRUCTION, so the lru memo that pays
+    off on TTL-repeated real traffic can never hit — on all-distinct
+    input its hash+insert+evict cycle measured 1.4× the bare parse
+    wall (microbench at parse_dns_answer_nomemo's build site)."""
     import pandas as _pd
 
-    from adguard2clickhouse_spark.operators.dnswire import parse_dns_answer
+    from adguard2clickhouse_spark.operators.dnswire import (
+        parse_dns_answer_nomemo as parse_dns_answer,
+    )
 
     ev = _t(spark, sf_dir, "events")
     k = F.expr("try_cast(regexp_extract(props, '\"k\": *([0-9]+)', 1) AS int)")

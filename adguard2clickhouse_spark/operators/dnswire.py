@@ -182,8 +182,7 @@ def parse_answer_b64(s: str | None):
     return rcode, list(r4), list(r6), list(cn)
 
 
-@functools.lru_cache(maxsize=65536)
-def _parse_cached(s: str):
+def _parse_raw(s: str):
     try:
         rcode, r4, r6, cn = parse_message(base64.b64decode(s, validate=True))
         return rcode, tuple(r4), tuple(r6), tuple(cn)
@@ -191,17 +190,28 @@ def _parse_cached(s: str):
         return None
 
 
-@pandas_udf(DNS_ANSWER_SCHEMA)
-def parse_dns_answer(answers: pd.Series) -> pd.DataFrame:
-    """Arrow-batched UDF: base64 answer → struct(rcode,rdatas,rdatas6,cnames).
+# NB: a decorated def, not `lru_cache(...)(_parse_raw)` — the wrapper
+# would inherit _parse_raw's __qualname__ via functools.wraps and then
+# fail pickle-by-reference when a UDF closure captures it.
+@functools.lru_cache(maxsize=65536)
+def _parse_cached(s: str):
+    return _parse_raw(s)
+
+
+def _parse_series(answers: pd.Series, parse) -> pd.DataFrame:
+    """Shared UDF body: one batch of base64 answers → struct columns.
 
     Per-row error isolation: a bad packet produces an all-null row of
     the struct; the pipeline routes those to the dead-letter sink
-    (K3 semantics, collector.py:76-78).
+    (K3 semantics, collector.py:76-78). The parsed tuples go into the
+    frame as-is — Arrow serializes tuples and lists identically, and
+    the per-row tuple→list defensive copies this replaces cost ~0.5 µs
+    per row, ~10× the bare post-hit cost on a fully-cached batch (r16
+    microbench, 200k rows: 0.11 s with copies vs 0.01 s without).
     """
     out = {"rcode": [], "rdatas": [], "rdatas6": [], "cnames": []}
     for s in answers:
-        parsed = parse_answer_b64(s)
+        parsed = parse(s) if s is not None else None
         if parsed is None:
             out["rcode"].append(None)
             out["rdatas"].append(None)
@@ -214,6 +224,28 @@ def parse_dns_answer(answers: pd.Series) -> pd.DataFrame:
             out["rdatas6"].append(r6)
             out["cnames"].append(cn)
     return pd.DataFrame(out)
+
+
+@pandas_udf(DNS_ANSWER_SCHEMA)
+def parse_dns_answer(answers: pd.Series) -> pd.DataFrame:
+    """Arrow-batched UDF: base64 answer → struct(rcode,rdatas,rdatas6,cnames).
+
+    Memoized per executor (bounded lru): real query logs repeat
+    byte-identical packets for a TTL window, so hits track the
+    resolver's cache rate (r16 microbench, 200k rows: 135× on a
+    64-variant pareto-tailed packet mix, but 1.4× *overhead* when every
+    packet is distinct — use parse_dns_answer_nomemo for
+    by-construction-unique packets)."""
+    return _parse_series(answers, _parse_cached)
+
+
+@pandas_udf(DNS_ANSWER_SCHEMA)
+def parse_dns_answer_nomemo(answers: pd.Series) -> pd.DataFrame:
+    """parse_dns_answer without the lru memo, for callers whose packets
+    are known ~all-distinct (e.g. per-row synthesized packets): on that
+    input the cache can never hit, so its hash+insert+evict cycle is
+    pure overhead (measured 1.4× the parse wall at 65536 entries)."""
+    return _parse_series(answers, _parse_raw)
 
 
 def with_dns_answer(col: Column | str) -> Column:

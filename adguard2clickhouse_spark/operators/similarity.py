@@ -20,7 +20,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -481,32 +481,45 @@ def embedding_dup_pairs_lsh(
     driver, a hidden action that library code shouldn't pay per call.
 
     Scale shape (the part that matters at 100 TB): NOTHING
-    pair-proportional ever crosses an exchange — not even the output.
-    The signature frame carries each vector n_tables times (linear:
-    4n rows ≈ 2.4 GB at 2M dim-64 vectors) into the bucket self-join
-    along with its FULL signature array, the join counts each pair
-    only at its first kept agreeing table (a residual predicate over
-    the two arrays, evaluated before the verify), and the exact cosine
-    is computed INSIDE the join's pipelined output exactly once per
-    pair. History of this shape, because the prior forms failed at a
-    measured scale: r4 carried two vector payloads through the
-    candidate blowup (30× at a 10× replica, BENCH_sf1.json); the r4
-    fix joined vectors back by id AFTER candidate dedup — ids-only
-    candidates, but the verify's second id-join still shuffled ONE
-    full vector PER CANDIDATE PAIR, ~80 GB at sf100's 244M candidates,
-    which filled the sandbox disk and killed the reroute leg
-    mid-shuffle (r15, BENCH_sf100_tranche7_r15.json; the disk watch
-    bottomed at 1 GB free). The r15 fused verify computed the cosine
-    in-join but re-verified a pair once per agreeing table and pushed
-    every threshold survivor through a dropDuplicates exchange; r16's
-    first-kept-table rule (VERDICT r15 #1) makes the verify
-    exactly-once and drops that exchange outright — same output set,
-    proven by the unchanged oracle.
+    pair-proportional ever crosses an exchange. The signature frame
+    carries each vector n_tables times (linear: 4n rows ≈ 2.4 GB at
+    2M dim-64 vectors) into the bucket self-join, the exact cosine is
+    computed INSIDE the join's pipelined output, and only
+    threshold-survivors reach the dedup exchange. History of this
+    shape, because both prior forms failed at a measured scale:
+    r4 carried two vector payloads through the candidate blowup
+    (30× at a 10× replica, BENCH_sf1.json); the r4 fix joined
+    vectors back by id AFTER candidate dedup — ids-only candidates,
+    but the verify's second id-join still shuffled ONE full vector
+    PER CANDIDATE PAIR, ~80 GB at sf100's 244M candidates, which
+    filled the sandbox disk and killed the reroute leg mid-shuffle
+    (r15, BENCH_sf100_tranche7_r15.json; the disk watch bottomed at
+    1 GB free). Verify-then-dedup ≡ dedup-then-verify on the output
+    set; the trade is re-verifying a pair that agrees in k>1 tables
+    (≤ n_tables dot products per pair, codegen'd) against a
+    pair-proportional shuffle — compute beats spill at every decade
+    measured.
 
-    Precondition (unchanged from r15, now output-visible): ``id_col``
-    must be unique — a duplicated id would emit its pairs once per
-    instance-pair (the old dropDuplicates collapsed them). Every
-    fixture and caller keys by a primary-key id.
+    Rejected variant (r16 negative A/B, VERDICT r15 #1): a
+    "first-kept-table" rewrite carried each row's full signature array
+    into the join and counted a pair only at its first kept agreeing
+    table (exactly-once verify, no dedup exchange; dropped-bucket
+    slots NULLed via a window + per-id mask aggregate). Same output
+    multiset (exceptAll-proven both ways; the pin survives as
+    tests/test_candidate_guards.py::
+    test_lsh_output_matches_reference_shape), but SLOWER at scale: sf100
+    same-host A/B reroute95 403.9 → 625.3 s, capped 405.1 → 538.1 s
+    (wash at 200k vectors: 64.5 vs 66.8 s). The capped path's mask
+    build added a 32M-row window shuffle+sort, a 32M-row groupBy and —
+    decisively — an SMJ shuffle of the VECTOR-LADEN frame (masks ⋈ df
+    by id), all to save a ~5 GB ids-only dedup exchange; the per-match
+    prefix check (slice+zip_with+exists, interpreted HOFs) also ran
+    per candidate. Plans of the rejected shape are kept under
+    plans/r16/x2_embedding_dup_lsh_*_rejected.txt. The lesson is this
+    docstring's own rule applied in reverse: the dedup exchange moves
+    ids only (~16 B/pair) and is CHEAPER than re-verifying redundant
+    matches once the dedup input is already minimal — the r15 shape
+    stands.
     """
     if on_overflow not in ("raise", "reroute"):
         raise ValueError(
@@ -514,97 +527,38 @@ def embedding_dup_pairs_lsh(
         )
     if dim is None:
         dim = len(df.select(vec_col).head()[0])
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+    )
     # Signatures via the vectorized Arrow kernel (one matmul per batch):
     # measured 11x the interpreted per-table strict-fold form at sf1
-    # (0.5 s vs 5.7 s for 20k x 8 tables). Signature agreement with the
+    # (0.5 s vs 5.7 s for 20k x 8 tables), and the plan consumes sigs
+    # on BOTH join sides (+ the bucket-count semi-join when capped), so
+    # the build runs up to 3x per query. Signature agreement with the
     # strict fold was exact on the measured corpora; the documented
     # ~1-ULP sign wobble can only perturb the CANDIDATE set — every
     # reported pair still passes the exact cosine verify below. The
     # hash-gated portable twin (embedding_dup_pairs_lsh_portable)
     # keeps the strict fold the DuckDB oracle replays.
-    #
-    # r16 fused-verify dedup (guide §2.3/§3; VERDICT r15 #1): every row
-    # carries its FULL signature array (n_tables longs — bytes, not
-    # vectors) into the bucket self-join, with slots whose bucket the
-    # max_bucket cap dropped nulled out ("_eff"). The join then counts
-    # a pair ONLY at its first kept agreeing table (the ~prefix_agree
-    # conjunct below), so each candidate pair pays exactly ONE exact-
-    # cosine verify instead of up to n_tables, and the output needs no
-    # dropDuplicates — the r15 shape re-verified a pair once per
-    # agreeing table and shuffled every threshold survivor into a
-    # distinct aggregation (~5 GB exchange + 300M-row dedup at sf100).
-    # _v/_n still ride the signature frame into the bucket join (see
-    # the scale-shape note above: linear in n, and the verify runs
+    # _v/_n ride the signature frame into the bucket join (see the
+    # scale-shape note above: linear in n, and it lets the verify run
     # inside the join so nothing pair-proportional is ever shuffled).
-    base = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).alias("_v"),
-        norm(F.col(vec_col)).alias("_n"),
-        lsh_signatures_udf(dim, bits, n_tables, seed)(F.col(vec_col)).alias(
-            "_sigs"
-        ),
+    sigs = base.select(
+        "_id",
+        "_v",
+        "_n",
+        F.posexplode(
+            lsh_signatures_udf(dim, bits, n_tables, seed)(F.col("_v"))
+        ).alias("_t", "_s"),
     )
 
-    slim = None  # narrow (_id, _t, _s) checkpoint, built once if needed
+    counts = None  # per-(table, signature) bucket sizes, built lazily
     if max_bucket is not None:
-        # The capped path needs per-row knowledge of EVERY table's
-        # bucket size (a pair whose first agreeing table was dropped
-        # must still be counted at its first KEPT table), so the
-        # bucket-size pass runs over a narrow (_id, _t, _s) checkpoint
-        # — ~20 B/row, the same slim-projection discipline as the r15
-        # probe; the vector-laden frame never java-serializes — and
-        # the per-row kept/dropped verdicts fold back into ONE array:
-        # _eff[t] = signature if bucket (t, s) kept else NULL. Dropped
-        # slots can never "agree" (NULL-safe coalesce below), which is
-        # exactly the semi-join semantics of the r15 shape. Bonus: the
-        # signature UDF now runs ONCE (inside slim) — the join side
-        # reads _eff from this aggregate, where r15 ran the UDF on the
-        # counts branch, the semi-join branch and the probe.
-        # Eager only when the guard below will probe anyway (the call
-        # is then already action-bearing); max_candidate_pairs=None
-        # keeps the documented fully-lazy contract — the checkpoint
-        # materializes with the query's own first action.
-        slim = (
-            base.select("_id", F.posexplode("_sigs").alias("_t", "_s"))
-            .localCheckpoint(eager=max_candidate_pairs is not None)
-        )
-        w = Window.partitionBy("_t", "_s")
-        eff_rows = slim.withColumn(
-            "_e",
-            F.when(
-                F.count(F.lit(1)).over(w) <= max_bucket, F.col("_s")
-            ),
-        )
-        masks = eff_rows.groupBy("_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("_t", "_e"))),
-                lambda st: st["_e"],
-            ).alias("_eff")
-        )
-        sigs = (
-            df.select(
-                F.col(id_col).alias("_id"),
-                F.col(vec_col).alias("_v"),
-                norm(F.col(vec_col)).alias("_n"),
-            )
-            .join(masks, "_id")
-            .select(
-                "_id",
-                "_v",
-                "_n",
-                "_eff",
-                F.posexplode("_eff").alias("_t", "_s"),
-            )
-            .filter(F.col("_s").isNotNull())
-        )
-    else:
-        sigs = base.select(
-            "_id",
-            "_v",
-            "_n",
-            F.col("_sigs").alias("_eff"),
-            F.posexplode("_sigs").alias("_t", "_s"),
-        )
+        counts = sigs.groupBy("_t", "_s").agg(F.count(F.lit(1)).alias("_c"))
+        small = counts.filter(F.col("_c") <= max_bucket)
+        sigs = sigs.join(small.select("_t", "_s"), ["_t", "_s"], "left_semi")
 
     # Quadratic-term guard (same two-stage pattern as
     # ngram_jaccard_pairs): at FIXED bits a bucket of m vectors emits
@@ -633,25 +587,34 @@ def embedding_dup_pairs_lsh(
         if worst <= max_candidate_pairs:
             mass = None
         else:
-            # The probe reuses the narrow slim checkpoint when the
-            # capped path already built one; uncapped calls build it
-            # here. Checkpoint the SLIM (id, t, s) projection only —
-            # checkpointing the vector-laden frame java-serializes
-            # 4n × ~300 B rows through executor unroll buffers: heap
-            # OOM at sf100's 2M vectors (r15). The lazy vector frame
-            # runs the signature UDF once for the join (both aliases
-            # share one ReusedExchange), so the UDF executes twice per
-            # call total, not 4× (ADVICE r9).
-            if slim is None:
+            # Reuse the bucket-size aggregate the max_bucket cap built
+            # (the semi-join filters which buckets join, not their
+            # sizes) instead of re-running the signature UDF + shuffle.
+            # Uncapped calls build it here — off a localCheckpoint of
+            # sigs, because from this point the signature frame has
+            # THREE consumers (the probe plus both join sides) and the
+            # call is already action-bearing (ADVICE r9: the probe made
+            # the signature UDF build run 4×; the checkpoint makes it
+            # run once).
+            if counts is not None:
+                probe_counts = counts.filter(F.col("_c") <= max_bucket)
+            else:
+                # Checkpoint the SLIM (id, t, s) projection only — the
+                # r15 fused-verify shape put vectors on sigs, and
+                # checkpointing the vector-laden frame java-serializes
+                # 4n × ~300 B rows through executor unroll buffers:
+                # heap OOM at sf100's 2M vectors (found re-running the
+                # reroute leg after the disk fix). The lazy vector
+                # frame re-runs the signature UDF once for the join
+                # (both aliases share one ReusedExchange), so the UDF
+                # still executes twice per call, not 4× (ADVICE r9).
                 slim = (
-                    base.select("_id", F.posexplode("_sigs").alias("_t", "_s"))
+                    sigs.select("_id", "_t", "_s")
                     .localCheckpoint(eager=True)
                 )
-            probe_counts = slim.groupBy("_t", "_s").agg(
-                F.count(F.lit(1)).alias("_c")
-            )
-            if max_bucket is not None:
-                probe_counts = probe_counts.filter(F.col("_c") <= max_bucket)
+                probe_counts = slim.groupBy("_t", "_s").agg(
+                    F.count(F.lit(1)).alias("_c")
+                )
             mass = (
                 probe_counts.agg(
                     F.sum(
@@ -700,43 +663,7 @@ def embedding_dup_pairs_lsh(
                 "a corpus you have sized."
             )
 
-    # A pair agreeing in k kept tables matches the (t, s) equi-keys k
-    # times; prefix_agree kills every match but the FIRST kept agreeing
-    # table using only the rows' own _eff arrays (≤ n_tables-1 int
-    # compares). Dropped-bucket slots are NULL in _eff;
-    # coalesce(x == y, false) makes them never agree, so a pair whose
-    # earliest agreement sat in a dropped bucket is still counted at
-    # its first kept one — exactly the r15 semi-join semantics. Each
-    # surviving pair is emitted exactly once, so the r15 dropDuplicates
-    # (a pair-proportional exchange + distinct aggregation over every
-    # threshold survivor) is gone.
-    #
-    # The verify is gated BEHIND the prefix check inside one CASE
-    # expression rather than written as a separate conjunct: Catalyst
-    # merges the pushed-down threshold filter into the join residual
-    # and evaluates conjuncts left-to-right in pushdown order, which
-    # put the dot product FIRST when ~prefix_agree was its own
-    # conjunct (observed in the sf0.01 plan dump) — redundant matches
-    # paid the verify before being killed. CASE guarantees the ≤7 int
-    # compares run first and only first-table matches pay the
-    # dim-multiply dot product.
     a, b = sigs.alias("a"), sigs.alias("b")
-    prefix_agree = F.exists(
-        F.zip_with(
-            F.slice(F.col("a._eff"), 1, F.col("a._t")),
-            F.slice(F.col("b._eff"), 1, F.col("b._t")),
-            lambda x, y: F.coalesce(x == y, F.lit(False)),
-        ),
-        lambda agreed: agreed,
-    )
-    gated_sim = F.when(
-        (F.col("a._id") < F.col("b._id")) & ~prefix_agree,
-        F.try_divide(
-            dot(F.col("a._v"), F.col("b._v")),
-            F.col("a._n") * F.col("b._n"),
-        ),
-    )  # NULL on redundant/mirrored matches → fails the >= filter; the
-    # id< guard runs first so mirrored matches skip the prefix compares
     return (
         a.join(
             b,
@@ -747,10 +674,14 @@ def embedding_dup_pairs_lsh(
         .select(
             F.col("a._id").alias("id_a"),
             F.col("b._id").alias("id_b"),
-            gated_sim.alias("_sim"),
+            F.try_divide(
+                dot(F.col("a._v"), F.col("b._v")),
+                F.col("a._n") * F.col("b._n"),
+            ).alias("_sim"),
         )
         .filter(F.col("_sim") >= threshold)
         .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
 
 

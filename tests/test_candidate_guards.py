@@ -700,8 +700,13 @@ def test_embedding_lsh_portable_guard(spark):
 
 
 def _r15_reference_lsh(df, threshold, bits, n_tables, seed, dim, max_bucket):
-    """The r15 shape verbatim: posexploded signatures, semi-join bucket
-    cap, verify per agreeing table, dropDuplicates at the end."""
+    """The r15 shape spelled out independently: posexploded signatures,
+    semi-join bucket cap, verify per agreeing table, dropDuplicates at
+    the end. Written (r16) to prove the attempted first-kept-table
+    rewrite emitted the identical multiset; kept after that rewrite was
+    reverted on a negative sf100 A/B (see embedding_dup_pairs_lsh's
+    docstring) as an output-multiset regression pin across cap shapes —
+    any future restructure must keep these assertions green."""
     from adguard2clickhouse_spark.operators.similarity import (
         dot,
         lsh_signatures_udf,
@@ -776,7 +781,7 @@ def lumpy_vecs(spark):
         (4, 8, 16),     # the production-policy shape
     ],
 )
-def test_lsh_first_kept_table_matches_r15_reference(
+def test_lsh_output_matches_reference_shape(
     lumpy_vecs, bits, n_tables, max_bucket
 ):
     new = similarity.embedding_dup_pairs_lsh(
@@ -799,7 +804,7 @@ def test_lsh_first_kept_table_matches_r15_reference(
     assert ref.exceptAll(new).count() == 0
 
 
-def test_lsh_first_kept_table_emits_each_pair_once(lumpy_vecs):
+def test_lsh_emits_each_pair_once(lumpy_vecs):
     out = similarity.embedding_dup_pairs_lsh(
         lumpy_vecs,
         threshold=0.35,

@@ -118,3 +118,31 @@ def test_udf_batch(spark):
     assert got[1] == {"rcode": 3, "rdatas": [], "rdatas6": [], "cnames": []}
     assert got[2] is None
     assert got[3] is None
+
+
+def test_udf_nomemo_parity(spark):
+    """The memo-free UDF variant (r16, for all-distinct packet callers)
+    must agree with the memoized one row-for-row, including the
+    dead-letter (all-null struct) rows."""
+    from pyspark.sql import functions as F
+
+    from adguard2clickhouse_spark.operators.dnswire import (
+        parse_dns_answer,
+        parse_dns_answer_nomemo,
+    )
+
+    rows = [
+        (build_answer_b64(a=[f"10.0.{i // 256}.{i % 256}"], rcode=i % 6),)
+        for i in range(300)
+    ] + [
+        (build_answer_b64(aaaa=["2001:db8::1"], cname=["cdn.example.net"]),),
+        (build_answer_b64(txt=["v=spf1 -all"]),),
+        ("garbage",),
+        (None,),
+    ]
+    df = spark.createDataFrame(rows, ["Answer"]).select(
+        parse_dns_answer(F.col("Answer")).alias("memo"),
+        parse_dns_answer_nomemo(F.col("Answer")).alias("nomemo"),
+    )
+    mismatches = df.filter(~F.col("memo").eqNullSafe(F.col("nomemo"))).count()
+    assert mismatches == 0
