@@ -92,12 +92,32 @@ def _real_domain(qh) -> F.Column:
     additionally gated on contains(':') — every IPv6 textual form has
     a colon, so the guard is exact, and it spares ordinary hostnames
     the 9-alternative regex (measured ~13% off this filter; the same
-    guard on the v4 regex measured SLOWER, see functions/net.py)."""
+    guard on the v4 regex measured SLOWER, see functions/net.py).
+
+    Single-bind wrapper (r16, guide §2.3 "don't compute things
+    twice"): the predicate evaluates inside ``exists(array(QH), q ->
+    …)`` so QH is materialized ONCE per row. When QH is a *derived*
+    column — the events bridge derives it from a CASE over
+    ``regexp_extract(props)`` — Catalyst's projection collapse inlines
+    that whole derivation into EVERY conjunct reference (plans showed
+    up to 12 regexp_extract copies per row), and codegen's
+    subexpression elimination cannot rescue it because conjuncts after
+    the first are conditionally executed (short-circuit arms are
+    excluded from CSE). The lambda variable binds the derivation
+    unconditionally once; conjuncts then reference the bound string.
+    Measured sf0.1 (a7 shape, med-of-5 noop, identical results): bridge
+    QH 0.520 → 0.381 s (1.37×); plain-column QH 0.263 → 0.293 s (the
+    array alloc + interpreted ArrayExists costs ~11% when the column
+    is cheap — accepted: every declared query reads the bridge, and on
+    the parse path the filter is a minor term next to JSON+DNS parse)."""
     c = F.col(qh) if isinstance(qh, str) else qh
-    return (
-        c.contains(".")
-        & ~is_ipv4_string(c)
-        & ~(c.contains(":") & is_ipv6_string(c))
+    return F.exists(
+        F.array(c),
+        lambda q: (
+            q.contains(".")
+            & ~is_ipv4_string(q)
+            & ~(q.contains(":") & is_ipv6_string(q))
+        ),
     )
 
 
