@@ -815,8 +815,18 @@ def q_q7_volume_shipping(spark, sf_dir):
     the supplier side keyed through lineitem, the customer side through
     orders, with the cross-pair filter (n1→n2 or n2→n1) applied after
     both dim joins. One big-big join (lineitem ⋈ orders); nation is
-    hinted, supplier/customer join strategy is left to AQE (broadcast
-    at test SF, shuffle at corpus scale)."""
+    hinted, the customer join strategy is left to AQE (its size is
+    corpus-proportional at n_customers·2/25, so a static broadcast
+    would be the r12 OOM class).
+
+    The SUPPLIER side is explicitly broadcast (r16, guide §3.1, same
+    find as q11): it is n_suppliers·2/25 keys+names (~80k rows, ~2 MB
+    at sf100; sub-corpus growth), but the size estimate through the
+    nation join exceeded the threshold and Catalyst planned lineitem ⋈
+    supplier as a sort-merge join that shuffled the 2-year lineitem
+    slice. Measured sf100: shuffle 5.78 → 1.66 GB, steady-state median
+    14.5 → 11.5 s (BENCH_sf100_tpch_joins_r16.json) — the remaining
+    wall is the genuine big-big l⋈o SMJ plus the AQE customer join."""
     n = _t(spark, sf_dir, "nation").filter(
         F.col("n_name").isin("NATION_1", "NATION_2")
     )
@@ -836,7 +846,7 @@ def q_q7_volume_shipping(spark, sf_dir):
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     return (
-        li.join(s, li.l_suppkey == s.s_suppkey)
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .filter(F.col("supp_nation") != F.col("cust_nation"))
@@ -925,11 +935,29 @@ def q_q17_small_quantity(spark, sf_dir):
     correlated per-part average decorrelated into a pre-aggregate
     joined back on the part key. The avg threshold is exact across
     engines: quantities are integer-valued doubles, so their sums are
-    exact (< 2^53) in any order and avg/0.2·avg round identically."""
+    exact (< 2^53) in any order and avg/0.2·avg round identically.
+
+    The threshold aggregate only matters for Brand#23 parts (r16,
+    guide §3.2): its input is semi-joined against the broadcast part
+    filter FIRST, so the per-part average aggregates n/25 of lineitem
+    instead of all of it and emits n_parts/25 rows instead of every
+    part — a per-part average over a part's own rows is unchanged by
+    dropping OTHER parts, so the join-back rows (and the oracle hash)
+    are identical. The r15 shape aggregated all 600M rows into a
+    20M-part threshold frame and joined lineitem against it — on a
+    VANILLA session (10 MB broadcast threshold, the driver's own
+    session class) that is a sort-merge join shuffling 7.97 GB; the
+    slimmed frame is broadcastable at runtime where the 20M-part one
+    never was. Measured sf100 (engine session): steady-state median
+    12.5 → 9.2 s, executor CPU 389 → 268 s
+    (BENCH_sf100_tpch_joins_r16.json)."""
     li = _t(spark, sf_dir, "lineitem")
     p = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#23")
-    thresh = li.groupBy("l_partkey").agg(
-        (F.avg("l_quantity") * 0.2).alias("_qlim")
+    pk = p.select("p_partkey")
+    thresh = (
+        li.join(F.broadcast(pk), li.l_partkey == pk.p_partkey, "left_semi")
+        .groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("_qlim"))
     )
     return (
         li.join(p, li.l_partkey == p.p_partkey)
@@ -991,7 +1019,20 @@ def q_q11_important_share(spark, sf_dir):
     supplier): parts whose share of one nation's traded value exceeds
     1‰ — the HAVING-against-a-global-fraction plan, the threshold a
     1-row broadcast and the compare exact cross-multiplied integers
-    (1000·part > total), immune to ratio rounding."""
+    (1000·part > total), immune to ratio rounding.
+
+    The one-nation supplier side is explicitly broadcast (r16, guide
+    §3.1): it is ≤ n_suppliers/n_nations keys (~40k at sf100, ~1 MB
+    projected), but Catalyst cannot see that through the nation join —
+    at sf100 it size-estimated the post-join side above the 64 MB
+    threshold and planned a sort-merge join that shuffled ALL of
+    lineitem (measured: 10.06 GB shuffle write; AQE converts the join
+    only after the 600M-row map stage already ran). With the hint the
+    fact table never shuffles before aggregation: shuffle 10.06 →
+    0.14 GB, executor run time 2351 → 293 s, sf100 cold wall 85.2 →
+    13.2 s, steady-state median-of-5 19.3 → 5.6 s. The broadcast side
+    scales as n_suppliers/n_nations (sub-corpus: ~3 MB of keys at
+    sf1000), so the hint is scale-safe per the r12 rule."""
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_2")
     s = (
         _t(spark, sf_dir, "supplier")
@@ -1001,7 +1042,7 @@ def q_q11_important_share(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     val = F.floor(F.col("l_quantity") * F.col("l_extendedprice")).cast("long")
     per_part = (
-        li.join(s, li.l_suppkey == s.s_suppkey)
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .groupBy("l_partkey")
         .agg(F.sum(val).alias("part_value"))
     )
